@@ -1,0 +1,214 @@
+"""ctypes bindings for the native XTC/TRR codec (gorder_tpu/native/xdr.cpp).
+
+The shared library is compiled on first use with g++ -O3 and cached next to
+the source (keyed by a source hash), so no build step is needed at install
+time and stale binaries never survive a source change.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..errors import TrajectoryError
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SRC = _NATIVE_DIR / "xdr.cpp"
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build_library() -> Path:
+    source = _SRC.read_bytes()
+    tag = hashlib.sha256(source).hexdigest()[:16]
+    build_dir = _NATIVE_DIR / "_build"
+    build_dir.mkdir(exist_ok=True)
+    so_path = build_dir / f"libxdr-{tag}.so"
+    if so_path.exists():
+        return so_path
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3", "-march=native", "-funroll-loops", "-fno-plt",
+        "-shared", "-fPIC", "-std=c++17", "-pthread",
+        str(_SRC), "-o", str(so_path) + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        raise TrajectoryError(
+            f"failed to build native XDR codec:\n{e.stderr}"
+        ) from None
+    os.replace(str(so_path) + ".tmp", so_path)
+    # clean superseded builds
+    for old in build_dir.glob("libxdr-*.so"):
+        if old != so_path:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    return so_path
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(str(_build_library()))
+            lib.xdr_last_error.restype = ctypes.c_char_p
+            lib.xtc_scan.restype = ctypes.c_int64
+            lib.xtc_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.xtc_decode.restype = ctypes.c_int32
+            lib.xtc_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            lib.xtc_write.restype = ctypes.c_int32
+            lib.xtc_write.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_float, ctypes.c_int32,
+            ]
+            lib.trr_scan.restype = ctypes.c_int64
+            lib.trr_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.trr_decode.restype = ctypes.c_int32
+            lib.trr_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ]
+            _LIB = lib
+        return _LIB
+
+
+def _err(lib) -> str:
+    return lib.xdr_last_error().decode("utf-8", "replace")
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def xtc_scan(path: str):
+    """Index an XTC file → dict of offsets/natoms/steps/times arrays."""
+    lib = get_lib()
+    encoded = path.encode()
+    null64 = ctypes.POINTER(ctypes.c_int64)()
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    nullf = ctypes.POINTER(ctypes.c_float)()
+    n = lib.xtc_scan(encoded, 0, null64, null32, null32, nullf)
+    if n < 0:
+        raise TrajectoryError(f"could not index xtc file '{path}': {_err(lib)}")
+    offsets = np.empty(n, np.int64)
+    natoms = np.empty(n, np.int32)
+    steps = np.empty(n, np.int32)
+    times = np.empty(n, np.float32)
+    if n:
+        n2 = lib.xtc_scan(encoded, n, _i64p(offsets), _i32p(natoms),
+                          _i32p(steps), _f32p(times))
+        if n2 != n:
+            raise TrajectoryError(f"inconsistent xtc index for '{path}': {_err(lib)}")
+    return {"offsets": offsets, "natoms": natoms, "steps": steps, "times": times}
+
+
+def xtc_decode(path: str, offsets: np.ndarray, first_n: int, n_threads: int = 1):
+    """Decode frames at `offsets` → (coords (n, first_n, 3), boxes (n, 3, 3),
+    times (n,), steps (n,))."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets)
+    coords = np.empty((n, first_n, 3), np.float32)
+    boxes = np.empty((n, 3, 3), np.float32)
+    times = np.empty(n, np.float32)
+    steps = np.empty(n, np.int32)
+    if n:
+        rc = lib.xtc_decode(path.encode(), _i64p(offsets), n, first_n,
+                            _f32p(coords), _f32p(boxes), _f32p(times),
+                            _i32p(steps), n_threads)
+        if rc != 0:
+            raise TrajectoryError(f"could not decode xtc file '{path}': {_err(lib)}")
+    return coords, boxes, times, steps
+
+
+def xtc_write(path: str, coords: np.ndarray, boxes: np.ndarray,
+              times: np.ndarray, steps: np.ndarray,
+              precision: float = 1000.0, append: bool = False) -> None:
+    lib = get_lib()
+    coords = np.ascontiguousarray(coords, np.float32)
+    n, natoms = coords.shape[0], coords.shape[1]
+    boxes = np.ascontiguousarray(boxes, np.float32).reshape(n, 9)
+    times = np.ascontiguousarray(times, np.float32)
+    steps = np.ascontiguousarray(steps, np.int32)
+    rc = lib.xtc_write(path.encode(), natoms, n, _f32p(coords), _f32p(boxes),
+                       _f32p(times), _i32p(steps), precision, int(append))
+    if rc != 0:
+        raise TrajectoryError(f"could not write xtc file '{path}': {_err(lib)}")
+
+
+def trr_scan(path: str):
+    lib = get_lib()
+    encoded = path.encode()
+    null64 = ctypes.POINTER(ctypes.c_int64)()
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    nullf = ctypes.POINTER(ctypes.c_float)()
+    n = lib.trr_scan(encoded, 0, null64, null32, null32, nullf, null32)
+    if n < 0:
+        raise TrajectoryError(f"could not index trr file '{path}': {_err(lib)}")
+    offsets = np.empty(n, np.int64)
+    natoms = np.empty(n, np.int32)
+    steps = np.empty(n, np.int32)
+    times = np.empty(n, np.float32)
+    has_coords = np.empty(n, np.int32)
+    if n:
+        n2 = lib.trr_scan(encoded, n, _i64p(offsets), _i32p(natoms),
+                          _i32p(steps), _f32p(times), _i32p(has_coords))
+        if n2 != n:
+            raise TrajectoryError(f"inconsistent trr index for '{path}': {_err(lib)}")
+    return {
+        "offsets": offsets, "natoms": natoms, "steps": steps, "times": times,
+        "has_coords": has_coords.astype(bool),
+    }
+
+
+def trr_decode(path: str, offsets: np.ndarray, first_n: int):
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets)
+    coords = np.empty((n, first_n, 3), np.float32)
+    boxes = np.empty((n, 3, 3), np.float32)
+    times = np.empty(n, np.float32)
+    steps = np.empty(n, np.int32)
+    if n:
+        rc = lib.trr_decode(path.encode(), _i64p(offsets), n, first_n,
+                            _f32p(coords), _f32p(boxes), _f32p(times),
+                            _i32p(steps))
+        if rc != 0:
+            raise TrajectoryError(f"could not decode trr file '{path}': {_err(lib)}")
+    return coords, boxes, times, steps

@@ -1,0 +1,964 @@
+// XTC/TRR trajectory codec for gorder-tpu.
+//
+// Implements the GROMACS XDR trajectory formats from the public spec:
+//   * XTC: big-endian XDR framing + the classic "3dfc" integer compression
+//     (magic-int table, MSB-first bit packing, small-delta runs with the
+//     water-pair swap). Behavioral reference: the xdrfile C library that the
+//     reference consumes through groan_rs (SURVEY.md §2.6 item 1).
+//   * TRR: uncompressed big-endian records (float or double reals).
+//
+// Design goals (single host core feeding a TPU):
+//   - mmap + two-phase access: O(1)-per-frame index scan, then decode of an
+//     arbitrary subset of frames/atoms ("first_n" early-stop: gorder only
+//     needs the Master-group atoms, which callers arrange to be a prefix
+//     whenever possible).
+//   - 64-bit bit-buffer reader; the grouped-int codec decodes the whole
+//     bit-field as one uint64 and splits it with two div/mods instead of
+//     per-byte long division where possible.
+//   - optional std::thread fan-out across frames (frames are independent).
+//
+// C ABI only; wrapped from Python with ctypes (gorder_tpu/io/native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <limits>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// ----------------------------------------------------------------- constants
+
+constexpr int32_t XTC_MAGIC = 1995;
+constexpr int32_t TRR_MAGIC = 1993;
+constexpr int FIRSTIDX = 9;
+
+constexpr int MAGICINTS[] = {
+    0,       0,       0,       0,       0,        0,        0,        0,
+    0,       8,       10,      12,      16,       20,       25,       32,
+    40,      50,      64,      80,      101,      128,      161,      203,
+    256,     322,     406,     512,     645,      812,      1024,     1290,
+    1625,    2048,    2580,    3250,    4096,     5060,     6501,     8192,
+    10321,   13003,   16384,   20642,   26007,    32768,    41285,    52015,
+    65536,   82570,   104031,  131072,  165140,   208063,   262144,   330280,
+    416127,  524287,  660561,  832255,  1048576,  1321122,  1664510,  2097152,
+    2642245, 3329021, 4194304, 5284491, 6658042,  8388607,  10568983, 13316085,
+    16777216};
+constexpr int LASTIDX = (int)(sizeof(MAGICINTS) / sizeof(int)) - 1;
+
+thread_local std::string g_error;
+
+void set_error(const std::string &msg) { g_error = msg; }
+
+// ------------------------------------------------------------------ file map
+
+struct MappedFile {
+  const uint8_t *data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  bool open(const char *path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) {
+      set_error(std::string("could not open '") + path + "'");
+      return false;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+      set_error(std::string("could not stat '") + path + "'");
+      ::close(fd);
+      fd = -1;
+      return false;
+    }
+    size = (size_t)st.st_size;
+    if (size == 0) {
+      data = nullptr;
+      return true;
+    }
+    void *p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+      set_error(std::string("could not mmap '") + path + "'");
+      ::close(fd);
+      fd = -1;
+      return false;
+    }
+    madvise(p, size, MADV_SEQUENTIAL);
+    data = (const uint8_t *)p;
+    return true;
+  }
+
+  ~MappedFile() {
+    if (data) munmap((void *)data, size);
+    if (fd >= 0) ::close(fd);
+  }
+};
+
+// ------------------------------------------------------------ XDR primitives
+
+inline uint32_t load_be32(const uint8_t *p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+inline uint64_t load_be64(const uint8_t *p) {
+  return ((uint64_t)load_be32(p) << 32) | load_be32(p + 4);
+}
+
+struct Reader {
+  const uint8_t *p;
+  const uint8_t *end;
+
+  bool need(size_t n) const { return (size_t)(end - p) >= n; }
+
+  bool read_i32(int32_t *out) {
+    if (!need(4)) return false;
+    *out = (int32_t)load_be32(p);
+    p += 4;
+    return true;
+  }
+
+  bool read_f32(float *out) {
+    if (!need(4)) return false;
+    uint32_t bits = load_be32(p);
+    p += 4;
+    memcpy(out, &bits, 4);
+    return true;
+  }
+
+  bool read_f64(double *out) {
+    if (!need(8)) return false;
+    uint64_t bits = load_be64(p);
+    p += 8;
+    memcpy(out, &bits, 8);
+    return true;
+  }
+
+  bool skip(size_t n) {
+    if (!need(n)) return false;
+    p += n;
+    return true;
+  }
+};
+
+// ------------------------------------------------------------- bit streaming
+
+// MSB-first bit reader over a byte buffer (the xdrfile packing order).
+struct BitReader {
+  const uint8_t *p;
+  const uint8_t *end;
+  uint64_t acc = 0;  // bits live in the low `nbits` positions
+  int nbits = 0;
+  bool overrun = false;
+
+  BitReader(const uint8_t *data, size_t len) : p(data), end(data + len) {}
+
+  inline void fill() {
+    while (nbits <= 56) {
+      uint8_t byte = 0;
+      if (p < end) {
+        byte = *p++;
+      } else if (nbits <= 0) {
+        overrun = true;
+        byte = 0;
+      } else {
+        break;
+      }
+      acc = (acc << 8) | byte;
+      nbits += 8;
+    }
+  }
+
+  // n in [0, 32]
+  inline uint32_t get(int n) {
+    if (n == 0) return 0;
+    if (nbits < n) fill();
+    if (nbits < n) {
+      overrun = true;
+      return 0;
+    }
+    nbits -= n;
+    return (uint32_t)((acc >> nbits) & ((n >= 64 ? 0 : (uint64_t(1) << n)) - 1));
+  }
+
+  // n in [0, 64]
+  inline uint64_t get64(int n) {
+    if (n <= 32) return get(n);
+    uint64_t hi = get(n - 32);
+    uint64_t lo = get(32);
+    return (hi << 32) | lo;
+  }
+};
+
+// MSB-first bit writer.
+struct BitWriter {
+  std::vector<uint8_t> out;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  inline void put(int n, uint32_t value) {
+    if (n == 0) return;
+    acc = (acc << n) | (uint64_t)(value & ((n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1))));
+    nbits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      out.push_back((uint8_t)((acc >> nbits) & 0xFF));
+    }
+  }
+
+  void flush() {
+    if (nbits > 0) {
+      out.push_back((uint8_t)((acc << (8 - nbits)) & 0xFF));
+      nbits = 0;
+    }
+    acc = 0;
+  }
+};
+
+// number of bits needed to represent `size` distinct values (>= 1)
+inline int sizeofint(uint32_t size) {
+  int bits = 0;
+  uint32_t num = 1;
+  while (size >= num && bits < 32) {
+    bits++;
+    num <<= 1;
+  }
+  return bits;
+}
+
+// bits needed for `n` grouped ints with the given sizes (xdrfile sizeofints)
+inline int sizeofints(int n, const uint32_t *sizes) {
+  uint8_t bytes[32];
+  int num_of_bytes = 1;
+  bytes[0] = 1;
+  int num_of_bits = 0;
+  for (int i = 0; i < n; i++) {
+    uint32_t tmp = 0;
+    int bytecnt = 0;
+    for (; bytecnt < num_of_bytes; bytecnt++) {
+      tmp = bytes[bytecnt] * sizes[i] + tmp;
+      bytes[bytecnt] = tmp & 0xFF;
+      tmp >>= 8;
+    }
+    while (tmp != 0) {
+      bytes[bytecnt++] = tmp & 0xFF;
+      tmp >>= 8;
+    }
+    num_of_bytes = bytecnt;
+  }
+  uint32_t num = 1;
+  num_of_bytes--;
+  while ((uint32_t)bytes[num_of_bytes] >= num) {
+    num_of_bits++;
+    num *= 2;
+  }
+  return num_of_bits + num_of_bytes * 8;
+}
+
+// Decode `nbits` as the little-endian byte group used by sendints and return
+// it as a single integer value (valid while the product of sizes < 2^64).
+inline uint64_t read_group_value(BitReader &br, int nbits) {
+  uint64_t value = 0;
+  int shift = 0;
+  while (nbits >= 8) {
+    value |= (uint64_t)br.get(8) << shift;
+    shift += 8;
+    nbits -= 8;
+  }
+  if (nbits > 0) {
+    value |= (uint64_t)br.get(nbits) << shift;
+  }
+  return value;
+}
+
+inline void write_group_value(BitWriter &bw, int nbits, uint64_t value) {
+  // bytes little-endian-first; the most significant byte carries the
+  // remaining width (mirrors sendints' two cases, including zero padding)
+  uint8_t bytes[9];
+  int num_of_bytes = 0;
+  do {
+    bytes[num_of_bytes++] = (uint8_t)(value & 0xFF);
+    value >>= 8;
+  } while (value != 0);
+
+  if (nbits >= num_of_bytes * 8) {
+    for (int i = 0; i < num_of_bytes; i++) bw.put(8, bytes[i]);
+    bw.put(nbits - num_of_bytes * 8, 0);
+  } else {
+    for (int i = 0; i < num_of_bytes - 1; i++) bw.put(8, bytes[i]);
+    bw.put(nbits - (num_of_bytes - 1) * 8, bytes[num_of_bytes - 1]);
+  }
+}
+
+// receiveints for the 3-coordinate groups, via single-uint64 fast path.
+// sizes must satisfy sizes[0]*sizes[1]*sizes[2] < 2^64 (always true for real
+// trajectories: the bitsize==0 escape triggers earlier).
+inline void read_ints3(BitReader &br, int nbits, const uint32_t *sizes,
+                       int32_t *nums) {
+  uint64_t v = read_group_value(br, nbits);
+  uint64_t q = v / sizes[2];
+  nums[2] = (int32_t)(v - q * sizes[2]);
+  uint64_t q2 = q / sizes[1];
+  nums[1] = (int32_t)(q - q2 * sizes[1]);
+  nums[0] = (int32_t)q2;
+}
+
+inline void write_ints3(BitWriter &bw, int nbits, const uint32_t *sizes,
+                        const int32_t *nums) {
+  uint64_t v =
+      ((uint64_t)nums[0] * sizes[1] + (uint64_t)nums[1]) * sizes[2] +
+      (uint64_t)nums[2];
+  write_group_value(bw, nbits, v);
+}
+
+// --------------------------------------------------------------- XTC framing
+
+struct XtcHeader {
+  int32_t natoms = 0;
+  int32_t step = 0;
+  float time = 0;
+  float box[9] = {0};
+  // compressed payload
+  float precision = 0;
+  int32_t minint[3] = {0};
+  int32_t maxint[3] = {0};
+  int32_t smallidx = 0;
+  const uint8_t *payload = nullptr;  // compressed bytes (or plain floats)
+  int32_t nbytes = 0;                // compressed byte count
+  size_t frame_size = 0;             // total frame size in the file
+  bool plain = false;                // natoms <= 9 → uncompressed floats
+};
+
+bool parse_xtc_header(const uint8_t *base, size_t size, size_t offset,
+                      XtcHeader *h) {
+  Reader r{base + offset, base + size};
+  int32_t magic;
+  if (!r.read_i32(&magic)) return false;
+  if (magic != XTC_MAGIC) {
+    set_error("invalid XTC magic number");
+    return false;
+  }
+  int32_t natoms_hdr;
+  if (!r.read_i32(&natoms_hdr) || !r.read_i32(&h->step) || !r.read_f32(&h->time))
+    return false;
+  h->natoms = natoms_hdr;
+  for (int i = 0; i < 9; i++)
+    if (!r.read_f32(&h->box[i])) return false;
+  int32_t lsize;
+  if (!r.read_i32(&lsize)) return false;
+  if (lsize != natoms_hdr) {
+    set_error("XTC frame natoms mismatch");
+    return false;
+  }
+  if (natoms_hdr <= 9) {
+    h->plain = true;
+    h->payload = r.p;
+    h->nbytes = natoms_hdr * 3 * 4;
+    if (!r.skip((size_t)h->nbytes)) return false;
+    h->frame_size = (size_t)(r.p - (base + offset));
+    return true;
+  }
+  if (!r.read_f32(&h->precision)) return false;
+  for (int i = 0; i < 3; i++)
+    if (!r.read_i32(&h->minint[i])) return false;
+  for (int i = 0; i < 3; i++)
+    if (!r.read_i32(&h->maxint[i])) return false;
+  if (!r.read_i32(&h->smallidx)) return false;
+  if (!r.read_i32(&h->nbytes)) return false;
+  if (h->nbytes < 0) {
+    set_error("negative XTC payload size");
+    return false;
+  }
+  h->payload = r.p;
+  size_t padded = ((size_t)h->nbytes + 3) & ~(size_t)3;
+  if (!r.skip(padded)) {
+    set_error("truncated XTC frame");
+    return false;
+  }
+  h->frame_size = (size_t)(r.p - (base + offset));
+  return true;
+}
+
+// Decode the compressed coordinates of one frame. Writes the first
+// `first_n` atoms (3 floats each) to `out`. Returns false on corruption.
+bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
+  const int32_t natoms = h.natoms;
+  first_n = std::min(first_n, natoms);
+
+  if (h.plain) {
+    Reader r{h.payload, h.payload + h.nbytes};
+    for (int i = 0; i < first_n * 3; i++)
+      if (!r.read_f32(&out[i])) return false;
+    return true;
+  }
+
+  uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
+  for (int i = 0; i < 3; i++) {
+    int64_t span = (int64_t)h.maxint[i] - (int64_t)h.minint[i] + 1;
+    if (span <= 0 || span > (int64_t)UINT32_MAX) {
+      set_error("invalid XTC integer range");
+      return false;
+    }
+    sizeint[i] = (uint32_t)span;
+  }
+  int bitsize;
+  if (sizeint[0] > 0xFFFFFF || sizeint[1] > 0xFFFFFF || sizeint[2] > 0xFFFFFF) {
+    for (int i = 0; i < 3; i++) bitsizeint[i] = sizeofint(sizeint[i]);
+    bitsize = 0;
+  } else {
+    bitsize = sizeofints(3, sizeint);
+  }
+
+  int smallidx = h.smallidx;
+  if (smallidx < FIRSTIDX || smallidx > LASTIDX) {
+    set_error("invalid XTC smallidx");
+    return false;
+  }
+  int tmpidx = smallidx - 1;
+  tmpidx = (FIRSTIDX > tmpidx) ? FIRSTIDX : tmpidx;
+  int32_t smaller = MAGICINTS[tmpidx] / 2;
+  int32_t smallnum = MAGICINTS[smallidx] / 2;
+  uint32_t sizesmall[3] = {(uint32_t)MAGICINTS[smallidx],
+                           (uint32_t)MAGICINTS[smallidx],
+                           (uint32_t)MAGICINTS[smallidx]};
+
+  const float inv_precision = 1.0f / h.precision;
+  BitReader br(h.payload, (size_t)h.nbytes);
+
+  int32_t thiscoord[3], prevcoord[3] = {0, 0, 0};
+  int i = 0;
+  int written = 0;
+  int run = 0;  // persists across atoms: flag bit 0 = reuse previous length
+
+  auto emit = [&](const int32_t *c) {
+    if (written < first_n) {
+      out[written * 3 + 0] = (float)c[0] * inv_precision;
+      out[written * 3 + 1] = (float)c[1] * inv_precision;
+      out[written * 3 + 2] = (float)c[2] * inv_precision;
+    }
+    written++;
+  };
+
+  while (i < natoms && written < first_n) {
+    if (bitsize == 0) {
+      thiscoord[0] = (int32_t)br.get(bitsizeint[0]);
+      thiscoord[1] = (int32_t)br.get(bitsizeint[1]);
+      thiscoord[2] = (int32_t)br.get(bitsizeint[2]);
+    } else {
+      read_ints3(br, bitsize, sizeint, thiscoord);
+    }
+    i++;
+    thiscoord[0] += h.minint[0];
+    thiscoord[1] += h.minint[1];
+    thiscoord[2] += h.minint[2];
+    prevcoord[0] = thiscoord[0];
+    prevcoord[1] = thiscoord[1];
+    prevcoord[2] = thiscoord[2];
+
+    uint32_t flag = br.get(1);
+    int is_smaller = 0;
+    if (flag) {
+      run = (int)br.get(5);
+      is_smaller = run % 3;
+      run -= is_smaller;
+      is_smaller--;
+    }
+    if (run > 0) {
+      for (int k = 0; k < run; k += 3) {
+        read_ints3(br, smallidx, sizesmall, thiscoord);
+        i++;
+        thiscoord[0] += prevcoord[0] - smallnum;
+        thiscoord[1] += prevcoord[1] - smallnum;
+        thiscoord[2] += prevcoord[2] - smallnum;
+        if (k == 0) {
+          // water-pair swap: first small atom is emitted before the large one
+          std::swap(thiscoord[0], prevcoord[0]);
+          std::swap(thiscoord[1], prevcoord[1]);
+          std::swap(thiscoord[2], prevcoord[2]);
+          emit(prevcoord);
+        } else {
+          prevcoord[0] = thiscoord[0];
+          prevcoord[1] = thiscoord[1];
+          prevcoord[2] = thiscoord[2];
+        }
+        emit(thiscoord);
+      }
+    } else {
+      emit(thiscoord);
+    }
+    smallidx += is_smaller;
+    if (is_smaller < 0) {
+      smallnum = smaller;
+      smaller = (smallidx > FIRSTIDX) ? MAGICINTS[smallidx - 1] / 2 : 0;
+    } else if (is_smaller > 0) {
+      smaller = smallnum;
+      smallnum = MAGICINTS[smallidx] / 2;
+    }
+    if (smallidx < FIRSTIDX || smallidx > LASTIDX || MAGICINTS[smallidx] == 0) {
+      set_error("corrupted XTC run encoding");
+      return false;
+    }
+    sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)MAGICINTS[smallidx];
+  }
+  if (br.overrun) {
+    set_error("XTC payload overrun");
+    return false;
+  }
+  return true;
+}
+
+// ----------------------------------------------------------------- XTC write
+
+void append_be32(std::vector<uint8_t> &v, uint32_t x) {
+  v.push_back((uint8_t)(x >> 24));
+  v.push_back((uint8_t)(x >> 16));
+  v.push_back((uint8_t)(x >> 8));
+  v.push_back((uint8_t)x);
+}
+
+void append_f32(std::vector<uint8_t> &v, float f) {
+  uint32_t bits;
+  memcpy(&bits, &f, 4);
+  append_be32(v, bits);
+}
+
+// Compress one frame of coordinates (xdrfile-compatible encoder with
+// small-delta runs and the water-pair swap).
+bool encode_xtc_frame(std::vector<uint8_t> &file, int32_t natoms, int32_t step,
+                      float time, const float *box9, const float *coords,
+                      float precision) {
+  append_be32(file, (uint32_t)XTC_MAGIC);
+  append_be32(file, (uint32_t)natoms);
+  append_be32(file, (uint32_t)step);
+  append_f32(file, time);
+  for (int i = 0; i < 9; i++) append_f32(file, box9[i]);
+  append_be32(file, (uint32_t)natoms);
+
+  if (natoms <= 9) {
+    for (int i = 0; i < natoms * 3; i++) append_f32(file, coords[i]);
+    return true;
+  }
+
+  append_f32(file, precision);
+
+  std::vector<int32_t> ints((size_t)natoms * 3);
+  int32_t minint[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+  int32_t maxint[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+  int64_t mindiff = INT64_MAX;
+  int32_t oldlint[3] = {0, 0, 0};
+  for (int i = 0; i < natoms; i++) {
+    int32_t lint[3];
+    for (int d = 0; d < 3; d++) {
+      float lf = coords[i * 3 + d] * precision;
+      lf += (lf >= 0) ? 0.5f : -0.5f;
+      if (lf > 2147483000.0f || lf < -2147483000.0f) {
+        set_error("coordinate too large for XTC compression");
+        return false;
+      }
+      lint[d] = (int32_t)lf;
+      minint[d] = std::min(minint[d], lint[d]);
+      maxint[d] = std::max(maxint[d], lint[d]);
+      ints[(size_t)i * 3 + d] = lint[d];
+    }
+    if (i > 0) {
+      int64_t diff = std::abs((int64_t)lint[0] - oldlint[0]) +
+                     std::abs((int64_t)lint[1] - oldlint[1]) +
+                     std::abs((int64_t)lint[2] - oldlint[2]);
+      mindiff = std::min(mindiff, diff);
+    }
+    oldlint[0] = lint[0];
+    oldlint[1] = lint[1];
+    oldlint[2] = lint[2];
+  }
+
+  for (int d = 0; d < 3; d++) append_be32(file, (uint32_t)minint[d]);
+  for (int d = 0; d < 3; d++) append_be32(file, (uint32_t)maxint[d]);
+
+  int smallidx = FIRSTIDX;
+  while (smallidx < LASTIDX && MAGICINTS[smallidx] < mindiff) smallidx++;
+  append_be32(file, (uint32_t)smallidx);
+
+  int maxidx = std::min(LASTIDX, smallidx + 8);
+  int minidx = maxidx - 8;
+  int32_t smaller = MAGICINTS[std::max(FIRSTIDX, smallidx - 1)] / 2;
+  int32_t smallnum = MAGICINTS[smallidx] / 2;
+  uint32_t sizesmall[3] = {(uint32_t)MAGICINTS[smallidx],
+                           (uint32_t)MAGICINTS[smallidx],
+                           (uint32_t)MAGICINTS[smallidx]};
+  int32_t larger = MAGICINTS[maxidx] / 2;
+
+  uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
+  for (int d = 0; d < 3; d++)
+    sizeint[d] = (uint32_t)((int64_t)maxint[d] - minint[d] + 1);
+  int bitsize;
+  if (sizeint[0] > 0xFFFFFF || sizeint[1] > 0xFFFFFF || sizeint[2] > 0xFFFFFF) {
+    for (int d = 0; d < 3; d++) bitsizeint[d] = sizeofint(sizeint[d]);
+    bitsize = 0;
+  } else {
+    bitsize = sizeofints(3, sizeint);
+  }
+
+  BitWriter bw;
+  int i = 0;
+  int prevrun = -1;
+  int32_t *ip = ints.data();
+  int32_t prevcoord[3] = {0, 0, 0};
+  std::vector<int32_t> tmprun(8 * 3 + 3);
+
+  while (i < natoms) {
+    int32_t *thiscoord = ip + (size_t)i * 3;
+    bool is_small = false;
+    int is_smaller;
+    if (smallidx < maxidx && i >= 1 &&
+        std::abs(thiscoord[0] - prevcoord[0]) < larger &&
+        std::abs(thiscoord[1] - prevcoord[1]) < larger &&
+        std::abs(thiscoord[2] - prevcoord[2]) < larger) {
+      is_smaller = 1;
+    } else if (smallidx > minidx) {
+      is_smaller = -1;
+    } else {
+      is_smaller = 0;
+    }
+    if (i + 1 < natoms) {
+      int32_t *next = thiscoord + 3;
+      if (std::abs(thiscoord[0] - next[0]) < smallnum &&
+          std::abs(thiscoord[1] - next[1]) < smallnum &&
+          std::abs(thiscoord[2] - next[2]) < smallnum) {
+        // swap this with next (water-pair optimization)
+        std::swap(thiscoord[0], next[0]);
+        std::swap(thiscoord[1], next[1]);
+        std::swap(thiscoord[2], next[2]);
+        is_small = true;
+      }
+    }
+    int32_t tmpcoord[3] = {thiscoord[0] - minint[0], thiscoord[1] - minint[1],
+                           thiscoord[2] - minint[2]};
+    if (bitsize == 0) {
+      bw.put(bitsizeint[0], (uint32_t)tmpcoord[0]);
+      bw.put(bitsizeint[1], (uint32_t)tmpcoord[1]);
+      bw.put(bitsizeint[2], (uint32_t)tmpcoord[2]);
+    } else {
+      write_ints3(bw, bitsize, sizeint, tmpcoord);
+    }
+    prevcoord[0] = thiscoord[0];
+    prevcoord[1] = thiscoord[1];
+    prevcoord[2] = thiscoord[2];
+    i++;
+
+    int run = 0;
+    if (!is_small && is_smaller == -1) is_smaller = 0;
+    while (is_small && run < 8 * 3) {
+      int32_t *cur = ip + (size_t)i * 3;
+      if (is_smaller == -1 &&
+          ((int64_t)(cur[0] - prevcoord[0]) * (cur[0] - prevcoord[0]) +
+           (int64_t)(cur[1] - prevcoord[1]) * (cur[1] - prevcoord[1]) +
+           (int64_t)(cur[2] - prevcoord[2]) * (cur[2] - prevcoord[2])) >=
+              (int64_t)smaller * smaller) {
+        is_smaller = 0;
+      }
+      tmprun[run + 0] = cur[0] - prevcoord[0] + smallnum;
+      tmprun[run + 1] = cur[1] - prevcoord[1] + smallnum;
+      tmprun[run + 2] = cur[2] - prevcoord[2] + smallnum;
+      run += 3;
+      prevcoord[0] = cur[0];
+      prevcoord[1] = cur[1];
+      prevcoord[2] = cur[2];
+      i++;
+      is_small = false;
+      if (i < natoms) {
+        int32_t *next = ip + (size_t)i * 3;
+        if (std::abs(next[0] - prevcoord[0]) < smallnum &&
+            std::abs(next[1] - prevcoord[1]) < smallnum &&
+            std::abs(next[2] - prevcoord[2]) < smallnum) {
+          is_small = true;
+        }
+      }
+    }
+    if (run != prevrun || is_smaller != 0) {
+      prevrun = run;
+      bw.put(1, 1);
+      bw.put(5, (uint32_t)(run + is_smaller + 1));
+    } else {
+      bw.put(1, 0);
+    }
+    for (int k = 0; k < run; k += 3) {
+      write_ints3(bw, smallidx, sizesmall, &tmprun[k]);
+    }
+    if (is_smaller != 0) {
+      smallidx += is_smaller;
+      if (is_smaller < 0) {
+        smallnum = smaller;
+        smaller = (smallidx > FIRSTIDX) ? MAGICINTS[smallidx - 1] / 2 : 0;
+      } else {
+        smaller = smallnum;
+        smallnum = MAGICINTS[smallidx] / 2;
+      }
+      sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)MAGICINTS[smallidx];
+    }
+  }
+  bw.flush();
+
+  append_be32(file, (uint32_t)bw.out.size());
+  file.insert(file.end(), bw.out.begin(), bw.out.end());
+  size_t pad = (4 - (bw.out.size() & 3)) & 3;
+  for (size_t k = 0; k < pad; k++) file.push_back(0);
+  return true;
+}
+
+// --------------------------------------------------------------- TRR framing
+
+struct TrrHeader {
+  int32_t natoms = 0, step = 0;
+  float time = 0, lambda_ = 0;
+  float box[9] = {0};
+  bool is_double = false;
+  int32_t x_size = 0, v_size = 0, f_size = 0, box_size = 0;
+  const uint8_t *x = nullptr;
+  size_t frame_size = 0;
+};
+
+bool parse_trr_header(const uint8_t *base, size_t size, size_t offset,
+                      TrrHeader *h) {
+  Reader r{base + offset, base + size};
+  int32_t magic;
+  if (!r.read_i32(&magic)) return false;
+  if (magic != TRR_MAGIC) {
+    set_error("invalid TRR magic number");
+    return false;
+  }
+  // version string: XDR string = max_len, actual_len, padded bytes
+  int32_t slen1, slen2;
+  if (!r.read_i32(&slen1) || !r.read_i32(&slen2)) return false;
+  if (slen2 < 0 || slen2 > 256) {
+    set_error("invalid TRR version string");
+    return false;
+  }
+  if (!r.skip(((size_t)slen2 + 3) & ~(size_t)3)) return false;
+
+  int32_t ir_size, e_size, box_size, vir_size, pres_size, top_size, sym_size;
+  int32_t x_size, v_size, f_size, natoms, step, nre;
+  if (!r.read_i32(&ir_size) || !r.read_i32(&e_size) || !r.read_i32(&box_size) ||
+      !r.read_i32(&vir_size) || !r.read_i32(&pres_size) ||
+      !r.read_i32(&top_size) || !r.read_i32(&sym_size) || !r.read_i32(&x_size) ||
+      !r.read_i32(&v_size) || !r.read_i32(&f_size) || !r.read_i32(&natoms) ||
+      !r.read_i32(&step) || !r.read_i32(&nre))
+    return false;
+
+  // determine real size from the largest per-frame array
+  int real_size = 4;
+  if (box_size == 9 * 8) real_size = 8;
+  else if (box_size == 9 * 4) real_size = 4;
+  else if (natoms > 0 && x_size == natoms * 3 * 8) real_size = 8;
+  else if (natoms > 0 && v_size == natoms * 3 * 8) real_size = 8;
+  else if (natoms > 0 && f_size == natoms * 3 * 8) real_size = 8;
+
+  h->is_double = (real_size == 8);
+  h->natoms = natoms;
+  h->step = step;
+  h->box_size = box_size;
+  h->x_size = x_size;
+  h->v_size = v_size;
+  h->f_size = f_size;
+
+  if (h->is_double) {
+    double t, l;
+    if (!r.read_f64(&t) || !r.read_f64(&l)) return false;
+    h->time = (float)t;
+    h->lambda_ = (float)l;
+  } else {
+    if (!r.read_f32(&h->time) || !r.read_f32(&h->lambda_)) return false;
+  }
+
+  if (box_size > 0) {
+    for (int i = 0; i < 9; i++) {
+      if (h->is_double) {
+        double v;
+        if (!r.read_f64(&v)) return false;
+        h->box[i] = (float)v;
+      } else {
+        if (!r.read_f32(&h->box[i])) return false;
+      }
+    }
+  }
+  if (!r.skip((size_t)std::max(vir_size, 0))) return false;
+  if (!r.skip((size_t)std::max(pres_size, 0))) return false;
+  h->x = r.p;
+  if (!r.skip((size_t)std::max(x_size, 0))) return false;
+  if (!r.skip((size_t)std::max(v_size, 0))) return false;
+  if (!r.skip((size_t)std::max(f_size, 0))) return false;
+  h->frame_size = (size_t)(r.p - (base + offset));
+  return true;
+}
+
+bool decode_trr_coords(const TrrHeader &h, int32_t first_n, float *out) {
+  if (h.x_size <= 0) {
+    // no coordinates in this frame: emit NaNs so callers can skip it
+    for (int i = 0; i < first_n * 3; i++)
+      out[i] = std::numeric_limits<float>::quiet_NaN();
+    return true;
+  }
+  int n = std::min(first_n, h.natoms);
+  Reader r{h.x, h.x + h.x_size};
+  if (h.is_double) {
+    for (int i = 0; i < n * 3; i++) {
+      double v;
+      if (!r.read_f64(&v)) return false;
+      out[i] = (float)v;
+    }
+  } else {
+    for (int i = 0; i < n * 3; i++) {
+      if (!r.read_f32(&out[i])) return false;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+// =============================================================== public C API
+
+extern "C" {
+
+const char *xdr_last_error() { return g_error.c_str(); }
+
+// Scan an XTC file: fills caller-provided arrays (capacity `cap`) with frame
+// metadata; returns the number of frames, or -1 on error. If cap == 0 only
+// counts frames.
+int64_t xtc_scan(const char *path, int64_t cap, int64_t *offsets,
+                 int32_t *natoms, int32_t *steps, float *times) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  size_t offset = 0;
+  int64_t count = 0;
+  while (offset + 4 <= mf.size) {
+    XtcHeader h;
+    if (!parse_xtc_header(mf.data, mf.size, offset, &h)) return -1;
+    if (count < cap) {
+      offsets[count] = (int64_t)offset;
+      natoms[count] = h.natoms;
+      steps[count] = h.step;
+      times[count] = h.time;
+    }
+    offset += h.frame_size;
+    count++;
+  }
+  return count;
+}
+
+// Decode `n` frames (by file offset) into out_coords[n][first_n][3].
+// out_boxes: n*9 floats (row-major 3x3). Returns 0 on success.
+int32_t xtc_decode(const char *path, const int64_t *frame_offsets, int64_t n,
+                   int32_t first_n, float *out_coords, float *out_boxes,
+                   float *out_times, int32_t *out_steps, int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+
+  std::atomic<int32_t> status{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t f = lo; f < hi; f++) {
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
+        status.store(-1);
+        return;
+      }
+      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h.time;
+      if (out_steps) out_steps[f] = h.step;
+      if (!decode_xtc_coords(h, first_n, out_coords + (size_t)f * first_n * 3)) {
+        status.store(-1);
+        return;
+      }
+    }
+  };
+
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return status.load();
+}
+
+// Append frames to an XTC file (creates it when absent).
+int32_t xtc_write(const char *path, int32_t natoms, int64_t n_frames,
+                  const float *coords, const float *boxes, const float *times,
+                  const int32_t *steps, float precision, int32_t append) {
+  std::vector<uint8_t> buf;
+  buf.reserve((size_t)n_frames * ((size_t)natoms + 64));
+  for (int64_t f = 0; f < n_frames; f++) {
+    if (!encode_xtc_frame(buf, natoms, steps[f], times[f], boxes + f * 9,
+                          coords + (size_t)f * natoms * 3, precision))
+      return -1;
+  }
+  FILE *fh = fopen(path, append ? "ab" : "wb");
+  if (!fh) {
+    set_error(std::string("could not open '") + path + "' for writing");
+    return -1;
+  }
+  size_t written = fwrite(buf.data(), 1, buf.size(), fh);
+  fclose(fh);
+  if (written != buf.size()) {
+    set_error("short write");
+    return -1;
+  }
+  return 0;
+}
+
+// Scan a TRR file (same contract as xtc_scan; has_coords flags frames with x).
+int64_t trr_scan(const char *path, int64_t cap, int64_t *offsets,
+                 int32_t *natoms, int32_t *steps, float *times,
+                 int32_t *has_coords) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  size_t offset = 0;
+  int64_t count = 0;
+  while (offset + 4 <= mf.size) {
+    TrrHeader h;
+    if (!parse_trr_header(mf.data, mf.size, offset, &h)) return -1;
+    if (count < cap) {
+      offsets[count] = (int64_t)offset;
+      natoms[count] = h.natoms;
+      steps[count] = h.step;
+      times[count] = h.time;
+      has_coords[count] = h.x_size > 0 ? 1 : 0;
+    }
+    offset += h.frame_size;
+    count++;
+  }
+  return count;
+}
+
+int32_t trr_decode(const char *path, const int64_t *frame_offsets, int64_t n,
+                   int32_t first_n, float *out_coords, float *out_boxes,
+                   float *out_times, int32_t *out_steps) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  for (int64_t f = 0; f < n; f++) {
+    TrrHeader h;
+    if (!parse_trr_header(mf.data, mf.size, (size_t)frame_offsets[f], &h))
+      return -1;
+    if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+    if (out_times) out_times[f] = h.time;
+    if (out_steps) out_steps[f] = h.step;
+    if (!decode_trr_coords(h, first_n, out_coords + (size_t)f * first_n * 3))
+      return -1;
+  }
+  return 0;
+}
+
+}  // extern "C"

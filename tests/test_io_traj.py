@@ -1,0 +1,126 @@
+"""Trajectory codec + concatenation tests against the reference fixtures."""
+
+import numpy as np
+import pytest
+
+from gorder_tpu.errors import TrajectoryError
+from gorder_tpu.io import native
+from gorder_tpu.io.traj import Trajectory, check_box
+
+
+def test_xtc_scan_decode(fixtures):
+    path = str(fixtures / "split" / "cg1.xtc")
+    info = native.xtc_scan(path)
+    assert len(info["offsets"]) == 21
+    assert info["natoms"][0] == 16769
+    coords, boxes, times, steps = native.xtc_decode(
+        path, info["offsets"], int(info["natoms"][0])
+    )
+    assert coords.shape == (21, 16769, 3)
+    # coordinates wrapped inside the box
+    assert coords[0].min() >= -0.01
+    assert np.all(coords[0].max(axis=0) <= np.diag(boxes[0]) + 0.01)
+    assert np.isfinite(coords).all()
+
+
+def test_xtc_subset_decode_matches_prefix(fixtures):
+    path = str(fixtures / "split" / "cg1.xtc")
+    info = native.xtc_scan(path)
+    full, *_ = native.xtc_decode(path, info["offsets"], 16769)
+    part, *_ = native.xtc_decode(path, info["offsets"], 3042)
+    np.testing.assert_array_equal(full[:, :3042], part)
+
+
+def test_xtc_roundtrip(tmp_path):
+    rng = np.random.default_rng(42)
+    # realistic structure: clustered molecules so small-delta runs trigger
+    centers = rng.random((400, 3), np.float32) * 10
+    offsets = rng.normal(0, 0.05, (400, 12, 3)).astype(np.float32)
+    coords = (centers[:, None, :] + offsets).reshape(1, -1, 3)
+    coords = np.repeat(coords, 5, axis=0)
+    coords += rng.normal(0, 0.02, coords.shape).astype(np.float32)
+    coords = np.clip(coords, 0, 10.0)
+    n = coords.shape[1]
+    boxes = np.tile(np.diag([10.0, 10.0, 10.0]).astype(np.float32), (5, 1, 1))
+    times = (np.arange(5) * 100.0).astype(np.float32)
+    steps = (np.arange(5) * 1000).astype(np.int32)
+    path = str(tmp_path / "rt.xtc")
+    native.xtc_write(path, coords, boxes, times, steps, precision=1000.0)
+
+    info = native.xtc_scan(path)
+    assert len(info["offsets"]) == 5
+    dec, db, dt, ds = native.xtc_decode(path, info["offsets"], n)
+    assert np.abs(dec - coords).max() <= 0.00051 + 1e-5
+    np.testing.assert_array_equal(dt, times)
+    np.testing.assert_array_equal(ds, steps)
+    np.testing.assert_allclose(db, boxes, atol=1e-6)
+
+
+def test_trr_decode(fixtures):
+    path = str(fixtures / "split" / "cg3.trr")
+    info = native.trr_scan(path)
+    assert len(info["offsets"]) == 1
+    coords, boxes, times, steps = native.trr_decode(
+        path, info["offsets"], int(info["natoms"][0])
+    )
+    assert np.isfinite(coords).all()
+    assert boxes[0, 0, 0] > 10.0
+    # TRR is uncompressed: coordinates at f32 precision inside the box
+    assert coords[0].min() >= -0.01
+
+
+def test_concatenation_dedup(fixtures):
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"), expected_atoms=16769)
+    # cg.xtc has 101 frames at 100-ps spacing (t = 350000..360000);
+    # the split files overlap at boundaries and dedup must restore 101
+    assert traj.n_frames == 101
+    times = traj.times
+    assert times[0] == 350000.0
+    assert times[-1] == 360000.0
+    assert np.all(np.diff(times) == 100.0)
+
+
+def test_concatenation_aa(fixtures):
+    traj = Trajectory(
+        [str(fixtures / "split" / f"pcpepg{i}.xtc") for i in range(1, 6)],
+        expected_atoms=68375,
+    )
+    assert np.all(np.diff(traj.times) > 0)
+    assert traj.n_frames == 51  # pcpepg.xtc frame count
+
+
+def test_frame_selection_begin_end_step(fixtures):
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    sel = traj.select_frames(None, None, 1)
+    assert len(sel) == 101
+    sel = traj.select_frames(355000.0, 358000.0, 1)
+    assert traj.times[sel][0] == 355000.0
+    assert traj.times[sel][-1] == 358000.0
+    sel5 = traj.select_frames(None, None, 5)
+    assert len(sel5) == 21
+    np.testing.assert_array_equal(traj.times[sel5][:3], [350000.0, 350500.0, 351000.0])
+
+
+def test_batched_reads_match_full(fixtures):
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    sel = traj.select_frames(None, None, 3)
+    full, fb, ft, fs = traj.read_frames(sel, 500)
+    got = []
+    for coords, boxes, times, steps, analyzed in traj.iter_batches(sel, 500, 7):
+        got.append(coords)
+    np.testing.assert_array_equal(np.concatenate(got), full)
+
+
+def test_mismatched_atom_count(fixtures):
+    with pytest.raises(TrajectoryError):
+        Trajectory(str(fixtures / "split" / "cg1.xtc"), expected_atoms=123)
+
+
+def test_check_box():
+    check_box(np.diag([10.0, 10.0, 10.0]))
+    with pytest.raises(Exception):
+        check_box(np.zeros((3, 3)))
+    bad = np.diag([10.0, 10.0, 10.0])
+    bad[1, 0] = 1.0
+    with pytest.raises(Exception):
+        check_box(bad)
