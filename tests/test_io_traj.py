@@ -107,7 +107,7 @@ def test_batched_reads_match_full(fixtures):
     full, fb, ft, fs = traj.read_frames(sel, 500)
     got = []
     for coords, boxes, times, steps, analyzed in traj.iter_batches(sel, 500, 7):
-        got.append(coords)
+        got.append(coords.copy())  # the buffer is reused across iterations
     np.testing.assert_array_equal(np.concatenate(got), full)
 
 
