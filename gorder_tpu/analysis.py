@@ -1,0 +1,460 @@
+"""Analysis orchestrator: the equivalent of the reference's
+`Analysis::run()` + per-mode drivers (src/analysis/mod.rs:31-49,
+aaorder.rs/cgorder.rs/uaorder.rs), re-architected for batched TPU execution:
+
+structure+topology ingest → selections → molecule classification →
+compiled index tensors → jitted frame-batch kernels → exact host
+accumulation → results tree.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .core.leaflets import (
+    make_global_classifier,
+    make_individual_classifier,
+    make_local_classifier,
+)
+from .core.order import OrderAccumulator, make_order_step
+from .errors import AnalysisError, ConfigError, SelectionError, TopologyError
+from .input.config import Analysis, AnalysisType, Frequency
+from .io import read_bnd, read_gro, read_ndx, read_pdb, read_pqr
+from .io.tpr import read_tpr
+from .io.traj import Trajectory, check_box
+from .results.model import (
+    AnalysisResults,
+    AtomDesc,
+    AtomResults,
+    BondResults,
+    MoleculeResults,
+    Order,
+    OrderCollection,
+)
+from .select import ensure_elements, query_uses_elements, select_mask
+from .system import System
+from .topology.classify import (
+    CompiledBonds,
+    MoleculeKind,
+    classify_molecules,
+    compile_bonds,
+)
+
+log = logging.getLogger("gorder")
+
+DEFAULT_BATCH_SIZE = int(os.environ.get("GORDER_TPU_BATCH_SIZE", "128"))
+
+_AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
+_SCALE = 1.0e6
+
+
+# ---------------------------------------------------------------- preparation
+
+
+def load_structure(analysis: Analysis) -> System:
+    path = analysis.structure
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".tpr":
+        system = read_tpr(path)
+    elif ext == ".gro":
+        system = read_gro(path)
+    elif ext == ".pdb":
+        system = read_pdb(path)
+    elif ext == ".pqr":
+        system = read_pqr(path)
+    else:
+        raise ConfigError(f"unsupported structure format '{path}'")
+
+    if analysis.bonds is not None:
+        read_bnd(analysis.bonds, system)
+
+    if analysis.index is not None:
+        read_ndx(analysis.index, system)
+
+    # element guessing only when a query requests it and the structure did
+    # not provide elements (structure.rs:202-246)
+    queries = [
+        q for q in (
+            analysis.analysis_type.heavy_atoms,
+            analysis.analysis_type.hydrogens,
+            analysis.analysis_type.beads,
+            analysis.analysis_type.saturated,
+            analysis.analysis_type.unsaturated,
+            analysis.analysis_type.ignore,
+            analysis.leaflets.membrane if analysis.leaflets else None,
+            analysis.leaflets.heads if analysis.leaflets else None,
+            analysis.leaflets.methyls if analysis.leaflets else None,
+            analysis.membrane_normal.heads,
+            analysis.geometry.reference
+            if analysis.geometry is not None
+            and isinstance(analysis.geometry.reference, str) else None,
+        ) if q
+    ]
+    if any(query_uses_elements(q) for q in queries):
+        ensure_elements(system)
+    return system
+
+
+@dataclass
+class LeafletRuntime:
+    """Per-batch leaflet assignment with frequency gating."""
+
+    classify = None                  # device fn or None (manual table)
+    frequency: Frequency = None
+    manual_table: Optional[np.ndarray] = None   # (n_assignment_frames, M)
+    carried: Optional[np.ndarray] = None        # (M,) last assignment
+    n_molecules: int = 0
+    collect_frames: Optional[List[np.ndarray]] = None  # per assignment frame
+    kinds: Optional[List[MoleculeKind]] = None
+    flip: bool = False
+
+    def assignment_source(self, analyzed_idx: np.ndarray) -> np.ndarray:
+        if self.frequency.kind == "once":
+            return np.zeros_like(analyzed_idx)
+        n = self.frequency.n
+        return (analyzed_idx // n) * n
+
+    def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray
+                          ) -> np.ndarray:
+        """(B, M) leaflet classes for the analyzed frames of the batch."""
+        src = self.assignment_source(analyzed_idx)
+        batch_start = analyzed_idx[0]
+        if self.manual_table is not None:
+            per_frame = self.manual_table[
+                np.minimum(src // max(self.frequency.n, 1)
+                           if self.frequency.kind == "every" else 0,
+                           len(self.manual_table) - 1)
+            ]
+            classes = per_frame
+        else:
+            assigned = np.asarray(self.classify(coords_dev, box_dev))
+            in_batch = src >= batch_start
+            local = np.clip(src - batch_start, 0, len(analyzed_idx) - 1)
+            classes = np.where(
+                in_batch[:, None], assigned[local],
+                (self.carried if self.carried is not None
+                 else assigned[0])[None, :],
+            )
+            # update carried state with the last assignment frame <= batch end
+            is_assign = src == analyzed_idx
+            if is_assign.any():
+                last = np.nonzero(is_assign)[0][-1]
+                self.carried = assigned[last]
+            if self.collect_frames is not None:
+                for i in np.nonzero(is_assign)[0]:
+                    self.collect_frames.append(classes[i].copy())
+        if self.flip:
+            classes = 1 - classes
+        return classes.astype(np.int32)
+
+
+def _single_atom_per_molecule(system: System, kinds: List[MoleculeKind],
+                              query: str, what: str) -> np.ndarray:
+    """One atom index per molecule instance (e.g. leaflet head), ordered by
+    global molecule id. Errors when a molecule has 0 or >1 matches."""
+    mask = select_mask(system, query)
+    heads = []
+    for kind in kinds:
+        rel = [r for r in range(kind.n_atoms_per_molecule)
+               if mask[kind.min_indices[0] + r]]
+        if len(rel) != 1:
+            raise TopologyError(
+                f"molecule type {kind.name}: query '{query}' for {what} "
+                f"matched {len(rel)} atoms per molecule, expected exactly 1"
+            )
+        heads.append(np.asarray(kind.min_indices, np.int64) + rel[0])
+    return np.concatenate(heads) if heads else np.zeros(0, np.int64)
+
+
+def _atoms_per_molecule(system: System, kinds: List[MoleculeKind],
+                        query: str, what: str
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """(atom_indices, molecule_ids) for ≥1-per-molecule selections
+    (e.g. methyls)."""
+    mask = select_mask(system, query)
+    atoms, mols = [], []
+    mol_offset = 0
+    for kind in kinds:
+        rel = [r for r in range(kind.n_atoms_per_molecule)
+               if mask[kind.min_indices[0] + r]]
+        if len(rel) == 0:
+            raise TopologyError(
+                f"molecule type {kind.name}: query '{query}' for {what} "
+                f"matched no atoms"
+            )
+        for m, min_idx in enumerate(kind.min_indices):
+            for r in rel:
+                atoms.append(min_idx + r)
+                mols.append(mol_offset + m)
+        mol_offset += kind.n_molecules
+    return np.asarray(atoms, np.int64), np.asarray(mols, np.int64)
+
+
+def build_leaflet_runtime(system: System, analysis: Analysis,
+                          kinds: List[MoleculeKind], compiled: CompiledBonds,
+                          normal_axis: int) -> Optional[LeafletRuntime]:
+    params = analysis.leaflets
+    if params is None:
+        return None
+    axis = normal_axis
+    if params.membrane_normal is not None:
+        axis = _AXIS_INDEX[params.membrane_normal]
+
+    runtime = LeafletRuntime()
+    runtime.frequency = params.frequency
+    runtime.n_molecules = compiled.n_molecules
+    runtime.kinds = kinds
+    runtime.flip = params.flip
+    if params.collect.enabled:
+        runtime.collect_frames = []
+
+    if params.kind in ("global", "local"):
+        membrane_mask = select_mask(system, params.membrane)
+        if not membrane_mask.any():
+            raise SelectionError(
+                f"no atoms matched the membrane query '{params.membrane}'")
+        membrane_idx = np.nonzero(membrane_mask)[0]
+        heads = _single_atom_per_molecule(system, kinds, params.heads,
+                                          "leaflet heads")
+        if params.kind == "global":
+            runtime.classify = make_global_classifier(
+                membrane_idx, heads, axis, analysis.handle_pbc)
+        else:
+            runtime.classify = make_local_classifier(
+                membrane_idx, heads, axis, params.radius, analysis.handle_pbc)
+        runtime.max_atom = int(max(membrane_idx.max(), heads.max()))
+    elif params.kind == "individual":
+        heads = _single_atom_per_molecule(system, kinds, params.heads,
+                                          "leaflet heads")
+        methyls, methyl_mols = _atoms_per_molecule(system, kinds,
+                                                   params.methyls, "methyls")
+        runtime.classify = make_individual_classifier(
+            heads, methyls, methyl_mols, compiled.n_molecules, axis,
+            analysis.handle_pbc)
+        runtime.max_atom = int(max(heads.max(), methyls.max()))
+    else:
+        raise AnalysisError(
+            f"leaflet classification method '{params.kind}' is not yet "
+            f"supported")
+    return runtime
+
+
+# ------------------------------------------------------------------- run (CG/AA)
+
+
+def run_analysis(analysis: Analysis) -> AnalysisResults:
+    if analysis.analysis_type.kind in ("cg", "aa"):
+        return _run_bond_based(analysis)
+    raise AnalysisError(
+        f"analysis type '{analysis.analysis_type.name}' is not yet supported")
+
+
+def _prepare_bond_kinds(system: System, analysis: Analysis
+                        ) -> Tuple[List[MoleculeKind], CompiledBonds]:
+    at = analysis.analysis_type
+    if at.kind == "cg":
+        beads = select_mask(system, at.beads)
+        if not beads.any():
+            raise SelectionError(
+                f"no atoms matched the beads query '{at.beads}'")
+        kinds = classify_molecules(system, beads, mode="bonds")
+    else:
+        heavy = select_mask(system, at.heavy_atoms)
+        hydrogens = select_mask(system, at.hydrogens)
+        if not heavy.any():
+            raise SelectionError(
+                f"no atoms matched the heavy_atoms query '{at.heavy_atoms}'")
+        if not hydrogens.any():
+            raise SelectionError(
+                f"no atoms matched the hydrogens query '{at.hydrogens}'")
+        overlap = heavy & hydrogens
+        if overlap.any():
+            raise AnalysisError(
+                f"heavy_atoms and hydrogens selections share "
+                f"{int(overlap.sum())} atom(s)")
+        kinds = classify_molecules(system, heavy, hydrogens, mode="bonds")
+
+    if not kinds:
+        raise TopologyError("no molecules containing analyzable bonds found")
+    for kind in kinds:
+        log.info("molecule type %s: %d molecules, %d bond types",
+                 kind.name, kind.n_molecules, kind.n_bond_types)
+    return kinds, compile_bonds(kinds)
+
+
+def _run_bond_based(analysis: Analysis) -> AnalysisResults:
+    system = load_structure(analysis)
+    kinds, compiled = _prepare_bond_kinds(system, analysis)
+
+    if analysis.membrane_normal.kind != "static":
+        raise AnalysisError(
+            "only static membrane normals are supported in this build")
+    axis = _AXIS_INDEX[analysis.membrane_normal.axis]
+    normal_vec = np.zeros(3, np.float32)
+    normal_vec[axis] = 1.0
+
+    leaflets = build_leaflet_runtime(system, analysis, kinds, compiled, axis)
+
+    step = make_order_step(
+        compiled.atom_a, compiled.atom_b, compiled.bond_type,
+        compiled.molecule, compiled.n_types, compiled.n_molecules,
+        handle_pbc=analysis.handle_pbc,
+        with_leaflets=leaflets is not None,
+    )
+
+    classes = ("total", "upper", "lower") if leaflets else ("total",)
+    accum = OrderAccumulator(
+        compiled.n_types, classes,
+        keep_timewise=analysis.estimate_error is not None,
+    )
+
+    first_n = int(max(compiled.atom_a.max(initial=0),
+                      compiled.atom_b.max(initial=0))) + 1
+    if leaflets is not None:
+        first_n = max(first_n, leaflets.max_atom + 1)
+
+    traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
+    frame_indices = traj.select_frames(
+        analysis.begin if np.isfinite(analysis.begin) else None,
+        analysis.end if np.isfinite(analysis.end) else None,
+        analysis.step,
+    )
+    if len(frame_indices) == 0:
+        raise AnalysisError(
+            "no trajectory frames are within the specified time range")
+
+    import jax
+
+    batch_size = min(DEFAULT_BATCH_SIZE, max(len(frame_indices), 1))
+    normal_dev = jax.device_put(normal_vec)
+
+    for coords, boxes, times, steps, analyzed in traj.iter_batches(
+            frame_indices, first_n, batch_size):
+        n_valid = len(analyzed)
+        if analysis.handle_pbc:
+            for b in range(n_valid):
+                check_box(boxes[b])
+        box_diag = np.ascontiguousarray(
+            boxes[:, [0, 1, 2], [0, 1, 2]], np.float32)
+        # pad the last partial batch to the jitted batch size
+        if n_valid < batch_size:
+            pad = batch_size - n_valid
+            coords = np.concatenate(
+                [coords, np.zeros((pad,) + coords.shape[1:], np.float32)])
+            box_diag = np.concatenate(
+                [box_diag, np.ones((pad, 3), np.float32)])
+        frame_mask = np.zeros(batch_size, bool)
+        frame_mask[:n_valid] = True
+
+        coords_dev = jax.device_put(coords)
+        box_dev = jax.device_put(box_diag)
+
+        if leaflets is not None:
+            classes_arr = leaflets.classes_for_batch(
+                coords_dev, box_dev, analyzed)
+            if classes_arr.shape[0] < batch_size:
+                classes_arr = np.concatenate([
+                    classes_arr,
+                    np.zeros((batch_size - classes_arr.shape[0],
+                              compiled.n_molecules), np.int32)])
+            result = step(coords_dev, box_dev, normal_dev,
+                          jax.device_put(frame_mask),
+                          jax.device_put(classes_arr))
+        else:
+            result = step(coords_dev, box_dev, normal_dev,
+                          jax.device_put(frame_mask))
+        accum.add_batch({k: np.asarray(v) for k, v in result.items()}, n_valid)
+
+    log.info("analyzed %d frames", accum.n_frames)
+
+    return convert_results(analysis, system, kinds, compiled, accum,
+                           traj, frame_indices)
+
+
+# ------------------------------------------------------------------ converter
+
+
+def _fixed_order(sums: np.ndarray, counts: np.ndarray, min_samples: int,
+                 sign: float) -> float:
+    total_count = counts.sum()
+    if total_count < max(min_samples, 1):
+        return float("nan")
+    return sign * float(sums.sum() / _SCALE / total_count)
+
+
+def convert_results(analysis: Analysis, system: System,
+                    kinds: List[MoleculeKind], compiled: CompiledBonds,
+                    accum: OrderAccumulator, traj: Trajectory,
+                    frame_indices: np.ndarray) -> AnalysisResults:
+    mode = analysis.analysis_type.kind
+    sign = -1.0 if mode in ("aa", "ua") else 1.0
+    min_samples = analysis.min_samples
+    classes = accum.classes
+
+    def collection(type_slice, *, for_average=False) -> OrderCollection:
+        col = OrderCollection()
+        ms = 1 if for_average else min_samples
+        for cls in classes:
+            value = _fixed_order(accum.sums[cls][type_slice],
+                                 accum.counts[cls][type_slice], ms, sign)
+            setattr(col, cls, Order(value))
+        return col
+
+    molecules: List[MoleculeResults] = []
+    for k, kind in enumerate(kinds):
+        t0 = int(compiled.type_offsets[k])
+        t1 = int(compiled.type_offsets[k + 1])
+        mol = MoleculeResults(
+            name=kind.name,
+            average_order=collection(slice(t0, t1), for_average=True),
+        )
+        if mode == "cg":
+            for t, bt in enumerate(kind.bond_types):
+                bond = BondResults(
+                    atom1=AtomDesc(bt.resname_a, bt.name_a, bt.rel_a),
+                    atom2=AtomDesc(bt.resname_b, bt.name_b, bt.rel_b),
+                    order=collection(slice(t0 + t, t0 + t + 1)),
+                )
+                mol.bonds.append(bond)
+        else:  # aa: group bond types by heavy atom (rel_a)
+            by_heavy: Dict[int, List[int]] = {}
+            for t, bt in enumerate(kind.bond_types):
+                by_heavy.setdefault(bt.rel_a, []).append(t)
+            for rel_a in sorted(by_heavy):
+                ts = by_heavy[rel_a]
+                bt0 = kind.bond_types[ts[0]]
+                atom = AtomResults(
+                    atom=AtomDesc(bt0.resname_a, bt0.name_a, rel_a),
+                    order=collection(
+                        np.asarray([t0 + t for t in ts], np.int64)),
+                )
+                for t in ts:
+                    bt = kind.bond_types[t]
+                    atom.bonds.append(BondResults(
+                        atom1=AtomDesc(bt.resname_a, bt.name_a, bt.rel_a),
+                        atom2=AtomDesc(bt.resname_b, bt.name_b, bt.rel_b),
+                        order=collection(slice(t0 + t, t0 + t + 1)),
+                    ))
+                mol.atoms.append(atom)
+        molecules.append(mol)
+
+    results = AnalysisResults(
+        mode=mode,
+        average_order=OrderCollection(),
+        molecules=molecules,
+        n_analyzed_frames=accum.n_frames,
+        structure_path=analysis.structure,
+        trajectory_paths=list(analysis.trajectory),
+        frame_numbers=frame_indices,
+        analysis=analysis,
+    )
+    results.average_order = OrderCollection()
+    for cls in classes:
+        value = _fixed_order(accum.sums[cls], accum.counts[cls], 1, sign)
+        setattr(results.average_order, cls, Order(value))
+    return results

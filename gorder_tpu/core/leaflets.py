@@ -1,0 +1,143 @@
+"""Leaflet-assignment kernels.
+
+Behavioral reference: src/analysis/leaflets.rs (8 methods, SURVEY.md §2.1).
+Device-side methods (global / local / individual) are pure per-frame
+computations over the batch; manual methods (from file / map / NDX) become
+host-side per-assignment-frame lookup tables. Clustering methods live in
+gorder_tpu/core/clustering.py.
+
+Classes: 0 = upper, 1 = lower (matching the reference's Leaflet enum).
+
+Frequency gating (`once` / `every N`) is implemented by the caller: the
+kernel returns assignments for every frame of the batch; the caller gathers
+the assignment-frame rows (the reference's cross-thread rendezvous becomes an
+index map — SURVEY.md §7 "Frequency-gated leaflet reuse").
+
+Index arrays are passed as device arguments (not closure constants) to keep
+XLA compile times low; flags are the only static arguments.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pbc import circular_mean_cog, min_image, naive_cog
+
+
+@functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
+def _global_classify(coords, box_diag, membrane_idx, head_idx, *,
+                     normal_axis, handle_pbc):
+    membrane = jnp.take(coords, membrane_idx, axis=1)      # (B, Nm, 3)
+    mask = jnp.ones(membrane.shape[:-1], coords.dtype)
+    if handle_pbc:
+        center = circular_mean_cog(membrane, mask, box_diag)
+    else:
+        center = naive_cog(membrane, mask)
+    heads = jnp.take(coords, head_idx, axis=1)             # (B, M, 3)
+    delta = heads[..., normal_axis] - center[:, None, normal_axis]
+    if handle_pbc:
+        length = box_diag[:, None, normal_axis]
+        delta = delta - length * jnp.round(delta / length)
+    return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
+
+
+def make_global_classifier(membrane_indices, head_indices, normal_axis,
+                           handle_pbc=True):
+    """Global method: head above/below the whole-membrane center of geometry
+    along the normal axis."""
+    membrane_d = jax.device_put(np.asarray(membrane_indices, np.int32))
+    heads_d = jax.device_put(np.asarray(head_indices, np.int32))
+
+    def classify(coords, box_diag):
+        return _global_classify(coords, box_diag, membrane_d, heads_d,
+                                normal_axis=int(normal_axis),
+                                handle_pbc=handle_pbc)
+
+    return classify
+
+
+@functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
+def _local_classify(coords, box_diag, membrane_idx, head_idx, radius, *,
+                    normal_axis, handle_pbc):
+    membrane = jnp.take(coords, membrane_idx, axis=1)      # (B, Nm, 3)
+    heads = jnp.take(coords, head_idx, axis=1)             # (B, M, 3)
+    plane_axes = tuple(a for a in range(3) if a != normal_axis)
+
+    d = membrane[:, None, :, :] - heads[:, :, None, :]     # (B, M, Nm, 3)
+    if handle_pbc:
+        d = min_image(d, box_diag[:, None, None, :])
+    d_plane2 = d[..., plane_axes[0]] ** 2 + d[..., plane_axes[1]] ** 2
+    weights = (d_plane2 <= radius * radius).astype(coords.dtype)  # (B,M,Nm)
+
+    if handle_pbc:
+        theta = membrane[..., normal_axis] / box_diag[:, None, normal_axis] \
+            * (2.0 * jnp.pi)                               # (B, Nm)
+        xi = jnp.einsum("bmn,bn->bm", weights, jnp.cos(theta))
+        zeta = jnp.einsum("bmn,bn->bm", weights, jnp.sin(theta))
+        mean_theta = jnp.arctan2(-zeta, -xi) + jnp.pi
+        center_z = mean_theta / (2.0 * jnp.pi) * box_diag[:, None, normal_axis]
+        delta = heads[..., normal_axis] - center_z
+        length = box_diag[:, None, normal_axis]
+        delta = delta - length * jnp.round(delta / length)
+    else:
+        total = jnp.einsum("bmn,bn->bm", weights, membrane[..., normal_axis])
+        count = jnp.maximum(weights.sum(axis=-1), 1e-30)
+        delta = heads[..., normal_axis] - total / count
+    return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
+
+
+def make_local_classifier(membrane_indices, head_indices, normal_axis,
+                          radius, handle_pbc=True):
+    """Local method: reference center = center of geometry of membrane atoms
+    within an in-plane cylinder around each head.
+
+    The reference accelerates this with a cell grid; on TPU an O(M·Nm) masked
+    reduction maps straight onto the MXU/VPU (SURVEY.md §2.6 item 5)."""
+    membrane_d = jax.device_put(np.asarray(membrane_indices, np.int32))
+    heads_d = jax.device_put(np.asarray(head_indices, np.int32))
+    radius_d = jnp.float32(radius)
+
+    def classify(coords, box_diag):
+        return _local_classify(coords, box_diag, membrane_d, heads_d,
+                               radius_d, normal_axis=int(normal_axis),
+                               handle_pbc=handle_pbc)
+
+    return classify
+
+
+@functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
+def _individual_classify(coords, box_diag, head_idx, methyl_idx, methyl_mol,
+                         onehot, *, normal_axis, handle_pbc):
+    heads = jnp.take(coords, head_idx, axis=1)             # (B, M, 3)
+    methyls = jnp.take(coords, methyl_idx, axis=1)         # (B, K, 3)
+    head_of_methyl = jnp.take(heads, methyl_mol, axis=1)   # (B, K, 3)
+    delta = head_of_methyl[..., normal_axis] - methyls[..., normal_axis]
+    if handle_pbc:
+        length = box_diag[:, None, normal_axis]
+        delta = delta - length * jnp.round(delta / length)
+    total = jnp.einsum("bk,km->bm", delta, onehot)         # (B, M)
+    return jnp.where(total >= 0, 0, 1).astype(jnp.int32)
+
+
+def make_individual_classifier(head_indices, methyl_indices, methyl_mol,
+                               n_molecules, normal_axis, handle_pbc=True):
+    """Individual method: sign of the summed wrapped (head − methyl)
+    distance along the normal (leaflets.rs Individual)."""
+    heads_d = jax.device_put(np.asarray(head_indices, np.int32))
+    methyls_d = jax.device_put(np.asarray(methyl_indices, np.int32))
+    mol_d = jax.device_put(np.asarray(methyl_mol, np.int32))
+    onehot = np.zeros((len(methyl_indices), n_molecules), np.float32)
+    onehot[np.arange(len(methyl_indices)), np.asarray(methyl_mol)] = 1.0
+    onehot_d = jax.device_put(onehot)
+
+    def classify(coords, box_diag):
+        return _individual_classify(coords, box_diag, heads_d, methyls_d,
+                                    mol_d, onehot_d,
+                                    normal_axis=int(normal_axis),
+                                    handle_pbc=handle_pbc)
+
+    return classify

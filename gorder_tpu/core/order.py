@@ -1,0 +1,178 @@
+"""The P2/order-parameter device kernel.
+
+The reference's innermost hot loop (BondType::analyze_frame,
+src/analysis/topology/bond.rs:396-446: per bond instance → min-image vector →
+normal projection → `calc_sch` = 1.5·cos²θ − 0.5 → fixed-point accumulate)
+re-architected for TPU:
+
+- all bond instances of all molecule types form one flat index array;
+- a frame *batch* (B, A, 3) is processed by pure vectorized ops: gather both
+  endpoints, min-image, P2 against the membrane normal, then per-frame
+  per-bond-type reduction expressed as one einsum against a one-hot
+  (N × T) membership matrix — a single MXU matmul instead of 10⁴ scattered
+  accumulator updates;
+- reference parity: each sample is quantized to 1e-6 fixed point exactly like
+  the reference's `OrderValue` (src/analysis/order.rs:13-26, i64 = v·10⁶
+  truncated toward zero). The quantized integers are split into 12-bit
+  halves so the reduction runs as two exact f32 matmuls on the MXU; sums are
+  recombined into int64 on the host. Results are then invariant to batch
+  size, device count and frame order — the TPU analogue of the reference's
+  thread-count invariance (SURVEY.md §4 tier 3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pbc import min_image
+
+_SCALE = 1.0e6
+_SPLIT = 4096.0  # 2^12: |hi| ≤ 367, lo < 4096 → exact f32 dot products
+
+
+def _one_hot(ids: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((len(ids), n), np.float32)
+    out[np.arange(len(ids)), ids] = 1.0
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("handle_pbc", "with_leaflets", "normal_mode"),
+)
+def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
+                bond_mol, onehot, leaflet_classes, *,
+                handle_pbc, with_leaflets, normal_mode):
+    pa = jnp.take(coords, atom_a, axis=1)            # (B, N, 3)
+    pb = jnp.take(coords, atom_b, axis=1)
+    d = pb - pa
+    if handle_pbc:
+        d = min_image(d, box_diag[:, None, :])
+
+    if normal_mode == "static":
+        proj = jnp.einsum("bnc,c->bn", d, normal)
+    else:
+        per_bond_normal = jnp.take(normal, bond_mol, axis=1)  # (B, N, 3)
+        proj = jnp.sum(d * per_bond_normal, axis=-1)
+
+    d2 = jnp.sum(d * d, axis=-1)
+    cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
+    sch = 1.5 * cos2 - 0.5                            # (B, N)
+
+    # reference-exact per-sample fixed-point quantization
+    q = jnp.trunc(sch * _SCALE)
+    hi = jnp.trunc(q / _SPLIT)
+    lo = q - hi * _SPLIT
+
+    valid = frame_mask[:, None].astype(jnp.float32)   # (B, 1)
+    ones = jnp.broadcast_to(valid, sch.shape)
+
+    def reduce(mask):
+        stacked = jnp.stack([hi * mask, lo * mask, mask], axis=1)  # (B,3,N)
+        return jnp.einsum(
+            "bcn,nt->bct", stacked, onehot,
+            preferred_element_type=jnp.float32,
+        )
+
+    out = {"total": reduce(ones)}
+    if with_leaflets:
+        cls = jnp.take(leaflet_classes, bond_mol, axis=1)  # (B, N)
+        out["upper"] = reduce(ones * (cls == 0))
+        out["lower"] = reduce(ones * (cls == 1))
+    return out
+
+
+def make_order_step(
+    atom_a: np.ndarray,
+    atom_b: np.ndarray,
+    bond_type: np.ndarray,
+    bond_mol: np.ndarray,
+    n_types: int,
+    n_molecules: int,
+    *,
+    handle_pbc: bool = True,
+    with_leaflets: bool = False,
+    normal_mode: str = "static",     # 'static' | 'per_molecule'
+):
+    """Build the per-batch order kernel (index arrays are device-resident
+    arguments, not baked-in constants — keeps XLA compile time low and lets
+    one compiled program serve any analysis of the same shape).
+
+    Returns step(coords, box_diag, normal, frame_mask, leaflet_classes)
+      coords:          (B, A, 3) f32
+      box_diag:        (B, 3) f32 (ignored when handle_pbc=False)
+      normal:          (3,) f32 for 'static', (B, M, 3) for 'per_molecule'
+      frame_mask:      (B,) bool — padding frames contribute nothing
+      leaflet_classes: (B, M) int32 (0=upper, 1=lower) or None
+    and yielding a dict of (B, 3, T) f32 arrays per class
+    ([sum_hi, sum_lo, count]; sum = hi·4096 + lo exactly, ×1e-6 → order).
+    """
+    atom_a_d = jax.device_put(np.asarray(atom_a, np.int32))
+    atom_b_d = jax.device_put(np.asarray(atom_b, np.int32))
+    bond_mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
+    onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
+    dummy_classes = jax.device_put(np.zeros((1, 1), np.int32))
+
+    def step(coords, box_diag, normal, frame_mask, leaflet_classes=None):
+        return _order_step(
+            coords, box_diag, normal, frame_mask,
+            atom_a_d, atom_b_d, bond_mol_d, onehot_d,
+            leaflet_classes if leaflet_classes is not None else dummy_classes,
+            handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+            normal_mode=normal_mode,
+        )
+
+    return step
+
+
+class OrderAccumulator:
+    """Host-side exact accumulation of per-frame kernel outputs.
+
+    Keeps int64 running sums/counts per bond type and (optionally) the
+    per-frame time series needed for error estimation and convergence
+    (the reference's TimeWiseData, src/analysis/timewise.rs)."""
+
+    def __init__(self, n_types: int, classes=("total",), keep_timewise=False):
+        self.n_types = n_types
+        self.classes = classes
+        self.keep_timewise = keep_timewise
+        self.sums = {c: np.zeros(n_types, np.int64) for c in classes}
+        self.counts = {c: np.zeros(n_types, np.int64) for c in classes}
+        self.timewise_sums = {c: [] for c in classes} if keep_timewise else None
+        self.timewise_counts = {c: [] for c in classes} if keep_timewise else None
+        self.n_frames = 0
+
+    def add_batch(self, result: dict, n_valid: int) -> None:
+        for c in self.classes:
+            res = np.asarray(result[c][:n_valid], np.float64)  # (b, 3, T)
+            frame_sums = (res[:, 0] * _SPLIT + res[:, 1]).astype(np.int64)
+            frame_counts = res[:, 2].astype(np.int64)
+            self.sums[c] += frame_sums.sum(axis=0)
+            self.counts[c] += frame_counts.sum(axis=0)
+            if self.keep_timewise:
+                self.timewise_sums[c].append(frame_sums)
+                self.timewise_counts[c].append(frame_counts)
+        self.n_frames += n_valid
+
+    def timewise(self, cls: str):
+        """(frames, T) int64 per-frame sums and counts."""
+        if not self.keep_timewise:
+            raise ValueError("timewise data was not collected")
+        return (
+            np.concatenate(self.timewise_sums[cls], axis=0),
+            np.concatenate(self.timewise_counts[cls], axis=0),
+        )
+
+    def order_values(self, cls: str, min_samples: int = 1) -> np.ndarray:
+        """Average order per bond type; NaN below min_samples
+        (order.rs `calc_order`)."""
+        sums = self.sums[cls]
+        counts = self.counts[cls]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            values = sums / _SCALE / counts
+        return np.where(counts >= max(min_samples, 1), values, np.nan)

@@ -1,0 +1,23 @@
+from .yaml_out import render_yaml, write_yaml  # noqa: F401
+
+
+def write_all_results(results) -> None:
+    """Write every requested output (src/presentation/mod.rs:160-241 order:
+    YAML → TAB → XVG → CSV → convergence → ordermaps → exports)."""
+    analysis = results.analysis
+    if analysis is None:
+        return
+    if analysis.output_yaml:
+        write_yaml(results, analysis.output_yaml)
+    if analysis.output_tab:
+        from .tab_out import write_tab
+
+        write_tab(results, analysis.output_tab)
+    if analysis.output_xvg:
+        from .xvg_out import write_xvg
+
+        write_xvg(results, analysis.output_xvg)
+    if analysis.output_csv:
+        from .csv_out import write_csv
+
+        write_csv(results, analysis.output_csv)

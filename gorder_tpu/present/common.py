@@ -1,0 +1,74 @@
+"""Shared presentation helpers: float formatting, file backup, headers."""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import shutil
+import time
+
+from ..version import __version__
+
+log = logging.getLogger("gorder")
+
+
+def fmt4(value: float) -> str:
+    """Round to 4 decimals, minimal representation; NaN → '.nan'
+    (matches the reference's serde_yaml float output)."""
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return ".nan"
+    rounded = round(float(value) + 0.0, 4)
+    if rounded == int(rounded):
+        return f"{rounded:.1f}"  # serde_yaml prints 1.0, 0.0
+    return repr(rounded)
+
+
+def results_header(results, what: str = "") -> str:
+    traj = " ".join(results.trajectory_paths)
+    return (
+        f"# Order parameters calculated with 'gorder-tpu v{__version__}' "
+        f"using structure file '{results.structure_path}' and trajectory "
+        f"file '{traj}'."
+    )
+
+
+def backup_file(path: str) -> None:
+    """Back up an existing file as '#name.N#' next to it
+    (reference behavior via the backitup crate)."""
+    if not os.path.exists(path):
+        return
+    directory = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    n = 1
+    while True:
+        candidate = os.path.join(directory, f"#{base}.{n}#")
+        if not os.path.exists(candidate):
+            break
+        n += 1
+    shutil.move(path, candidate)
+    log.info("backed up '%s' as '%s'", path, candidate)
+
+
+def prepare_output_path(path: str, overwrite: bool) -> None:
+    directory = os.path.dirname(path)
+    if directory:
+        os.makedirs(directory, exist_ok=True)
+    if not overwrite:
+        backup_file(path)
+
+
+def prepare_output_dir(path: str, overwrite: bool) -> None:
+    if os.path.isdir(path) and not overwrite:
+        # back up the whole directory
+        parent = os.path.dirname(os.path.abspath(path)) or "."
+        base = os.path.basename(os.path.normpath(path))
+        n = 1
+        while True:
+            candidate = os.path.join(parent, f"#{base}.{n}#")
+            if not os.path.exists(candidate):
+                break
+            n += 1
+        shutil.move(path, candidate)
+        log.info("backed up directory '%s' as '%s'", path, candidate)
+    os.makedirs(path, exist_ok=True)
