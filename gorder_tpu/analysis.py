@@ -49,6 +49,26 @@ log = logging.getLogger("gorder")
 
 DEFAULT_BATCH_SIZE = int(os.environ.get("GORDER_TPU_BATCH_SIZE", "128"))
 
+
+def _enable_persistent_jit_cache() -> None:
+    """XLA executables are cached on disk so repeated runs (CLI invocations,
+    tests, benchmarks) skip compilation."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "GORDER_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "gorder_tpu", "xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:  # cache is an optimization only
+        pass
+
+
+_enable_persistent_jit_cache()
+
 _AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
 _SCALE = 1.0e6
 
@@ -317,6 +337,8 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
                       compiled.atom_b.max(initial=0))) + 1
     if leaflets is not None:
         first_n = max(first_n, leaflets.max_atom + 1)
+    # round up so different configs on the same system share compiled shapes
+    first_n = min(system.n_atoms, ((first_n + 1023) // 1024) * 1024)
 
     traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
     frame_indices = traj.select_frames(
@@ -330,24 +352,20 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
 
     import jax
 
-    batch_size = min(DEFAULT_BATCH_SIZE, max(len(frame_indices), 1))
+    # fixed batch size (padded) so every run of a system shares one compile
+    batch_size = DEFAULT_BATCH_SIZE
     normal_dev = jax.device_put(normal_vec)
 
+    box_buffer = np.ones((batch_size, 3), np.float32)
     for coords, boxes, times, steps, analyzed in traj.iter_batches(
             frame_indices, first_n, batch_size):
         n_valid = len(analyzed)
         if analysis.handle_pbc:
             for b in range(n_valid):
                 check_box(boxes[b])
-        box_diag = np.ascontiguousarray(
-            boxes[:, [0, 1, 2], [0, 1, 2]], np.float32)
-        # pad the last partial batch to the jitted batch size
-        if n_valid < batch_size:
-            pad = batch_size - n_valid
-            coords = np.concatenate(
-                [coords, np.zeros((pad,) + coords.shape[1:], np.float32)])
-            box_diag = np.concatenate(
-                [box_diag, np.ones((pad, 3), np.float32)])
+        box_buffer[:] = 1.0
+        box_buffer[:n_valid] = boxes[:, [0, 1, 2], [0, 1, 2]]
+        box_diag = box_buffer
         frame_mask = np.zeros(batch_size, bool)
         frame_mask[:n_valid] = True
 
@@ -391,10 +409,18 @@ def convert_results(analysis: Analysis, system: System,
                     kinds: List[MoleculeKind], compiled: CompiledBonds,
                     accum: OrderAccumulator, traj: Trajectory,
                     frame_indices: np.ndarray) -> AnalysisResults:
+    from .core.timewise import estimate_error, prefix_average
+
     mode = analysis.analysis_type.kind
     sign = -1.0 if mode in ("aa", "ua") else 1.0
     min_samples = analysis.min_samples
     classes = accum.classes
+    with_errors = analysis.estimate_error is not None
+    n_blocks = analysis.estimate_error.n_blocks if with_errors else 0
+    timewise = {}
+    if with_errors:
+        for cls in classes:
+            timewise[cls] = accum.timewise(cls)  # ((F, T) sums, (F, T) counts)
 
     def collection(type_slice, *, for_average=False) -> OrderCollection:
         col = OrderCollection()
@@ -402,7 +428,13 @@ def convert_results(analysis: Analysis, system: System,
         for cls in classes:
             value = _fixed_order(accum.sums[cls][type_slice],
                                  accum.counts[cls][type_slice], ms, sign)
-            setattr(col, cls, Order(value))
+            error = None
+            if with_errors:
+                fsums, fcounts = timewise[cls]
+                error = estimate_error(fsums[:, type_slice].sum(axis=1),
+                                       fcounts[:, type_slice].sum(axis=1),
+                                       n_blocks)
+            setattr(col, cls, Order(value, error))
         return col
 
     molecules: List[MoleculeResults] = []
@@ -413,6 +445,13 @@ def convert_results(analysis: Analysis, system: System,
             name=kind.name,
             average_order=collection(slice(t0, t1), for_average=True),
         )
+        if with_errors:
+            fsums, fcounts = timewise["total"]
+            mol.convergence = {
+                "total": sign * prefix_average(
+                    fsums[:, t0:t1].sum(axis=1),
+                    fcounts[:, t0:t1].sum(axis=1)),
+            }
         if mode == "cg":
             for t, bt in enumerate(kind.bond_types):
                 bond = BondResults(
@@ -453,8 +492,5 @@ def convert_results(analysis: Analysis, system: System,
         frame_numbers=frame_indices,
         analysis=analysis,
     )
-    results.average_order = OrderCollection()
-    for cls in classes:
-        value = _fixed_order(accum.sums[cls], accum.counts[cls], 1, sign)
-        setattr(results.average_order, cls, Order(value))
+    results.average_order = collection(slice(None), for_average=True)
     return results

@@ -251,6 +251,11 @@ class Trajectory:
                 chunk, first_n, n_threads, out=buffer
             )
             analyzed = np.arange(lo, lo + len(chunk), dtype=np.int64)
+            if len(chunk) < batch_size:
+                # expose the full fixed-size buffer so callers always ship
+                # one shape to the device; rows past len(analyzed) are
+                # stale padding masked out by the frame mask
+                coords = buffer
             yield coords, boxes, times, steps, analyzed
 
 

@@ -21,3 +21,8 @@ def write_all_results(results) -> None:
         from .csv_out import write_csv
 
         write_csv(results, analysis.output_csv)
+    if (analysis.estimate_error is not None
+            and analysis.estimate_error.output_convergence):
+        from .convergence_out import write_convergence
+
+        write_convergence(results, analysis.estimate_error.output_convergence)

@@ -1,0 +1,47 @@
+"""Convergence-curve XVG presenter.
+
+Format reference: src/presentation/convergence.rs and goldens
+(aa_order_convergence.xvg): one series per molecule type, x = 1-based frame
+offset within the analyzed window (stride = step), y = sample-weighted
+prefix-averaged order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from ..results.model import AnalysisResults
+from .common import prepare_output_path, results_header
+
+_YLABELS = {"aa": "-Sch", "cg": "S", "ua": "-Sch"}
+
+
+def render_convergence(results: AnalysisResults) -> str:
+    lines: List[str] = [results_header(results)]
+    lines.append(
+        '@    title "Convergence of average order parameters for individual '
+        'molecule types"')
+    lines.append('@    xaxis label "Frame number"')
+    lines.append(f'@    yaxis label "{_YLABELS[results.mode]}"')
+    for i, mol in enumerate(results.molecules):
+        lines.append(f'@    s{i} legend "{mol.name}"')
+    lines.append("@TYPE xy")
+
+    curves = [mol.convergence["total"] for mol in results.molecules]
+    n = len(curves[0]) if curves else 0
+    step = getattr(results.analysis, "step", 1) if results.analysis else 1
+    for k in range(n):
+        x = 1 + k * step
+        values = "  ".join(
+            "NaN" if math.isnan(float(c[k])) else f"{float(c[k]):.4f}"
+            for c in curves)
+        lines.append(f"{x:<6d} {values} ")
+    return "\n".join(lines) + "\n"
+
+
+def write_convergence(results: AnalysisResults, path: str) -> None:
+    overwrite = bool(getattr(results.analysis, "overwrite", False))
+    prepare_output_path(path, overwrite)
+    with open(path, "w") as fh:
+        fh.write(render_convergence(results))

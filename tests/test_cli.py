@@ -1,0 +1,86 @@
+"""CLI tests (the reference's tests_bin.rs tier)."""
+
+import subprocess
+import sys
+import os
+
+import pytest
+
+from .golden import assert_eq_order
+from .conftest import FIXTURES
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    return subprocess.run(
+        [sys.executable, "-m", "gorder_tpu", *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=400,
+    )
+
+
+@pytest.fixture()
+def cg_config(tmp_path, fixtures):
+    cfg = tmp_path / "analyze.yaml"
+    cfg.write_text(f"""
+structure: {fixtures}/cg.tpr
+trajectory: {fixtures}/split/cg*.xtc
+type: !CGOrder
+  atoms: "@membrane"
+output: order.yaml
+output_csv: order.csv
+""")
+    return cfg
+
+
+def test_cli_basic_run(cg_config, tmp_path, fixtures):
+    proc = run_cli([str(cg_config), "--silent"], cwd=tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.strip() == ""  # --silent
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "cg_order_basic.yaml"))
+    assert_eq_order(str(tmp_path / "order.csv"),
+                    str(fixtures / "cg_order_basic.csv"), skip=0, csv=True)
+
+
+def test_cli_missing_yaml_output(tmp_path, fixtures):
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(f"""
+structure: {fixtures}/cg.tpr
+trajectory: {fixtures}/split/cg3.xtc
+type: !CGOrder
+  atoms: "@membrane"
+""")
+    proc = run_cli([str(cfg)], cwd=tmp_path)
+    assert proc.returncode == 1
+    assert "output yaml" in proc.stderr.lower()
+
+
+def test_cli_invalid_config(tmp_path):
+    cfg = tmp_path / "invalid.yaml"
+    cfg.write_text("structure: nothing.tpr\n")
+    proc = run_cli([str(cfg)], cwd=tmp_path)
+    assert proc.returncode == 1
+    assert "error" in proc.stderr.lower()
+
+
+def test_cli_export_config(cg_config, tmp_path):
+    proc = run_cli(
+        [str(cg_config), "--silent", "--export-config", "exported.yaml"],
+        cwd=tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    from gorder_tpu.input import Analysis
+
+    exported = Analysis.from_file(str(tmp_path / "exported.yaml"))
+    assert exported.analysis_type.kind == "cg"
+    assert exported.step == 1 and exported.n_threads == 1
+
+
+def test_cli_backup_and_overwrite(cg_config, tmp_path):
+    (tmp_path / "order.yaml").write_text("previous content\n")
+    proc = run_cli([str(cg_config), "--silent"], cwd=tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    backups = list(tmp_path.glob("#order.yaml*"))
+    assert len(backups) == 1
+    assert backups[0].read_text() == "previous content\n"

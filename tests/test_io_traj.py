@@ -107,7 +107,8 @@ def test_batched_reads_match_full(fixtures):
     full, fb, ft, fs = traj.read_frames(sel, 500)
     got = []
     for coords, boxes, times, steps, analyzed in traj.iter_batches(sel, 500, 7):
-        got.append(coords.copy())  # the buffer is reused across iterations
+        # buffer is reused and padded to the batch size: slice + copy
+        got.append(coords[:len(analyzed)].copy())
     np.testing.assert_array_equal(np.concatenate(got), full)
 
 
