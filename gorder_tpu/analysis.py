@@ -216,7 +216,7 @@ def _atoms_per_molecule(system: System, kinds: List[MoleculeKind],
 
 
 def build_leaflet_runtime(system: System, analysis: Analysis,
-                          kinds: List[MoleculeKind], compiled: CompiledBonds,
+                          kinds: List[MoleculeKind], n_molecules: int,
                           normal_axis: int) -> Optional[LeafletRuntime]:
     params = analysis.leaflets
     if params is None:
@@ -227,7 +227,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
 
     runtime = LeafletRuntime()
     runtime.frequency = params.frequency
-    runtime.n_molecules = compiled.n_molecules
+    runtime.n_molecules = n_molecules
     runtime.kinds = kinds
     runtime.flip = params.flip
     if params.collect.enabled:
@@ -254,7 +254,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
         methyls, methyl_mols = _atoms_per_molecule(system, kinds,
                                                    params.methyls, "methyls")
         runtime.classify = make_individual_classifier(
-            heads, methyls, methyl_mols, compiled.n_molecules, axis,
+            heads, methyls, methyl_mols, n_molecules, axis,
             analysis.handle_pbc)
         runtime.max_atom = int(max(heads.max(), methyls.max()))
     else:
@@ -270,8 +270,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
 def run_analysis(analysis: Analysis) -> AnalysisResults:
     if analysis.analysis_type.kind in ("cg", "aa"):
         return _run_bond_based(analysis)
-    raise AnalysisError(
-        f"analysis type '{analysis.analysis_type.name}' is not yet supported")
+    return _run_ua(analysis)
 
 
 def _prepare_bond_kinds(system: System, analysis: Analysis
@@ -307,34 +306,26 @@ def _prepare_bond_kinds(system: System, analysis: Analysis
     return kinds, compile_bonds(kinds)
 
 
-def _run_bond_based(analysis: Analysis) -> AnalysisResults:
-    system = load_structure(analysis)
-    kinds, compiled = _prepare_bond_kinds(system, analysis)
-
+def _static_normal(analysis: Analysis):
     if analysis.membrane_normal.kind != "static":
         raise AnalysisError(
             "only static membrane normals are supported in this build")
     axis = _AXIS_INDEX[analysis.membrane_normal.axis]
     normal_vec = np.zeros(3, np.float32)
     normal_vec[axis] = 1.0
+    return axis, normal_vec
 
-    leaflets = build_leaflet_runtime(system, analysis, kinds, compiled, axis)
 
-    step = make_order_step(
-        compiled.atom_a, compiled.atom_b, compiled.bond_type,
-        compiled.molecule, compiled.n_types, compiled.n_molecules,
-        handle_pbc=analysis.handle_pbc,
-        with_leaflets=leaflets is not None,
-    )
-
+def _run_batches(analysis: Analysis, system: System, step, normal_vec,
+                 n_types: int, n_molecules: int, first_n: int,
+                 leaflets: Optional[LeafletRuntime]):
+    """Shared frame-batch loop: decode → device → kernel → accumulate."""
     classes = ("total", "upper", "lower") if leaflets else ("total",)
     accum = OrderAccumulator(
-        compiled.n_types, classes,
+        n_types, classes,
         keep_timewise=analysis.estimate_error is not None,
     )
 
-    first_n = int(max(compiled.atom_a.max(initial=0),
-                      compiled.atom_b.max(initial=0))) + 1
     if leaflets is not None:
         first_n = max(first_n, leaflets.max_atom + 1)
     # round up so different configs on the same system share compiled shapes
@@ -365,12 +356,11 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
                 check_box(boxes[b])
         box_buffer[:] = 1.0
         box_buffer[:n_valid] = boxes[:, [0, 1, 2], [0, 1, 2]]
-        box_diag = box_buffer
         frame_mask = np.zeros(batch_size, bool)
         frame_mask[:n_valid] = True
 
         coords_dev = jax.device_put(coords)
-        box_dev = jax.device_put(box_diag)
+        box_dev = jax.device_put(box_buffer)
 
         if leaflets is not None:
             classes_arr = leaflets.classes_for_batch(
@@ -379,7 +369,7 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
                 classes_arr = np.concatenate([
                     classes_arr,
                     np.zeros((batch_size - classes_arr.shape[0],
-                              compiled.n_molecules), np.int32)])
+                              n_molecules), np.int32)])
             result = step(coords_dev, box_dev, normal_dev,
                           jax.device_put(frame_mask),
                           jax.device_put(classes_arr))
@@ -389,9 +379,74 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
         accum.add_batch({k: np.asarray(v) for k, v in result.items()}, n_valid)
 
     log.info("analyzed %d frames", accum.n_frames)
+    return accum, traj, frame_indices
 
+
+def _run_bond_based(analysis: Analysis) -> AnalysisResults:
+    system = load_structure(analysis)
+    kinds, compiled = _prepare_bond_kinds(system, analysis)
+    axis, normal_vec = _static_normal(analysis)
+    leaflets = build_leaflet_runtime(system, analysis, kinds,
+                                     compiled.n_molecules, axis)
+
+    step = make_order_step(
+        compiled.atom_a, compiled.atom_b, compiled.bond_type,
+        compiled.molecule, compiled.n_types, compiled.n_molecules,
+        handle_pbc=analysis.handle_pbc,
+        with_leaflets=leaflets is not None,
+    )
+    first_n = int(max(compiled.atom_a.max(initial=0),
+                      compiled.atom_b.max(initial=0))) + 1
+    accum, traj, frame_indices = _run_batches(
+        analysis, system, step, normal_vec, compiled.n_types,
+        compiled.n_molecules, first_n, leaflets)
     return convert_results(analysis, system, kinds, compiled, accum,
                            traj, frame_indices)
+
+
+def _run_ua(analysis: Analysis) -> AnalysisResults:
+    from .core.ua import make_ua_step
+    from .topology.ua import compile_ua
+
+    system = load_structure(analysis)
+    at = analysis.analysis_type
+    n = system.n_atoms
+    sat = select_mask(system, at.saturated) if at.saturated \
+        else np.zeros(n, bool)
+    unsat = select_mask(system, at.unsaturated) if at.unsaturated \
+        else np.zeros(n, bool)
+    ignore = select_mask(system, at.ignore) if at.ignore \
+        else np.zeros(n, bool)
+    if (sat & unsat).any():
+        raise AnalysisError(
+            "saturated and unsaturated selections share atoms")
+    satunsat = (sat | unsat) & ~ignore
+    if not satunsat.any():
+        raise SelectionError(
+            "no atoms matched the saturated/unsaturated queries")
+
+    kinds = classify_molecules(system, satunsat, mode="atoms")
+    if not kinds:
+        raise TopologyError("no molecules with analyzable atoms found")
+    compiled = compile_ua(system, kinds, sat, unsat, ignore)
+    for k, kind in enumerate(kinds):
+        log.info("molecule type %s: %d molecules, %d analyzable atoms",
+                 kind.name, kind.n_molecules, len(compiled.atom_specs[k]))
+
+    axis, normal_vec = _static_normal(analysis)
+    leaflets = build_leaflet_runtime(system, analysis, kinds,
+                                     compiled.n_molecules, axis)
+    step = make_ua_step(
+        compiled.categories, compiled.bond_type, compiled.bond_mol,
+        compiled.n_types,
+        handle_pbc=analysis.handle_pbc,
+        with_leaflets=leaflets is not None,
+    )
+    accum, traj, frame_indices = _run_batches(
+        analysis, system, step, normal_vec, compiled.n_types,
+        compiled.n_molecules, compiled.max_atom_index + 1, leaflets)
+    return convert_results_ua(analysis, system, kinds, compiled, accum,
+                              traj, frame_indices)
 
 
 # ------------------------------------------------------------------ converter
@@ -405,37 +460,65 @@ def _fixed_order(sums: np.ndarray, counts: np.ndarray, min_samples: int,
     return sign * float(sums.sum() / _SCALE / total_count)
 
 
+class _Collector:
+    """Shared results math: order collections with optional errors and
+    convergence, over global bond-type slices."""
+
+    def __init__(self, analysis: Analysis, accum: OrderAccumulator,
+                 sign: float):
+        from .core.timewise import estimate_error, prefix_average
+
+        self._estimate_error = estimate_error
+        self._prefix_average = prefix_average
+        self.analysis = analysis
+        self.accum = accum
+        self.sign = sign
+        self.min_samples = analysis.min_samples
+        self.classes = accum.classes
+        self.with_errors = analysis.estimate_error is not None
+        self.n_blocks = (analysis.estimate_error.n_blocks
+                         if self.with_errors else 0)
+        self.timewise = {}
+        if self.with_errors:
+            for cls in self.classes:
+                self.timewise[cls] = accum.timewise(cls)
+
+    def collection(self, type_slice, *, for_average=False) -> OrderCollection:
+        col = OrderCollection()
+        ms = 1 if for_average else self.min_samples
+        for cls in self.classes:
+            value = _fixed_order(self.accum.sums[cls][type_slice],
+                                 self.accum.counts[cls][type_slice],
+                                 ms, self.sign)
+            error = None
+            if self.with_errors:
+                fsums, fcounts = self.timewise[cls]
+                error = self._estimate_error(
+                    fsums[:, type_slice].sum(axis=1),
+                    fcounts[:, type_slice].sum(axis=1), self.n_blocks)
+            setattr(col, cls, Order(value, error))
+        return col
+
+    def convergence(self, type_slice):
+        if not self.with_errors:
+            return None
+        fsums, fcounts = self.timewise["total"]
+        return {
+            "total": self.sign * self._prefix_average(
+                fsums[:, type_slice].sum(axis=1),
+                fcounts[:, type_slice].sum(axis=1)),
+        }
+
+
 def convert_results(analysis: Analysis, system: System,
                     kinds: List[MoleculeKind], compiled: CompiledBonds,
                     accum: OrderAccumulator, traj: Trajectory,
                     frame_indices: np.ndarray) -> AnalysisResults:
-    from .core.timewise import estimate_error, prefix_average
-
     mode = analysis.analysis_type.kind
     sign = -1.0 if mode in ("aa", "ua") else 1.0
-    min_samples = analysis.min_samples
-    classes = accum.classes
-    with_errors = analysis.estimate_error is not None
-    n_blocks = analysis.estimate_error.n_blocks if with_errors else 0
-    timewise = {}
-    if with_errors:
-        for cls in classes:
-            timewise[cls] = accum.timewise(cls)  # ((F, T) sums, (F, T) counts)
-
-    def collection(type_slice, *, for_average=False) -> OrderCollection:
-        col = OrderCollection()
-        ms = 1 if for_average else min_samples
-        for cls in classes:
-            value = _fixed_order(accum.sums[cls][type_slice],
-                                 accum.counts[cls][type_slice], ms, sign)
-            error = None
-            if with_errors:
-                fsums, fcounts = timewise[cls]
-                error = estimate_error(fsums[:, type_slice].sum(axis=1),
-                                       fcounts[:, type_slice].sum(axis=1),
-                                       n_blocks)
-            setattr(col, cls, Order(value, error))
-        return col
+    collector = _Collector(analysis, accum, sign)
+    collection = collector.collection
+    with_errors = collector.with_errors
 
     molecules: List[MoleculeResults] = []
     for k, kind in enumerate(kinds):
@@ -446,12 +529,7 @@ def convert_results(analysis: Analysis, system: System,
             average_order=collection(slice(t0, t1), for_average=True),
         )
         if with_errors:
-            fsums, fcounts = timewise["total"]
-            mol.convergence = {
-                "total": sign * prefix_average(
-                    fsums[:, t0:t1].sum(axis=1),
-                    fcounts[:, t0:t1].sum(axis=1)),
-            }
+            mol.convergence = collector.convergence(slice(t0, t1))
         if mode == "cg":
             for t, bt in enumerate(kind.bond_types):
                 bond = BondResults(
@@ -493,4 +571,50 @@ def convert_results(analysis: Analysis, system: System,
         analysis=analysis,
     )
     results.average_order = collection(slice(None), for_average=True)
+    return results
+
+
+def convert_results_ua(analysis: Analysis, system: System,
+                       kinds: List[MoleculeKind], compiled,
+                       accum: OrderAccumulator, traj: Trajectory,
+                       frame_indices: np.ndarray) -> AnalysisResults:
+    collector = _Collector(analysis, accum, sign=-1.0)
+    collection = collector.collection
+
+    molecules: List[MoleculeResults] = []
+    for k, kind in enumerate(kinds):
+        t0 = int(compiled.type_offsets[k])
+        t1 = int(compiled.type_offsets[k + 1])
+        mol = MoleculeResults(
+            name=kind.name,
+            average_order=collection(slice(t0, t1), for_average=True),
+        )
+        if collector.with_errors:
+            mol.convergence = collector.convergence(slice(t0, t1))
+        for spec, base in zip(compiled.atom_specs[k],
+                              compiled.atom_type_base[k]):
+            atom = AtomResults(
+                atom=AtomDesc(spec.resname, spec.name, spec.rel_index),
+                order=collection(slice(base, base + spec.n_hydrogens)),
+            )
+            for h in range(spec.n_hydrogens):
+                atom.bonds.append(BondResults(
+                    atom1=AtomDesc(spec.resname, spec.name, spec.rel_index),
+                    atom2=None,
+                    virtual_index=h,
+                    order=collection(slice(base + h, base + h + 1)),
+                ))
+            mol.atoms.append(atom)
+        molecules.append(mol)
+
+    results = AnalysisResults(
+        mode="ua",
+        average_order=collection(slice(None), for_average=True),
+        molecules=molecules,
+        n_analyzed_frames=accum.n_frames,
+        structure_path=analysis.structure,
+        trajectory_paths=list(analysis.trajectory),
+        frame_numbers=frame_indices,
+        analysis=analysis,
+    )
     return results

@@ -63,31 +63,35 @@ def make_global_classifier(membrane_indices, head_indices, normal_axis,
 @functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
 def _local_classify(coords, box_diag, membrane_idx, head_idx, radius, *,
                     normal_axis, handle_pbc):
-    membrane = jnp.take(coords, membrane_idx, axis=1)      # (B, Nm, 3)
-    heads = jnp.take(coords, head_idx, axis=1)             # (B, M, 3)
     plane_axes = tuple(a for a in range(3) if a != normal_axis)
 
-    d = membrane[:, None, :, :] - heads[:, :, None, :]     # (B, M, Nm, 3)
-    if handle_pbc:
-        d = min_image(d, box_diag[:, None, None, :])
-    d_plane2 = d[..., plane_axes[0]] ** 2 + d[..., plane_axes[1]] ** 2
-    weights = (d_plane2 <= radius * radius).astype(coords.dtype)  # (B,M,Nm)
+    def per_frame(args):
+        frame, box = args                                   # (A, 3), (3,)
+        membrane = jnp.take(frame, membrane_idx, axis=0)    # (Nm, 3)
+        heads = jnp.take(frame, head_idx, axis=0)           # (M, 3)
+        d = membrane[None, :, :] - heads[:, None, :]        # (M, Nm, 3)
+        if handle_pbc:
+            d = min_image(d, box[None, None, :])
+        d_plane2 = d[..., plane_axes[0]] ** 2 + d[..., plane_axes[1]] ** 2
+        weights = (d_plane2 <= radius * radius).astype(frame.dtype)  # (M,Nm)
 
-    if handle_pbc:
-        theta = membrane[..., normal_axis] / box_diag[:, None, normal_axis] \
-            * (2.0 * jnp.pi)                               # (B, Nm)
-        xi = jnp.einsum("bmn,bn->bm", weights, jnp.cos(theta))
-        zeta = jnp.einsum("bmn,bn->bm", weights, jnp.sin(theta))
-        mean_theta = jnp.arctan2(-zeta, -xi) + jnp.pi
-        center_z = mean_theta / (2.0 * jnp.pi) * box_diag[:, None, normal_axis]
-        delta = heads[..., normal_axis] - center_z
-        length = box_diag[:, None, normal_axis]
-        delta = delta - length * jnp.round(delta / length)
-    else:
-        total = jnp.einsum("bmn,bn->bm", weights, membrane[..., normal_axis])
-        count = jnp.maximum(weights.sum(axis=-1), 1e-30)
-        delta = heads[..., normal_axis] - total / count
-    return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
+        if handle_pbc:
+            theta = membrane[:, normal_axis] / box[normal_axis] \
+                * (2.0 * jnp.pi)                            # (Nm,)
+            xi = weights @ jnp.cos(theta)
+            zeta = weights @ jnp.sin(theta)
+            mean_theta = jnp.arctan2(-zeta, -xi) + jnp.pi
+            center_z = mean_theta / (2.0 * jnp.pi) * box[normal_axis]
+            delta = heads[:, normal_axis] - center_z
+            delta = delta - box[normal_axis] * jnp.round(delta / box[normal_axis])
+        else:
+            total = weights @ membrane[:, normal_axis]
+            count = jnp.maximum(weights.sum(axis=-1), 1e-30)
+            delta = heads[:, normal_axis] - total / count
+        return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
+
+    # sequential over frames: bounds the O(M·Nm) working set to one frame
+    return jax.lax.map(per_frame, (coords, box_diag))
 
 
 def make_local_classifier(membrane_indices, head_indices, normal_axis,
