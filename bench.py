@@ -1,0 +1,247 @@
+#!/usr/bin/env python3
+"""Headline benchmark: atomistic order parameters for a 256-lipid
+CHARMM-like membrane (64.5k atoms), 10,000 XTC frames, both chains —
+the reference's main published benchmark (BASELINE.md: gorder v1.4 does
+this in 15.58 s on 1 thread / 5.78 s on 8 threads of an i7-11700;
+extrapolated 32-thread rate ≈ 5,000 frames/s, which is the baseline here).
+
+The validation trajectories are not shipped with the reference, so the
+benchmark synthesizes an equivalent system (same atom counts, realistic
+spatial layout so XTC compression behaves like production data), writes it
+once through our own XTC encoder, and then times the complete end-to-end
+analysis: compressed-trajectory decode → H2D → TPU kernels → results.
+
+Prints ONE JSON line: {"metric", "value" (frames/s), "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_LIPIDS = 256
+N_FRAMES = int(os.environ.get("GORDER_BENCH_FRAMES", "10000"))
+TOTAL_ATOMS = 64500
+BOX = np.array([13.0, 13.0, 11.0], np.float32)
+BASELINE_FRAMES_PER_S = 5000.0  # ≈ 32-thread gorder (BASELINE.md)
+CACHE = os.environ.get("GORDER_BENCH_CACHE", "/tmp/gorder_tpu_bench")
+
+
+def build_lipid_template():
+    """CHARMM-like POPC: 10 head atoms, 2×16-carbon chains with hydrogens.
+    42 C + 82 H + 10 head = 134 atoms per lipid."""
+    names, elements = [], []
+    bonds = []  # relative index pairs
+
+    def add(name):
+        names.append(name)
+        return len(names) - 1
+
+    # head group: N, C11..C15, P, O11..O13
+    n = add("N")
+    c_head = [add(f"C1{i}") for i in range(1, 6)]
+    p = add("P")
+    o_head = [add(f"O1{i}") for i in range(1, 4)]
+    bonds += [(n, c_head[0]), (c_head[0], c_head[1]), (c_head[1], c_head[2]),
+              (c_head[2], c_head[3]), (c_head[3], c_head[4]),
+              (c_head[2], p), (p, o_head[0]), (p, o_head[1]), (p, o_head[2])]
+
+    # two chains of 16 carbons: CH2 with 2 H, terminal CH3 with 3 H
+    # also head carbons get hydrogens (2 each) to mimic CHARMM H counts
+    for c in c_head:
+        for k in ("A", "B"):
+            h = add(f"H{names[c][1:]}{k}")
+            bonds.append((c, h))
+    for chain, tag in ((1, "2"), (2, "3")):
+        prev = c_head[chain + 2]
+        for i in range(2, 18):
+            c = add(f"C{tag}{i}")
+            bonds.append((prev, c))
+            prev = c
+            n_h = 3 if i == 17 else 2
+            for k in ("R", "S", "T")[:n_h]:
+                h = add(f"H{i}{k}{tag}")
+                bonds.append((c, h))
+    return names, bonds
+
+
+def synthesize_structure(cache_dir):
+    """Write bench.gro + bench.bnd (256 lipids first, then water)."""
+    from gorder_tpu.io.gro import write_gro
+    from gorder_tpu.system import System, canonical_bonds
+
+    lipid_names, lipid_bonds = build_lipid_template()
+    per_lipid = len(lipid_names)
+    n_lipid_atoms = per_lipid * N_LIPIDS
+    n_water = (TOTAL_ATOMS - n_lipid_atoms) // 3
+
+    names, resids, resnames = [], [], []
+    bonds = []
+    rng = np.random.default_rng(7)
+    positions = np.zeros((n_lipid_atoms + n_water * 3, 3), np.float32)
+
+    # lipids on a 16×16 grid, two leaflets
+    grid = int(np.ceil(np.sqrt(N_LIPIDS / 2)))
+    spacing = BOX[0] / grid
+    idx = 0
+    for m in range(N_LIPIDS):
+        leaflet = m % 2
+        cell = m // 2
+        gx, gy = cell % grid, (cell // grid) % grid
+        base = np.array([
+            (gx + 0.5) * spacing, (gy + 0.5) * spacing,
+            BOX[2] / 2 + (1.0 if leaflet == 0 else -1.0) * 0.3,
+        ], np.float32)
+        z_dir = 1.0 if leaflet == 0 else -1.0
+        for a, name in enumerate(lipid_names):
+            names.append(name)
+            resids.append(m + 1)
+            resnames.append("POPC")
+            # rough chain geometry: heads near the middle plane, tails
+            # extending outward along z with small lateral jitter
+            depth = 0.12 * (a / 8.0)
+            positions[idx] = base + np.array([
+                rng.normal(0, 0.08), rng.normal(0, 0.08),
+                z_dir * depth + rng.normal(0, 0.03),
+            ], np.float32)
+            idx += 1
+        offset = m * per_lipid
+        for a, b in lipid_bonds:
+            bonds.append((offset + a, offset + b))
+
+    for w in range(n_water):
+        base = rng.random(3).astype(np.float32) * BOX
+        for a, name in enumerate(("OH2", "H1", "H2")):
+            names.append(name)
+            resids.append(N_LIPIDS + w + 1)
+            resnames.append("TIP3")
+            positions[idx] = base + rng.normal(0, 0.03, 3).astype(np.float32)
+            idx += 1
+        o = n_lipid_atoms + w * 3
+        bonds += [(o, o + 1), (o, o + 2)]
+
+    positions %= BOX
+
+    system = System(
+        name="gorder-tpu benchmark membrane",
+        atom_names=np.array(names, dtype="U8"),
+        resids=np.array(resids, np.int64),
+        resnames=np.array(resnames, dtype="U8"),
+        serials=np.arange(1, len(names) + 1, dtype=np.int64),
+        positions=positions,
+        box=np.diag(BOX).astype(np.float32),
+    )
+    system.bonds = canonical_bonds(np.asarray(bonds, np.int64))
+
+    gro_path = os.path.join(cache_dir, "bench.gro")
+    bnd_path = os.path.join(cache_dir, "bench.bnd")
+    write_gro(gro_path, system)
+    with open(bnd_path, "w") as fh:
+        for a, b in system.bonds:
+            fh.write(f"{a + 1} {b + 1}\n")
+    return gro_path, bnd_path, system
+
+
+def synthesize_trajectory(cache_dir, system):
+    """10k frames of gentle Brownian motion, encoded with our XTC codec."""
+    from gorder_tpu.io import native
+
+    xtc_path = os.path.join(cache_dir, f"bench_{N_FRAMES}.xtc")
+    if os.path.exists(xtc_path):
+        info = native.xtc_scan(xtc_path)
+        if len(info["offsets"]) == N_FRAMES:
+            return xtc_path
+        os.remove(xtc_path)
+
+    rng = np.random.default_rng(11)
+    base = system.positions.copy()
+    n_atoms = base.shape[0]
+    chunk = 200
+    boxes = np.tile(np.diag(BOX).astype(np.float32), (chunk, 1, 1))
+    current = base.copy()
+    written = 0
+    t0 = time.perf_counter()
+    while written < N_FRAMES:
+        n = min(chunk, N_FRAMES - written)
+        coords = np.empty((n, n_atoms, 3), np.float32)
+        for i in range(n):
+            current += rng.standard_normal(
+                (n_atoms, 3), dtype=np.float32) * 0.02
+            # weak restoring pull toward the template keeps the membrane
+            current += (base - current) * 0.02
+            coords[i] = current % BOX
+        times = (np.arange(written, written + n) * 10.0).astype(np.float32)
+        steps = (np.arange(written, written + n) * 100).astype(np.int32)
+        native.xtc_write(xtc_path, coords, boxes[:n], times, steps,
+                         precision=1000.0, append=written > 0)
+        written += n
+    sys.stderr.write(
+        f"[bench] synthesized {N_FRAMES} frames in "
+        f"{time.perf_counter() - t0:.1f}s\n")
+    return xtc_path
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+
+    from gorder_tpu.input import Analysis, AnalysisType
+
+    gro_path = os.path.join(CACHE, "bench.gro")
+    bnd_path = os.path.join(CACHE, "bench.bnd")
+    if not (os.path.exists(gro_path) and os.path.exists(bnd_path)):
+        gro_path, bnd_path, system = synthesize_structure(CACHE)
+    else:
+        from gorder_tpu.analysis import load_structure
+
+        probe = Analysis(
+            structure=gro_path, bonds=bnd_path,
+            trajectory=os.path.join(CACHE, "missing.xtc"),
+            analysis_type=AnalysisType.cgorder("all"), silent=True)
+        system = load_structure(probe)
+
+    xtc_path = synthesize_trajectory(CACHE, system)
+
+    analysis = Analysis(
+        structure=gro_path,
+        bonds=bnd_path,
+        trajectory=xtc_path,
+        analysis_type=AnalysisType.aaorder(
+            "resname POPC and name r'^C'",
+            "resname POPC and name r'^H'",
+        ),
+        output_yaml=os.path.join(CACHE, "bench_order.yaml"),
+        silent=True,
+        overwrite=True,
+    )
+
+    # warm the jit cache on a single batch so compile time is not measured
+    # (the reference's hyperfine runs also exclude compilation — Rust is AOT)
+    warm = Analysis(
+        structure=gro_path, bonds=bnd_path, trajectory=xtc_path,
+        analysis_type=analysis.analysis_type,
+        begin=0.0, end=10.0, silent=True, overwrite=True,
+    )
+    warm.run()
+
+    t0 = time.perf_counter()
+    results = analysis.run()
+    results.write()
+    elapsed = time.perf_counter() - t0
+
+    frames_per_s = results.n_analyzed_frames / elapsed
+    print(json.dumps({
+        "metric": "AA 256-lipid 64.5k-atom order analysis, end-to-end "
+                  f"({results.n_analyzed_frames} XTC frames: decode + TPU "
+                  "compute + results)",
+        "value": round(frames_per_s, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

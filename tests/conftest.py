@@ -1,18 +1,25 @@
 """Test configuration.
 
 All tests run on CPU with 8 virtual devices so multi-chip sharding logic is
-exercised without TPU hardware (set before JAX is imported anywhere).
+exercised without TPU hardware. The sandbox's axon sitecustomize both
+pre-imports jax and overrides jax_platforms, so plain env vars are not
+enough: set XLA_FLAGS before backends initialize AND force the platform
+through jax.config.
 """
 
 import os
 import pathlib
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the sandbox presets 'axon'
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
