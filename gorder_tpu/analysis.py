@@ -316,10 +316,29 @@ def _static_normal(analysis: Analysis):
     return axis, normal_vec
 
 
+def _dequantize(coords_i16, inv_prec):
+    """int16 XTC integers → f32 nm, bit-identical to the host conversion."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def convert(q, s):
+        return q.astype(jnp.float32) * s[:, None, None]
+
+    return convert(coords_i16, inv_prec)
+
+
 def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  n_types: int, n_molecules: int, first_n: int,
                  leaflets: Optional[LeafletRuntime]):
-    """Shared frame-batch loop: decode → device → kernel → accumulate."""
+    """Shared frame-batch loop: decode → device → kernel → accumulate.
+
+    The decode of batch k+1 runs in a worker thread (the native codec
+    releases the GIL) while batch k is transferred and dispatched —
+    the TPU-era replacement for the reference's frame-threading. XTC
+    coordinates travel as fixed-point int16 when they fit (half the
+    transfer, bit-identical after on-device dequantization).
+    """
     classes = ("total", "upper", "lower") if leaflets else ("total",)
     accum = OrderAccumulator(
         n_types, classes,
@@ -341,42 +360,109 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         raise AnalysisError(
             "no trajectory frames are within the specified time range")
 
+    import concurrent.futures as cf
+
     import jax
 
     # fixed batch size (padded) so every run of a system shares one compile
     batch_size = DEFAULT_BATCH_SIZE
     normal_dev = jax.device_put(normal_vec)
 
+    # probe whether the whole trajectory supports the int16 fast path
+    probe = traj.read_frames_quantized(frame_indices[:1], first_n)
+    use_i16 = probe is not None
+
+    n_batches = (len(frame_indices) + batch_size - 1) // batch_size
+    buffers = [
+        np.zeros((batch_size, first_n, 3), np.int16 if use_i16 else np.float32)
+        for _ in range(2)
+    ]
+
+    def decode_batch(b):
+        chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
+        buf = buffers[b % 2]
+        if use_i16:
+            res = traj.read_frames_quantized(chunk, first_n, out=buf)
+            if res is not None:
+                coords, inv_prec, boxes, times, steps = res
+                if len(chunk) < batch_size:
+                    coords = buf
+                return coords, inv_prec, boxes, len(chunk), b
+            # rare mid-trajectory fallback: decode as f32 into a new buffer
+            coords, boxes, times, steps = traj.read_frames(chunk, first_n)
+            return coords.astype(np.float32), None, boxes, len(chunk), b
+        coords, boxes, times, steps = traj.read_frames(chunk, first_n,
+                                                       out=buf)
+        if len(chunk) < batch_size:
+            coords = buf
+        return coords, None, boxes, len(chunk), b
+
     box_buffer = np.ones((batch_size, 3), np.float32)
-    for coords, boxes, times, steps, analyzed in traj.iter_batches(
-            frame_indices, first_n, batch_size):
-        n_valid = len(analyzed)
-        if analysis.handle_pbc:
-            for b in range(n_valid):
-                check_box(boxes[b])
-        box_buffer[:] = 1.0
-        box_buffer[:n_valid] = boxes[:, [0, 1, 2], [0, 1, 2]]
-        frame_mask = np.zeros(batch_size, bool)
-        frame_mask[:n_valid] = True
+    executor = cf.ThreadPoolExecutor(max_workers=1)
+    in_flight = []  # (result handles, n_valid): fetched after the loop
+    try:
+        pending = executor.submit(decode_batch, 0)
+        for b in range(n_batches):
+            coords, inv_prec, boxes, n_valid, _ = pending.result()
 
-        coords_dev = jax.device_put(coords)
-        box_dev = jax.device_put(box_buffer)
+            # overlap: decode batch b+1 (other buffer) while batch b runs.
+            # decode(b+1) reuses the buffer batch b-1 was read from —
+            # device_put may alias host memory (CPU backend), so step(b-1)
+            # must have consumed its inputs before that buffer is rewritten
+            if b + 1 < n_batches:
+                if in_flight:
+                    jax.block_until_ready(list(in_flight[-1][0].values()))
+                pending = executor.submit(decode_batch, b + 1)
 
-        if leaflets is not None:
-            classes_arr = leaflets.classes_for_batch(
-                coords_dev, box_dev, analyzed)
-            if classes_arr.shape[0] < batch_size:
-                classes_arr = np.concatenate([
-                    classes_arr,
-                    np.zeros((batch_size - classes_arr.shape[0],
-                              n_molecules), np.int32)])
-            result = step(coords_dev, box_dev, normal_dev,
-                          jax.device_put(frame_mask),
-                          jax.device_put(classes_arr))
-        else:
-            result = step(coords_dev, box_dev, normal_dev,
-                          jax.device_put(frame_mask))
-        accum.add_batch({k: np.asarray(v) for k, v in result.items()}, n_valid)
+            coords_dev = jax.device_put(coords)
+
+            if analysis.handle_pbc:
+                for i in range(n_valid):
+                    check_box(boxes[i])
+            box_buffer[:] = 1.0
+            box_buffer[:n_valid] = boxes[:, [0, 1, 2], [0, 1, 2]]
+            frame_mask = np.zeros(batch_size, bool)
+            frame_mask[:n_valid] = True
+            box_dev = jax.device_put(box_buffer)
+
+            scale_dev = None
+            if inv_prec is not None:
+                scale = np.ones(batch_size, np.float32)
+                scale[:n_valid] = inv_prec
+                scale_dev = jax.device_put(scale)
+
+            analyzed = np.arange(b * batch_size,
+                                 b * batch_size + n_valid, dtype=np.int64)
+            if leaflets is not None:
+                # leaflet classifiers consume f32 coordinates, and the
+                # carried-assignment logic needs host values per batch
+                if scale_dev is not None:
+                    coords_f32 = _dequantize(coords_dev, scale_dev)
+                else:
+                    coords_f32 = coords_dev
+                classes_arr = leaflets.classes_for_batch(
+                    coords_f32, box_dev, analyzed)
+                if classes_arr.shape[0] < batch_size:
+                    classes_arr = np.concatenate([
+                        classes_arr,
+                        np.zeros((batch_size - classes_arr.shape[0],
+                                  n_molecules), np.int32)])
+                result = step(coords_f32, box_dev, normal_dev,
+                              jax.device_put(frame_mask),
+                              jax.device_put(classes_arr))
+            else:
+                # fully async: dispatch and defer the (tiny) result fetch —
+                # the device and link work on batch b while b+1 decodes
+                result = step(coords_dev, box_dev, normal_dev,
+                              jax.device_put(frame_mask),
+                              inv_scale=scale_dev)
+            in_flight.append((result, n_valid))
+    finally:
+        executor.shutdown(wait=True)
+
+    for result, n_valid in in_flight:
+        accum.add_batch({k: np.asarray(v) for k, v in result.items()},
+                        n_valid)
 
     log.info("analyzed %d frames", accum.n_frames)
     return accum, traj, frame_indices

@@ -43,11 +43,16 @@ def _one_hot(ids: np.ndarray, n: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("handle_pbc", "with_leaflets", "normal_mode"),
+    static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
+                     "quantized"),
 )
 def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
-                bond_mol, onehot, leaflet_classes, *,
-                handle_pbc, with_leaflets, normal_mode):
+                bond_mol, onehot, leaflet_classes, inv_scale=None, *,
+                handle_pbc, with_leaflets, normal_mode, quantized=False):
+    if quantized:
+        # XTC fixed-point int16 → f32 nm, fused into the kernel so each
+        # batch is a single device execution (matters on high-latency links)
+        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
     pa = jnp.take(coords, atom_a, axis=1)            # (B, N, 3)
     pb = jnp.take(coords, atom_b, axis=1)
     d = pb - pa
@@ -118,13 +123,15 @@ def make_order_step(
     onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
     dummy_classes = jax.device_put(np.zeros((1, 1), np.int32))
 
-    def step(coords, box_diag, normal, frame_mask, leaflet_classes=None):
+    def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
+             inv_scale=None):
         return _order_step(
             coords, box_diag, normal, frame_mask,
             atom_a_d, atom_b_d, bond_mol_d, onehot_d,
             leaflet_classes if leaflet_classes is not None else dummy_classes,
+            inv_scale,
             handle_pbc=handle_pbc, with_leaflets=with_leaflets,
-            normal_mode=normal_mode,
+            normal_mode=normal_mode, quantized=inv_scale is not None,
         )
 
     return step

@@ -116,11 +116,14 @@ def predict_ch1_saturated(t, h1, h2, h3, box, handle_pbc):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("handle_pbc", "with_leaflets", "normal_mode", "layout"),
+    static_argnames=("handle_pbc", "with_leaflets", "normal_mode", "layout",
+                     "quantized"),
 )
 def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
-             leaflet_classes, *, handle_pbc, with_leaflets, normal_mode,
-             layout):
+             leaflet_classes, inv_scale=None, *, handle_pbc, with_leaflets,
+             normal_mode, layout, quantized=False):
+    if quantized:
+        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
     """layout: tuple of (category, n_atoms) pairs in concatenation order.
 
     `indices` is a dict of per-category index arrays; each category yields
@@ -207,13 +210,16 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
     bond_mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
     dummy = jax.device_put(np.zeros((1, 1), np.int32))
 
-    def step(coords, box_diag, normal, frame_mask, leaflet_classes=None):
+    def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
+             inv_scale=None):
         return _ua_step(
             coords, box_diag, normal, frame_mask, indices, bond_mol_d,
             onehot_d,
             leaflet_classes if leaflet_classes is not None else dummy,
+            inv_scale,
             handle_pbc=handle_pbc, with_leaflets=with_leaflets,
             normal_mode=normal_mode, layout=layout,
+            quantized=inv_scale is not None,
         )
 
     return step

@@ -75,6 +75,14 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            lib.xtc_decode_i16.restype = ctypes.c_int32
+            lib.xtc_decode_i16.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -155,6 +163,39 @@ def xtc_decode(path: str, offsets: np.ndarray, first_n: int, n_threads: int = 1)
         if rc != 0:
             raise TrajectoryError(f"could not decode xtc file '{path}': {_err(lib)}")
     return coords, boxes, times, steps
+
+
+def xtc_decode_i16(path: str, offsets: np.ndarray, first_n: int,
+                   out: np.ndarray = None, n_threads: int = 1):
+    """Decode frames as raw XTC fixed-point int16 integers.
+
+    Returns (coords_i16 (n, first_n, 3), inv_precision (n,), boxes, times,
+    steps) or None when any coordinate exceeds int16 range (caller falls
+    back to the f32 path). `float(i16) * inv_precision` reproduces the f32
+    coordinates bit-for-bit."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets)
+    if out is not None and out.shape[0] >= n and out.shape[1] == first_n:
+        coords = out[:n]
+    else:
+        coords = np.empty((n, first_n, 3), np.int16)
+    inv_prec = np.empty(n, np.float32)
+    boxes = np.empty((n, 3, 3), np.float32)
+    times = np.empty(n, np.float32)
+    steps = np.empty(n, np.int32)
+    if n:
+        rc = lib.xtc_decode_i16(
+            path.encode(), _i64p(offsets), n, first_n,
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            _f32p(inv_prec), _f32p(boxes), _f32p(times), _i32p(steps),
+            n_threads)
+        if rc == 1:
+            return None  # out of i16 range somewhere
+        if rc != 0:
+            raise TrajectoryError(
+                f"could not decode xtc file '{path}': {_err(lib)}")
+    return coords, inv_prec, boxes, times, steps
 
 
 def xtc_write(path: str, coords: np.ndarray, boxes: np.ndarray,

@@ -233,6 +233,46 @@ class Trajectory:
             steps[sel] = s
         return coords, boxes, times, steps
 
+    def read_frames_quantized(self, frame_indices: Sequence[int],
+                              first_n: int, n_threads: int = 1,
+                              out: Optional[np.ndarray] = None):
+        """Decode XTC frames as fixed-point int16 (halves the host→device
+        transfer; `float(i16) * inv_precision` is bit-identical to the f32
+        decode). Returns (coords_i16, inv_precision, boxes, times, steps) or
+        None when unsupported (non-XTC files or coordinates out of range)."""
+        frame_indices = np.asarray(frame_indices, np.int64)
+        fids = self.frame_file[frame_indices]
+        if len(frame_indices) == 0:
+            return None
+        unique = np.unique(fids)
+        if any(self.files[f].fmt != "xtc" for f in unique):
+            return None
+        n = len(frame_indices)
+        if out is not None and out.shape[0] >= n and out.shape[1] == first_n \
+                and out.dtype == np.int16:
+            coords = out[:n]
+        else:
+            coords = np.empty((n, first_n, 3), np.int16)
+        inv_prec = np.empty(n, np.float32)
+        boxes = np.empty((n, 3, 3), np.float32)
+        times = np.empty(n, np.float32)
+        steps = np.empty(n, np.int64)
+        for fid in unique:
+            sel = np.nonzero(fids == fid)[0]
+            f = self.files[fid]
+            local = self.frame_local[frame_indices[sel]]
+            res = native.xtc_decode_i16(f.path, f.offsets[local], first_n,
+                                        n_threads=n_threads)
+            if res is None:
+                return None
+            c, ip, b, t, s = res
+            coords[sel] = c
+            inv_prec[sel] = ip
+            boxes[sel] = b
+            times[sel] = t
+            steps[sel] = s
+        return coords, inv_prec, boxes, times, steps
+
     def iter_batches(self, frame_indices: Sequence[int], first_n: int,
                      batch_size: int, n_threads: int = 1
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,

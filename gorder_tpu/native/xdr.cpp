@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <atomic>
 #include <limits>
+#include <type_traits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -266,6 +267,25 @@ inline int sizeofints(int n, const uint32_t *sizes) {
 // Decode `nbits` as the little-endian byte group used by sendints and return
 // it as a single integer value (valid while the product of sizes < 2^64).
 inline uint64_t read_group_value(BitReader &br, int nbits) {
+  br.fill();
+  if (br.nbits >= nbits) {
+    // hot path: all groups extracted from the accumulator without refills
+    uint64_t value = 0;
+    int shift = 0;
+    int remaining = nbits;
+    while (remaining >= 8) {
+      br.nbits -= 8;
+      value |= (uint64_t)((br.acc >> br.nbits) & 0xFF) << shift;
+      shift += 8;
+      remaining -= 8;
+    }
+    if (remaining > 0) {
+      br.nbits -= remaining;
+      value |= (uint64_t)((br.acc >> br.nbits) & ((1u << remaining) - 1))
+               << shift;
+    }
+    return value;
+  }
   uint64_t value = 0;
   int shift = 0;
   while (nbits >= 8) {
@@ -277,6 +297,59 @@ inline uint64_t read_group_value(BitReader &br, int nbits) {
     value |= (uint64_t)br.get(nbits) << shift;
   }
   return value;
+}
+
+// Division helper: quotient/remainder by a 32-bit divisor via a double
+// reciprocal with one-step correction — exact for v < 2^52 (the decoder
+// guards with `fast`), ~5x cheaper than a 64-bit hardware divide.
+struct FastDiv3 {
+  uint32_t s1 = 1, s2 = 1;
+  double inv1 = 1.0, inv2 = 1.0;
+  bool fast = false;
+  int nbits = 0;
+
+  void set(int num_of_bits, const uint32_t sizes[3]) {
+    nbits = num_of_bits;
+    s1 = sizes[1];
+    s2 = sizes[2];
+    inv1 = 1.0 / (double)s1;
+    inv2 = 1.0 / (double)s2;
+    fast = num_of_bits <= 52 && s1 > 0 && s2 > 0;
+  }
+};
+
+inline uint64_t _div_correct(uint64_t v, uint32_t d, double inv,
+                             int64_t *rem) {
+  uint64_t q = (uint64_t)((double)v * inv);
+  int64_t r = (int64_t)(v - q * (uint64_t)d);
+  if (r < 0) {
+    q--;
+    r += d;
+  } else if (r >= (int64_t)d) {
+    q++;
+    r -= d;
+  }
+  *rem = r;
+  return q;
+}
+
+inline void read_ints3_fast(BitReader &br, const FastDiv3 &fd,
+                            const uint32_t sizes[3], int32_t *nums) {
+  uint64_t v = read_group_value(br, fd.nbits);
+  if (fd.fast) {
+    int64_t r;
+    uint64_t q = _div_correct(v, fd.s2, fd.inv2, &r);
+    nums[2] = (int32_t)r;
+    uint64_t q2 = _div_correct(q, fd.s1, fd.inv1, &r);
+    nums[1] = (int32_t)r;
+    nums[0] = (int32_t)q2;
+  } else {
+    uint64_t q = v / sizes[2];
+    nums[2] = (int32_t)(v - q * sizes[2]);
+    uint64_t q2 = q / sizes[1];
+    nums[1] = (int32_t)(q - q2 * sizes[1]);
+    nums[0] = (int32_t)q2;
+  }
 }
 
 inline void write_group_value(BitWriter &bw, int nbits, uint64_t value) {
@@ -310,6 +383,16 @@ inline void read_ints3(BitReader &br, int nbits, const uint32_t *sizes,
   nums[1] = (int32_t)(q - q2 * sizes[1]);
   nums[0] = (int32_t)q2;
 }
+
+// reciprocals of the magic-int table for the small-delta run path
+struct MagicInv {
+  double inv[73];
+  MagicInv() {
+    for (int i = 0; i < 73; i++)
+      inv[i] = MAGICINTS[i] > 0 ? 1.0 / (double)MAGICINTS[i] : 0.0;
+  }
+};
+static const MagicInv MAGIC_INV;
 
 inline void write_ints3(BitWriter &bw, int nbits, const uint32_t *sizes,
                         const int32_t *nums) {
@@ -387,16 +470,58 @@ bool parse_xtc_header(const uint8_t *base, size_t size, size_t offset,
   return true;
 }
 
-// Decode the compressed coordinates of one frame. Writes the first
-// `first_n` atoms (3 floats each) to `out`. Returns false on corruption.
-bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
+// Output sinks for the frame decoder: f32 positions, or raw fixed-point
+// int16 (exactly the XTC integers; the device multiplies by 1/precision,
+// reproducing the f32 conversion bit-for-bit while halving the transfer).
+struct F32Sink {
+  float *out;
+  float inv_precision;
+  bool ok = true;
+  inline void emit(int slot, const int32_t *c) {
+    out[slot * 3 + 0] = (float)c[0] * inv_precision;
+    out[slot * 3 + 1] = (float)c[1] * inv_precision;
+    out[slot * 3 + 2] = (float)c[2] * inv_precision;
+  }
+};
+
+struct I16Sink {
+  int16_t *out;
+  float inv_precision;  // unused, kept for interface symmetry
+  bool ok = true;
+  inline void emit(int slot, const int32_t *c) {
+    for (int k = 0; k < 3; k++) {
+      int32_t v = c[k];
+      if (v < INT16_MIN || v > INT16_MAX) ok = false;
+      out[slot * 3 + k] = (int16_t)v;
+    }
+  }
+};
+
+// Decode the compressed coordinates of one frame through `sink`.
+// Returns false on corruption.
+template <typename Sink>
+bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
   const int32_t natoms = h.natoms;
   first_n = std::min(first_n, natoms);
 
   if (h.plain) {
     Reader r{h.payload, h.payload + h.nbytes};
-    for (int i = 0; i < first_n * 3; i++)
-      if (!r.read_f32(&out[i])) return false;
+    for (int i = 0; i < first_n; i++) {
+      float xyz[3];
+      for (int k = 0; k < 3; k++)
+        if (!r.read_f32(&xyz[k])) return false;
+      // plain frames carry floats; convert through the integer grid
+      int32_t c[3];
+      for (int k = 0; k < 3; k++)
+        c[k] = (int32_t)(xyz[k] * (h.precision > 0 ? h.precision : 1000.0f));
+      if constexpr (std::is_same_v<Sink, F32Sink>) {
+        sink.out[i * 3 + 0] = xyz[0];
+        sink.out[i * 3 + 1] = xyz[1];
+        sink.out[i * 3 + 2] = xyz[2];
+      } else {
+        sink.emit(i, c);
+      }
+    }
     return true;
   }
 
@@ -430,7 +555,6 @@ bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
                            (uint32_t)MAGICINTS[smallidx],
                            (uint32_t)MAGICINTS[smallidx]};
 
-  const float inv_precision = 1.0f / h.precision;
   BitReader br(h.payload, (size_t)h.nbytes);
 
   int32_t thiscoord[3], prevcoord[3] = {0, 0, 0};
@@ -438,11 +562,12 @@ bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
   int written = 0;
   int run = 0;  // persists across atoms: flag bit 0 = reuse previous length
 
+  FastDiv3 fd_large;
+  if (bitsize != 0) fd_large.set(bitsize, sizeint);
+
   auto emit = [&](const int32_t *c) {
     if (written < first_n) {
-      out[written * 3 + 0] = (float)c[0] * inv_precision;
-      out[written * 3 + 1] = (float)c[1] * inv_precision;
-      out[written * 3 + 2] = (float)c[2] * inv_precision;
+      sink.emit(written, c);
     }
     written++;
   };
@@ -453,7 +578,7 @@ bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
       thiscoord[1] = (int32_t)br.get(bitsizeint[1]);
       thiscoord[2] = (int32_t)br.get(bitsizeint[2]);
     } else {
-      read_ints3(br, bitsize, sizeint, thiscoord);
+      read_ints3_fast(br, fd_large, sizeint, thiscoord);
     }
     i++;
     thiscoord[0] += h.minint[0];
@@ -472,8 +597,27 @@ bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
       is_smaller--;
     }
     if (run > 0) {
+      const uint32_t ss = sizesmall[0];
+      const double ss_inv = MAGIC_INV.inv[smallidx];
+      const bool ss_fast = smallidx <= 52;
       for (int k = 0; k < run; k += 3) {
-        read_ints3(br, smallidx, sizesmall, thiscoord);
+        {
+          uint64_t v = read_group_value(br, smallidx);
+          if (ss_fast) {
+            int64_t r;
+            uint64_t q = _div_correct(v, ss, ss_inv, &r);
+            thiscoord[2] = (int32_t)r;
+            uint64_t q2 = _div_correct(q, ss, ss_inv, &r);
+            thiscoord[1] = (int32_t)r;
+            thiscoord[0] = (int32_t)q2;
+          } else {
+            uint64_t q = v / ss;
+            thiscoord[2] = (int32_t)(v - q * ss);
+            uint64_t q2 = q / ss;
+            thiscoord[1] = (int32_t)(q - q2 * ss);
+            thiscoord[0] = (int32_t)q2;
+          }
+        }
         i++;
         thiscoord[0] += prevcoord[0] - smallnum;
         thiscoord[1] += prevcoord[1] - smallnum;
@@ -513,6 +657,11 @@ bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
     return false;
   }
   return true;
+}
+
+bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
+  F32Sink sink{out, h.plain ? 1.0f : 1.0f / h.precision};
+  return decode_xtc_coords_t(h, first_n, sink);
 }
 
 // ----------------------------------------------------------------- XTC write
@@ -894,6 +1043,60 @@ int32_t xtc_decode(const char *path, const int64_t *frame_offsets, int64_t n,
   return status.load();
 }
 
+// Decode frames as raw fixed-point int16 XTC integers (out_coords:
+// n*first_n*3 i16; out_inv_precision: n f32 scales so that
+// float(coord_i16) * inv_precision == the f32 coordinate bit-for-bit).
+// Returns 0 on success, 1 if any coordinate does not fit int16 (caller
+// falls back to the f32 path), -1 on error.
+int32_t xtc_decode_i16(const char *path, const int64_t *frame_offsets,
+                       int64_t n, int32_t first_n, int16_t *out_coords,
+                       float *out_inv_precision, float *out_boxes,
+                       float *out_times, int32_t *out_steps,
+                       int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+
+  std::atomic<int32_t> status{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t f = lo; f < hi; f++) {
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
+        status.store(-1);
+        return;
+      }
+      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h.time;
+      if (out_steps) out_steps[f] = h.step;
+      // plain (natoms<=9) frames carry floats; the template converts them
+      // through a 1e-3 grid, so the matching scale is 1/1000
+      out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
+      I16Sink sink{out_coords + (size_t)f * first_n * 3, 0.0f};
+      if (!decode_xtc_coords_t(h, first_n, sink)) {
+        status.store(-1);
+        return;
+      }
+      if (!sink.ok) {
+        int32_t expected = 0;
+        status.compare_exchange_strong(expected, 1);
+      }
+    }
+  };
+
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return status.load();
+}
+
 // Append frames to an XTC file (creates it when absent).
 int32_t xtc_write(const char *path, int32_t natoms, int64_t n_frames,
                   const float *coords, const float *boxes, const float *times,
@@ -916,6 +1119,73 @@ int32_t xtc_write(const char *path, int32_t natoms, int64_t n_frames,
     set_error("short write");
     return -1;
   }
+  return 0;
+}
+
+// Decode statistics for one frame: how many atoms arrive via small-delta
+// runs vs the large-int path (diagnostics for encoder quality/benchmarks).
+int32_t xtc_frame_stats(const char *path, int64_t frame_offset,
+                        int64_t *out_large, int64_t *out_run,
+                        int32_t *out_smallidx) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  XtcHeader h;
+  if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offset, &h)) return -1;
+  if (h.plain) {
+    *out_large = h.natoms;
+    *out_run = 0;
+    *out_smallidx = 0;
+    return 0;
+  }
+  *out_smallidx = h.smallidx;
+  uint32_t sizeint[3];
+  for (int i = 0; i < 3; i++)
+    sizeint[i] = (uint32_t)((int64_t)h.maxint[i] - h.minint[i] + 1);
+  int bitsize = (sizeint[0] > 0xFFFFFF || sizeint[1] > 0xFFFFFF ||
+                 sizeint[2] > 0xFFFFFF)
+                    ? 0
+                    : sizeofints(3, sizeint);
+  uint32_t bitsizeint[3] = {0, 0, 0};
+  if (bitsize == 0)
+    for (int i = 0; i < 3; i++) bitsizeint[i] = sizeofint(sizeint[i]);
+
+  int smallidx = h.smallidx;
+  uint32_t sizesmall[3] = {(uint32_t)MAGICINTS[smallidx],
+                           (uint32_t)MAGICINTS[smallidx],
+                           (uint32_t)MAGICINTS[smallidx]};
+  BitReader br(h.payload, (size_t)h.nbytes);
+  int32_t dummy[3];
+  int i = 0, run = 0;
+  int64_t n_large = 0, n_run = 0;
+  while (i < h.natoms) {
+    if (bitsize == 0) {
+      br.get(bitsizeint[0]);
+      br.get(bitsizeint[1]);
+      br.get(bitsizeint[2]);
+    } else {
+      read_ints3(br, bitsize, sizeint, dummy);
+    }
+    i++;
+    n_large++;
+    uint32_t flag = br.get(1);
+    int is_smaller = 0;
+    if (flag) {
+      run = (int)br.get(5);
+      is_smaller = run % 3;
+      run -= is_smaller;
+      is_smaller--;
+    }
+    for (int k = 0; k < run; k += 3) {
+      read_ints3(br, smallidx, sizesmall, dummy);
+      i++;
+      n_run++;
+    }
+    smallidx += is_smaller;
+    if (smallidx < FIRSTIDX || smallidx > LASTIDX) return -1;
+    sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)MAGICINTS[smallidx];
+  }
+  *out_large = n_large;
+  *out_run = n_run;
   return 0;
 }
 
