@@ -50,14 +50,29 @@ log = logging.getLogger("gorder")
 DEFAULT_BATCH_SIZE = int(os.environ.get("GORDER_TPU_BATCH_SIZE", "128"))
 
 
-def _enable_persistent_jit_cache() -> None:
-    """XLA executables are cached on disk so repeated runs (CLI invocations,
-    tests, benchmarks) skip compilation."""
+def _configure_jax() -> None:
+    """Respect JAX_PLATFORMS even when a PJRT plugin overrode it at import
+    time, and enable a per-platform persistent compilation cache so repeated
+    runs (CLI invocations, tests, benchmarks) skip compilation.
+
+    The cache is keyed by the effective platform string: executables compiled
+    under different backends/flags must never be shared (mixing them produces
+    machine-feature mismatches and subtly different float code)."""
     import jax
 
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    try:
+        if env_platforms and jax.config.jax_platforms != env_platforms:
+            jax.config.update("jax_platforms", env_platforms)
+    except Exception:
+        pass
+
+    key = (env_platforms or jax.config.jax_platforms or "default").replace(
+        ",", "-")
     cache_dir = os.environ.get(
         "GORDER_TPU_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "gorder_tpu", "xla"),
+        os.path.join(os.path.expanduser("~"), ".cache", "gorder_tpu",
+                     f"xla-{key}"),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -67,7 +82,7 @@ def _enable_persistent_jit_cache() -> None:
         pass
 
 
-_enable_persistent_jit_cache()
+_configure_jax()
 
 _AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
 _SCALE = 1.0e6
@@ -397,33 +412,39 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             coords = buf
         return coords, None, boxes, len(chunk), b
 
-    box_buffer = np.ones((batch_size, 3), np.float32)
     executor = cf.ThreadPoolExecutor(max_workers=1)
     in_flight = []  # (result handles, n_valid): fetched after the loop
+    # The CPU backend ALIASES numpy buffers in device_put (zero-copy, and
+    # block_until_ready does not materialize them) — deferred execution
+    # would read decode buffers after they were rewritten. Synchronous
+    # per-batch fetches force consumption and cost nothing locally.
+    # Accelerator backends perform real transfers, so fetches are deferred
+    # and the device works on batch b while batch b+1 decodes.
+    sync_fetch = jax.default_backend() == "cpu"
     try:
         pending = executor.submit(decode_batch, 0)
         for b in range(n_batches):
             coords, inv_prec, boxes, n_valid, _ = pending.result()
 
-            # overlap: decode batch b+1 (other buffer) while batch b runs.
-            # decode(b+1) reuses the buffer batch b-1 was read from —
-            # device_put may alias host memory (CPU backend), so step(b-1)
-            # must have consumed its inputs before that buffer is rewritten
+            # overlap: decode batch b+1 (the other buffer) while batch b
+            # uploads and runs
             if b + 1 < n_batches:
-                if in_flight:
-                    jax.block_until_ready(list(in_flight[-1][0].values()))
                 pending = executor.submit(decode_batch, b + 1)
 
             coords_dev = jax.device_put(coords)
+            # accelerator transfers are asynchronous: the decode buffer must
+            # not be rewritten (decode b+2) until the copy has drained
+            jax.block_until_ready(coords_dev)
 
             if analysis.handle_pbc:
                 for i in range(n_valid):
                     check_box(boxes[i])
-            box_buffer[:] = 1.0
-            box_buffer[:n_valid] = boxes[:, [0, 1, 2], [0, 1, 2]]
+            # fresh small arrays per batch — they are handed to async puts
+            box_arr = np.ones((batch_size, 3), np.float32)
+            box_arr[:n_valid] = boxes[:n_valid, [0, 1, 2], [0, 1, 2]]
             frame_mask = np.zeros(batch_size, bool)
             frame_mask[:n_valid] = True
-            box_dev = jax.device_put(box_buffer)
+            box_dev = jax.device_put(box_arr)
 
             scale_dev = None
             if inv_prec is not None:
@@ -456,7 +477,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 result = step(coords_dev, box_dev, normal_dev,
                               jax.device_put(frame_mask),
                               inv_scale=scale_dev)
-            in_flight.append((result, n_valid))
+            if sync_fetch:
+                accum.add_batch(
+                    {k: np.asarray(v) for k, v in result.items()}, n_valid)
+            else:
+                in_flight.append((result, n_valid))
     finally:
         executor.shutdown(wait=True)
 
