@@ -343,9 +343,35 @@ def _dequantize(coords_i16, inv_prec):
     return convert(coords_i16, inv_prec)
 
 
+def _prepare_geometry(system: System, analysis: Analysis):
+    """(GeometrySpec, mode, payload) or (None, None, None).
+    payload: (3,) point for 'point'/'center' handled per batch, or atom
+    indices for per-frame selection COG."""
+    from .core.geometry import build_geometry_spec
+
+    spec = build_geometry_spec(analysis.geometry)
+    if spec is None:
+        return None, None, None
+    ref = analysis.geometry.reference
+    if ref is None:
+        if not analysis.handle_pbc:
+            raise ConfigError(
+                "geometry references the box center, which requires PBC "
+                "handling")
+        return spec, "center", None
+    if isinstance(ref, str):
+        mask = select_mask(system, ref)
+        if not mask.any():
+            raise SelectionError(
+                f"no atoms matched the geometry reference query '{ref}'")
+        return spec, "selection", np.nonzero(mask)[0].astype(np.int32)
+    return spec, "point", np.asarray(ref, np.float32)
+
+
 def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  n_types: int, n_molecules: int, first_n: int,
-                 leaflets: Optional[LeafletRuntime]):
+                 leaflets: Optional[LeafletRuntime], map_spec=None,
+                 geom_mode=None, geom_payload=None):
     """Shared frame-batch loop: decode → device → kernel → accumulate.
 
     The decode of batch k+1 runs in a worker thread (the native codec
@@ -362,6 +388,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     if leaflets is not None:
         first_n = max(first_n, leaflets.max_atom + 1)
+    if geom_mode == "selection":
+        first_n = max(first_n, int(geom_payload.max()) + 1)
     # round up so different configs on the same system share compiled shapes
     first_n = min(system.n_atoms, ((first_n + 1023) // 1024) * 1024)
 
@@ -386,6 +414,19 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # probe whether the whole trajectory supports the int16 fast path
     probe = traj.read_frames_quantized(frame_indices[:1], first_n)
     use_i16 = probe is not None
+
+    map_state = None
+    if map_spec is not None:
+        from .core.ordermap import init_map_state
+
+        map_state = init_map_state(classes, n_types, map_spec)
+
+    geom_sel_dev = None
+    geom_point = None
+    if geom_mode == "selection":
+        geom_sel_dev = jax.device_put(np.asarray(geom_payload, np.int32))
+    elif geom_mode == "point":
+        geom_point = np.asarray(geom_payload, np.float32)
 
     n_batches = (len(frame_indices) + batch_size - 1) // batch_size
     buffers = [
@@ -452,6 +493,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 scale[:n_valid] = inv_prec
                 scale_dev = jax.device_put(scale)
 
+            if geom_mode == "selection":
+                geom_ref = geom_sel_dev
+            elif geom_mode == "point":
+                geom_ref = jax.device_put(
+                    np.tile(geom_point, (batch_size, 1)))
+            elif geom_mode == "center":
+                geom_ref = jax.device_put(box_arr * 0.5)
+            else:
+                geom_ref = None
+
             analyzed = np.arange(b * batch_size,
                                  b * batch_size + n_valid, dtype=np.int64)
             if leaflets is not None:
@@ -468,15 +519,19 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                         classes_arr,
                         np.zeros((batch_size - classes_arr.shape[0],
                                   n_molecules), np.int32)])
-                result = step(coords_f32, box_dev, normal_dev,
-                              jax.device_put(frame_mask),
-                              jax.device_put(classes_arr))
+                result, map_state = step(coords_f32, box_dev, normal_dev,
+                                         jax.device_put(frame_mask),
+                                         jax.device_put(classes_arr),
+                                         map_state=map_state,
+                                         geom_ref=geom_ref)
             else:
                 # fully async: dispatch and defer the (tiny) result fetch —
                 # the device and link work on batch b while b+1 decodes
-                result = step(coords_dev, box_dev, normal_dev,
-                              jax.device_put(frame_mask),
-                              inv_scale=scale_dev)
+                result, map_state = step(coords_dev, box_dev, normal_dev,
+                                         jax.device_put(frame_mask),
+                                         inv_scale=scale_dev,
+                                         map_state=map_state,
+                                         geom_ref=geom_ref)
             if sync_fetch:
                 accum.add_batch(
                     {k: np.asarray(v) for k, v in result.items()}, n_valid)
@@ -489,30 +544,41 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         accum.add_batch({k: np.asarray(v) for k, v in result.items()},
                         n_valid)
 
+    map_state_host = None
+    if map_state is not None:
+        map_state_host = {k: np.asarray(v) for k, v in map_state.items()}
+
     log.info("analyzed %d frames", accum.n_frames)
-    return accum, traj, frame_indices
+    return accum, traj, frame_indices, map_state_host
 
 
 def _run_bond_based(analysis: Analysis) -> AnalysisResults:
+    from .core.ordermap import build_map_spec
+
     system = load_structure(analysis)
     kinds, compiled = _prepare_bond_kinds(system, analysis)
     axis, normal_vec = _static_normal(analysis)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
                                      compiled.n_molecules, axis)
+    map_spec = (build_map_spec(analysis.map, system.box)
+                if analysis.map is not None else None)
+    geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
 
     step = make_order_step(
         compiled.atom_a, compiled.atom_b, compiled.bond_type,
         compiled.molecule, compiled.n_types, compiled.n_molecules,
         handle_pbc=analysis.handle_pbc,
         with_leaflets=leaflets is not None,
+        map_spec=map_spec, geom_spec=geom_spec,
     )
     first_n = int(max(compiled.atom_a.max(initial=0),
                       compiled.atom_b.max(initial=0))) + 1
-    accum, traj, frame_indices = _run_batches(
+    accum, traj, frame_indices, map_state = _run_batches(
         analysis, system, step, normal_vec, compiled.n_types,
-        compiled.n_molecules, first_n, leaflets)
+        compiled.n_molecules, first_n, leaflets, map_spec,
+        geom_mode, geom_payload)
     return convert_results(analysis, system, kinds, compiled, accum,
-                           traj, frame_indices)
+                           traj, frame_indices, map_spec, map_state)
 
 
 def _run_ua(analysis: Analysis) -> AnalysisResults:
@@ -547,17 +613,24 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
     axis, normal_vec = _static_normal(analysis)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
                                      compiled.n_molecules, axis)
+    from .core.ordermap import build_map_spec
+
+    map_spec = (build_map_spec(analysis.map, system.box)
+                if analysis.map is not None else None)
+    geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
     step = make_ua_step(
         compiled.categories, compiled.bond_type, compiled.bond_mol,
         compiled.n_types,
         handle_pbc=analysis.handle_pbc,
         with_leaflets=leaflets is not None,
+        map_spec=map_spec, geom_spec=geom_spec,
     )
-    accum, traj, frame_indices = _run_batches(
+    accum, traj, frame_indices, map_state = _run_batches(
         analysis, system, step, normal_vec, compiled.n_types,
-        compiled.n_molecules, compiled.max_atom_index + 1, leaflets)
+        compiled.n_molecules, compiled.max_atom_index + 1, leaflets,
+        map_spec, geom_mode, geom_payload)
     return convert_results_ua(analysis, system, kinds, compiled, accum,
-                              traj, frame_indices)
+                              traj, frame_indices, map_spec, map_state)
 
 
 # ------------------------------------------------------------------ converter
@@ -621,15 +694,46 @@ class _Collector:
         }
 
 
+class _MapCollector:
+    """Per-slice ordermap aggregation over the fetched device grids."""
+
+    def __init__(self, analysis, map_spec, map_state, n_types, sign):
+        from .core.ordermap import finalize_maps
+
+        self.spec = map_spec
+        self.enabled = map_spec is not None and map_state is not None
+        if self.enabled:
+            min_samples = analysis.map.min_samples
+            self.min_samples = min_samples
+            self.sign = sign
+            self.grids, self.raw = finalize_maps(
+                map_state, n_types, map_spec, min_samples, sign)
+
+    def for_types(self, type_indices) -> Optional[Dict[str, np.ndarray]]:
+        from .core.ordermap import aggregate_map
+
+        if not self.enabled:
+            return None
+        idx = np.asarray(type_indices, np.int64).reshape(-1)
+        return {
+            cls: aggregate_map(self.raw[cls], idx, self.spec,
+                               self.min_samples, self.sign)
+            for cls in self.raw
+        }
+
+
 def convert_results(analysis: Analysis, system: System,
                     kinds: List[MoleculeKind], compiled: CompiledBonds,
                     accum: OrderAccumulator, traj: Trajectory,
-                    frame_indices: np.ndarray) -> AnalysisResults:
+                    frame_indices: np.ndarray, map_spec=None,
+                    map_state=None) -> AnalysisResults:
     mode = analysis.analysis_type.kind
     sign = -1.0 if mode in ("aa", "ua") else 1.0
     collector = _Collector(analysis, accum, sign)
     collection = collector.collection
     with_errors = collector.with_errors
+    maps = _MapCollector(analysis, map_spec, map_state, compiled.n_types,
+                         sign)
 
     molecules: List[MoleculeResults] = []
     for k, kind in enumerate(kinds):
@@ -641,12 +745,14 @@ def convert_results(analysis: Analysis, system: System,
         )
         if with_errors:
             mol.convergence = collector.convergence(slice(t0, t1))
+        mol.average_maps = maps.for_types(np.arange(t0, t1))
         if mode == "cg":
             for t, bt in enumerate(kind.bond_types):
                 bond = BondResults(
                     atom1=AtomDesc(bt.resname_a, bt.name_a, bt.rel_a),
                     atom2=AtomDesc(bt.resname_b, bt.name_b, bt.rel_b),
                     order=collection(slice(t0 + t, t0 + t + 1)),
+                    maps=maps.for_types([t0 + t]),
                 )
                 mol.bonds.append(bond)
         else:  # aa: group bond types by heavy atom (rel_a)
@@ -660,6 +766,7 @@ def convert_results(analysis: Analysis, system: System,
                     atom=AtomDesc(bt0.resname_a, bt0.name_a, rel_a),
                     order=collection(
                         np.asarray([t0 + t for t in ts], np.int64)),
+                    maps=maps.for_types([t0 + t for t in ts]),
                 )
                 for t in ts:
                     bt = kind.bond_types[t]
@@ -667,6 +774,7 @@ def convert_results(analysis: Analysis, system: System,
                         atom1=AtomDesc(bt.resname_a, bt.name_a, bt.rel_a),
                         atom2=AtomDesc(bt.resname_b, bt.name_b, bt.rel_b),
                         order=collection(slice(t0 + t, t0 + t + 1)),
+                        maps=maps.for_types([t0 + t]),
                     ))
                 mol.atoms.append(atom)
         molecules.append(mol)
@@ -682,15 +790,22 @@ def convert_results(analysis: Analysis, system: System,
         analysis=analysis,
     )
     results.average_order = collection(slice(None), for_average=True)
+    if maps.enabled:
+        results.average_maps = maps.for_types(
+            np.arange(compiled.n_types))
+        results.map_params = (analysis.map, map_spec)
     return results
 
 
 def convert_results_ua(analysis: Analysis, system: System,
                        kinds: List[MoleculeKind], compiled,
                        accum: OrderAccumulator, traj: Trajectory,
-                       frame_indices: np.ndarray) -> AnalysisResults:
+                       frame_indices: np.ndarray, map_spec=None,
+                       map_state=None) -> AnalysisResults:
     collector = _Collector(analysis, accum, sign=-1.0)
     collection = collector.collection
+    maps = _MapCollector(analysis, map_spec, map_state, compiled.n_types,
+                         -1.0)
 
     molecules: List[MoleculeResults] = []
     for k, kind in enumerate(kinds):
@@ -702,11 +817,14 @@ def convert_results_ua(analysis: Analysis, system: System,
         )
         if collector.with_errors:
             mol.convergence = collector.convergence(slice(t0, t1))
+        mol.average_maps = maps.for_types(np.arange(t0, t1))
         for spec, base in zip(compiled.atom_specs[k],
                               compiled.atom_type_base[k]):
             atom = AtomResults(
                 atom=AtomDesc(spec.resname, spec.name, spec.rel_index),
                 order=collection(slice(base, base + spec.n_hydrogens)),
+                maps=maps.for_types(
+                    np.arange(base, base + spec.n_hydrogens)),
             )
             for h in range(spec.n_hydrogens):
                 atom.bonds.append(BondResults(
@@ -714,6 +832,7 @@ def convert_results_ua(analysis: Analysis, system: System,
                     atom2=None,
                     virtual_index=h,
                     order=collection(slice(base + h, base + h + 1)),
+                    maps=maps.for_types([base + h]),
                 ))
             mol.atoms.append(atom)
         molecules.append(mol)
@@ -728,4 +847,7 @@ def convert_results_ua(analysis: Analysis, system: System,
         frame_numbers=frame_indices,
         analysis=analysis,
     )
+    if maps.enabled:
+        results.average_maps = maps.for_types(np.arange(compiled.n_types))
+        results.map_params = (analysis.map, map_spec)
     return results

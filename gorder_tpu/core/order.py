@@ -41,14 +41,37 @@ def _one_hot(ids: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _geometry_reference(coords, box_diag, geom_ref, handle_pbc):
+    """Resolve the geometry reference point per frame.
+
+    geom_ref is either a (B, 3) array (fixed point / box center, computed on
+    the host) or a (K,) int32 index array — the per-frame center of geometry
+    of a selection, recomputed every frame like the reference
+    (geometry.rs init_reference)."""
+    from .pbc import circular_mean_cog, naive_cog
+
+    if geom_ref.ndim == 2:
+        return geom_ref
+    pts = jnp.take(coords, geom_ref, axis=1)          # (B, K, 3)
+    mask = jnp.ones(pts.shape[:-1], coords.dtype)
+    if handle_pbc:
+        return circular_mean_cog(pts, mask, box_diag)
+    return naive_cog(pts, mask)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
-                     "quantized"),
+                     "quantized", "map_spec", "geom_spec"),
 )
 def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
-                bond_mol, onehot, leaflet_classes, inv_scale=None, *,
-                handle_pbc, with_leaflets, normal_mode, quantized=False):
+                bond_mol, onehot, leaflet_classes, inv_scale=None,
+                bond_type_ids=None, map_state=None, geom_ref=None, *,
+                handle_pbc, with_leaflets, normal_mode, quantized=False,
+                map_spec=None, geom_spec=None):
+    from .geometry import inside_mask
+    from .ordermap import map_cells, update_maps
+
     if quantized:
         # XTC fixed-point int16 → f32 nm, fused into the kernel so each
         # batch is a single device execution (matters on high-latency links)
@@ -77,6 +100,14 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     valid = frame_mask[:, None].astype(jnp.float32)   # (B, 1)
     ones = jnp.broadcast_to(valid, sch.shape)
 
+    mid = None
+    if map_spec is not None or geom_spec is not None:
+        mid = pa + d * 0.5                            # min-image bond midpoint
+    if geom_spec is not None:
+        ref = _geometry_reference(coords, box_diag, geom_ref, handle_pbc)
+        geo = inside_mask(mid, ref, box_diag, geom_spec, handle_pbc)
+        ones = ones * geo
+
     def reduce(mask):
         stacked = jnp.stack([hi * mask, lo * mask, mask], axis=1)  # (B,3,N)
         return jnp.einsum(
@@ -84,12 +115,19 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
             preferred_element_type=jnp.float32,
         )
 
-    out = {"total": reduce(ones)}
+    masks = {"total": ones}
     if with_leaflets:
         cls = jnp.take(leaflet_classes, bond_mol, axis=1)  # (B, N)
-        out["upper"] = reduce(ones * (cls == 0))
-        out["lower"] = reduce(ones * (cls == 1))
-    return out
+        masks["upper"] = ones * (cls == 0)
+        masks["lower"] = ones * (cls == 1)
+
+    out = {c: reduce(m) for c, m in masks.items()}
+
+    if map_spec is not None:
+        n_types = onehot.shape[1]
+        cells, _ = map_cells(mid, map_spec, bond_type_ids, n_types)
+        map_state = update_maps(map_state, sch, cells, masks)
+    return out, map_state
 
 
 def make_order_step(
@@ -103,6 +141,8 @@ def make_order_step(
     handle_pbc: bool = True,
     with_leaflets: bool = False,
     normal_mode: str = "static",     # 'static' | 'per_molecule'
+    map_spec=None,
+    geom_spec=None,
 ):
     """Build the per-batch order kernel (index arrays are device-resident
     arguments, not baked-in constants — keeps XLA compile time low and lets
@@ -120,18 +160,20 @@ def make_order_step(
     atom_a_d = jax.device_put(np.asarray(atom_a, np.int32))
     atom_b_d = jax.device_put(np.asarray(atom_b, np.int32))
     bond_mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
+    bond_type_d = jax.device_put(np.asarray(bond_type, np.int32))
     onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
     dummy_classes = jax.device_put(np.zeros((1, 1), np.int32))
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
-             inv_scale=None):
+             inv_scale=None, map_state=None, geom_ref=None):
         return _order_step(
             coords, box_diag, normal, frame_mask,
             atom_a_d, atom_b_d, bond_mol_d, onehot_d,
             leaflet_classes if leaflet_classes is not None else dummy_classes,
-            inv_scale,
+            inv_scale, bond_type_d, map_state, geom_ref,
             handle_pbc=handle_pbc, with_leaflets=with_leaflets,
             normal_mode=normal_mode, quantized=inv_scale is not None,
+            map_spec=map_spec, geom_spec=geom_spec,
         )
 
     return step

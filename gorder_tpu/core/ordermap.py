@@ -1,0 +1,138 @@
+"""2-D ordermap accumulation.
+
+Behavioral reference: src/analysis/ordermap.rs (Map = per-bond-type grids of
+Σorder / n_samples over a plane; bond midpoint projected; nearest-tile
+binning; out-of-range samples ignored) re-expressed as a device-side
+segment-sum over flattened (bond type × tile) ids, with grids living in HBM
+across the whole trajectory and fetched once at the end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+_PLANE_AXES = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}
+
+
+@dataclass(frozen=True)
+class MapSpec:
+    """Static grid geometry (hashable → usable as a jit static argument)."""
+
+    ax0: int
+    ax1: int
+    start0: float
+    start1: float
+    bin0: float
+    bin1: float
+    n0: int
+    n1: int
+
+    @property
+    def ncells(self) -> int:
+        return self.n0 * self.n1
+
+    def tick0(self) -> np.ndarray:
+        return self.start0 + np.arange(self.n0) * self.bin0
+
+    def tick1(self) -> np.ndarray:
+        return self.start1 + np.arange(self.n1) * self.bin1
+
+
+def build_map_spec(params, structure_box: Optional[np.ndarray]) -> MapSpec:
+    """Resolve grid geometry from OrderMapParams + the structure's box
+    (Auto spans = (0, box[axis]), ordermap.rs Map::new)."""
+    from ..errors import OrderMapError
+
+    ax0, ax1 = _PLANE_AXES[params.plane]
+    spans = []
+    for axis, gridspan in zip((ax0, ax1), params.dim):
+        if gridspan.auto:
+            if structure_box is None or structure_box[axis, axis] <= 0:
+                raise OrderMapError(
+                    "cannot construct an ordermap with automatic dimensions: "
+                    "the structure has no valid simulation box")
+            spans.append((0.0, float(structure_box[axis, axis])))
+        else:
+            spans.append((gridspan.start, gridspan.end))
+    (s0, e0), (s1, e1) = spans
+    b0, b1 = params.bin_size
+    n0 = int(np.floor((e0 - s0) / b0 + 0.5)) + 1
+    n1 = int(np.floor((e1 - s1) / b1 + 0.5)) + 1
+    return MapSpec(ax0, ax1, s0, s1, b0, b1, n0, n1)
+
+
+def map_cells(mid, spec: MapSpec, bond_type, n_types):
+    """(B, N, 3) midpoints → flattened (type × tile) cell ids; invalid
+    samples map to the trailing dump cell (index n_types*ncells)."""
+    import jax.numpy as jnp
+
+    p0 = mid[..., spec.ax0]
+    p1 = mid[..., spec.ax1]
+    i0 = jnp.floor((p0 - spec.start0) / spec.bin0 + 0.5).astype(jnp.int32)
+    i1 = jnp.floor((p1 - spec.start1) / spec.bin1 + 0.5).astype(jnp.int32)
+    in_range = (i0 >= 0) & (i0 < spec.n0) & (i1 >= 0) & (i1 < spec.n1)
+    cell = bond_type[None, :] * (spec.n0 * spec.n1) + i0 * spec.n1 + i1
+    dump = n_types * spec.n0 * spec.n1
+    return jnp.where(in_range, cell, dump), in_range
+
+
+def update_maps(state, sch, cells, masks):
+    """Scatter per-sample order values into the per-class grids.
+
+    state: {cls: (2, n_types*ncells + 1) f32 [sums, counts]};
+    sch: (B, N) f32; cells: (B, N) int32; masks: {cls: (B, N) f32}."""
+    import jax
+    import jax.numpy as jnp
+
+    n_seg = state[next(iter(state))].shape[1]
+    flat_cells = cells.reshape(-1)
+    flat_sch = sch.reshape(-1)
+    out = {}
+    for cls, mask in masks.items():
+        flat_mask = mask.reshape(-1)
+        sums = jax.ops.segment_sum(flat_sch * flat_mask, flat_cells,
+                                   num_segments=n_seg)
+        counts = jax.ops.segment_sum(flat_mask, flat_cells,
+                                     num_segments=n_seg)
+        out[cls] = state[cls] + jnp.stack([sums, counts])
+    return out
+
+
+def init_map_state(classes, n_types: int, spec: MapSpec):
+    import jax.numpy as jnp
+
+    return {
+        cls: jnp.zeros((2, n_types * spec.ncells + 1), jnp.float32)
+        for cls in classes
+    }
+
+
+def finalize_maps(state_host, n_types: int, spec: MapSpec, min_samples: int,
+                  sign: float):
+    """Fetch → {cls: (T, n0, n1) value grids (NaN below min_samples)} plus
+    raw (sums, counts) for aggregation."""
+    grids = {}
+    raw = {}
+    for cls, arr in state_host.items():
+        arr = np.asarray(arr)[:, :-1]  # drop the dump cell
+        sums = arr[0].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
+        counts = arr[1].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
+        raw[cls] = (sums, counts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            values = sign * sums / counts
+        grids[cls] = np.where(counts >= max(min_samples, 1), values, np.nan)
+    return grids, raw
+
+
+def aggregate_map(raw_cls, type_indices, spec: MapSpec, min_samples: int,
+                  sign: float) -> np.ndarray:
+    """Average grid over a set of bond types (atom / molecule / system)."""
+    sums, counts = raw_cls
+    s = sums[type_indices].sum(axis=0)
+    c = counts[type_indices].sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        values = sign * s / c
+    return np.where(c >= max(min_samples, 1), values, np.nan)

@@ -117,20 +117,27 @@ def predict_ch1_saturated(t, h1, h2, h3, box, handle_pbc):
 @functools.partial(
     jax.jit,
     static_argnames=("handle_pbc", "with_leaflets", "normal_mode", "layout",
-                     "quantized"),
+                     "quantized", "map_spec", "geom_spec"),
 )
 def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
-             leaflet_classes, inv_scale=None, *, handle_pbc, with_leaflets,
-             normal_mode, layout, quantized=False):
-    if quantized:
-        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
+             leaflet_classes, inv_scale=None, bond_type_ids=None,
+             map_state=None, geom_ref=None, *, handle_pbc, with_leaflets,
+             normal_mode, layout, quantized=False, map_spec=None,
+             geom_spec=None):
     """layout: tuple of (category, n_atoms) pairs in concatenation order.
 
     `indices` is a dict of per-category index arrays; each category yields
     n_atoms * n_hydrogens virtual-bond samples, concatenated in layout order
     (hydrogen-major per atom: atom0-H0, atom0-H1, ..., atom1-H0, ...)."""
+    from .geometry import inside_mask
+    from .ordermap import map_cells, update_maps
+
+    if quantized:
+        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
     box3 = box_diag[:, None, :]
 
+    with_pos = map_spec is not None or geom_spec is not None
+    pos_parts = []
     sch_parts = []
     for category, _n in layout:
         ix = indices[category]
@@ -148,6 +155,7 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
             hydrogens = predict_ch1_saturated(t, h1, h2, h3, box3, handle_pbc)
 
         per_atom = []
+        per_atom_pos = []
         for hpos in hydrogens:
             if handle_pbc:
                 hpos = wrap(hpos, box3)
@@ -163,9 +171,17 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
                 n2 = jnp.maximum(jnp.sum(pb_normal * pb_normal, axis=-1), 1e-18)
             d2 = jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-18)
             per_atom.append(1.5 * (proj * proj) / (d2 * n2) - 0.5)
+            if with_pos:
+                # the reference's bond position (uaorder.rs:386):
+                # hydrogen + (hydrogen − target)/2
+                per_atom_pos.append(hpos + vec * 0.5)
         # hydrogen-major per atom: (B, n, K) → (B, n*K)
         stacked = jnp.stack(per_atom, axis=-1)
         sch_parts.append(stacked.reshape(stacked.shape[0], -1))
+        if with_pos:
+            pstacked = jnp.stack(per_atom_pos, axis=-2)   # (B, n, K, 3)
+            pos_parts.append(
+                pstacked.reshape(pstacked.shape[0], -1, 3))
 
     sch = jnp.concatenate(sch_parts, axis=1)          # (B, Nv)
 
@@ -175,23 +191,39 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
     valid = frame_mask[:, None].astype(jnp.float32)
     ones = jnp.broadcast_to(valid, sch.shape)
 
+    if with_pos:
+        bond_pos = jnp.concatenate(pos_parts, axis=1)  # (B, Nv, 3)
+    if geom_spec is not None:
+        from .order import _geometry_reference
+
+        ref = _geometry_reference(coords, box_diag, geom_ref, handle_pbc)
+        geo = inside_mask(bond_pos, ref, box_diag, geom_spec, handle_pbc)
+        ones = ones * geo
+
     def reduce(mask):
         stacked = jnp.stack([hi * mask, lo * mask, mask], axis=1)
         return jnp.einsum("bcn,nt->bct", stacked, onehot,
                           preferred_element_type=jnp.float32)
 
-    out = {"total": reduce(ones)}
+    masks = {"total": ones}
     if with_leaflets:
         cls = jnp.take(leaflet_classes, bond_mol, axis=1)
-        out["upper"] = reduce(ones * (cls == 0))
-        out["lower"] = reduce(ones * (cls == 1))
-    return out
+        masks["upper"] = ones * (cls == 0)
+        masks["lower"] = ones * (cls == 1)
+
+    out = {c: reduce(m) for c, m in masks.items()}
+
+    if map_spec is not None:
+        n_types = onehot.shape[1]
+        cells, _ = map_cells(bond_pos, map_spec, bond_type_ids, n_types)
+        map_state = update_maps(map_state, sch, cells, masks)
+    return out, map_state
 
 
 def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
                  bond_type: np.ndarray, bond_mol: np.ndarray, n_types: int,
                  *, handle_pbc=True, with_leaflets=False,
-                 normal_mode="static"):
+                 normal_mode="static", map_spec=None, geom_spec=None):
     """categories: {'ch3': {'target','h1','h2','mol'}, 'ch2': ...,
     'ch1u': ..., 'ch1s': {..., 'h3'}}; bond_type/bond_mol are per
     virtual-bond-sample arrays in the concatenated layout order."""
@@ -208,18 +240,20 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
     }
     onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
     bond_mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
+    bond_type_d = jax.device_put(np.asarray(bond_type, np.int32))
     dummy = jax.device_put(np.zeros((1, 1), np.int32))
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
-             inv_scale=None):
+             inv_scale=None, map_state=None, geom_ref=None):
         return _ua_step(
             coords, box_diag, normal, frame_mask, indices, bond_mol_d,
             onehot_d,
             leaflet_classes if leaflet_classes is not None else dummy,
-            inv_scale,
+            inv_scale, bond_type_d, map_state, geom_ref,
             handle_pbc=handle_pbc, with_leaflets=with_leaflets,
             normal_mode=normal_mode, layout=layout,
             quantized=inv_scale is not None,
+            map_spec=map_spec, geom_spec=geom_spec,
         )
 
     return step

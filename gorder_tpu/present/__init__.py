@@ -26,3 +26,8 @@ def write_all_results(results) -> None:
         from .convergence_out import write_convergence
 
         write_convergence(results, analysis.estimate_error.output_convergence)
+    if (analysis.map is not None and analysis.map.output_directory
+            and results.map_params is not None):
+        from .ordermaps_out import write_ordermaps
+
+        write_ordermaps(results, analysis.map.output_directory)

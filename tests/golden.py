@@ -5,7 +5,7 @@ compared with 2e-4 relative tolerance, others exactly)."""
 import math
 
 
-def _items_equal(a: str, b: str) -> bool:
+def _items_equal(a: str, b: str, atol: float = None) -> bool:
     try:
         fa, fb = float(a), float(b)
     except ValueError:
@@ -14,6 +14,8 @@ def _items_equal(a: str, b: str) -> bool:
         return True
     if fa == fb:
         return True
+    if atol is not None:
+        return abs(fa - fb) <= atol
     # golden values are printed at 4 decimals: allow one print quantum of
     # absolute slack (a true difference of 1e-8 can flip the 4th decimal
     # when the value sits on a rounding boundary), plus the reference
@@ -22,7 +24,7 @@ def _items_equal(a: str, b: str) -> bool:
 
 
 def assert_eq_order(path_a: str, path_b: str, skip: int = 1,
-                    csv: bool = False) -> None:
+                    csv: bool = False, atol: float = None) -> None:
     with open(path_a) as fa, open(path_b) as fb:
         lines_a = fa.read().splitlines()[skip:]
         lines_b = fb.read().splitlines()[skip:]
@@ -35,6 +37,6 @@ def assert_eq_order(path_a: str, path_b: str, skip: int = 1,
         tb = lb.split(",") if csv else lb.split()
         assert len(ta) == len(tb), f"token count differs:\n  {la}\n  {lb}"
         for a, b in zip(ta, tb):
-            assert _items_equal(a, b), (
+            assert _items_equal(a, b, atol), (
                 f"mismatch: '{a}' vs '{b}'\n  line A: {la}\n  line B: {lb}"
             )

@@ -1,0 +1,87 @@
+"""Geometric region selection golden tests (cuboid / cylinder / sphere)."""
+
+import pytest
+
+from gorder_tpu.errors import ConfigError, GeometryError
+from gorder_tpu.input import Analysis, AnalysisType, Geometry
+from gorder_tpu.input.config import load_yaml
+from gorder_tpu.present import write_yaml
+
+from .golden import assert_eq_order
+
+
+def cg_analysis(fixtures, geometry, **kwargs):
+    return Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        geometry=geometry,
+        silent=True, overwrite=True, **kwargs,
+    )
+
+
+def run_golden(fixtures, tmp_path, geometry, golden, atol=None, **kwargs):
+    results = cg_analysis(fixtures, geometry, **kwargs).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / golden), atol=atol)
+
+
+def test_cg_cuboid_square(fixtures, tmp_path):
+    geometry = Geometry(
+        "cuboid", reference=None,
+        xdim=(-8.0, -2.0), ydim=(2.0, 8.0),
+    )
+    run_golden(fixtures, tmp_path, geometry, "cg_order_cuboid_square.yaml")
+
+
+def test_cg_cylinder_static(fixtures, tmp_path):
+    geometry = Geometry(
+        "cylinder", reference=(2.0, 1.0, 0.0), radius=3.25,
+        orientation="z",
+    )
+    run_golden(fixtures, tmp_path, geometry, "cg_order_cylinder.yaml")
+
+
+def test_cg_sphere_dynamic(fixtures, tmp_path):
+    # the split fixtures are re-encoded at XTC precision 100: bonds right at
+    # the sphere boundary shift membership vs the original-precision golden,
+    # and the per-filter sample counts are small → 2e-3 tolerance
+    geometry = Geometry("sphere", reference="resid 1", radius=2.5)
+    run_golden(fixtures, tmp_path, geometry, "cg_order_sphere.yaml",
+               atol=2e-3)
+
+
+def test_cg_geometry_nopbc_differs_and_is_sane(fixtures, tmp_path):
+    geometry = Geometry(
+        "cylinder", reference=(6.0, 6.0, 0.0), radius=3.25,
+        orientation="z",
+    )
+    with_pbc = cg_analysis(fixtures, geometry).run()
+    without = cg_analysis(fixtures, geometry, handle_pbc=False).run()
+    # a centered cylinder away from boundaries: similar but not identical
+    a = with_pbc.average_order.total.value
+    b = without.average_order.total.value
+    assert abs(a - b) < 0.05
+    assert with_pbc.molecules[0].bonds[0].order.total.value is not None
+
+
+def test_geometry_yaml_parsing():
+    cfg = load_yaml("""
+geometry: !Cylinder
+  reference: "@protein and name BB"
+  radius: 3.5
+  span: [2.3, 5.1]
+  orientation: z
+""")
+    geom = Geometry.parse(cfg["geometry"])
+    assert geom.kind == "cylinder"
+    assert geom.radius == 3.5
+    assert geom.span == (2.3, 5.1)
+
+    with pytest.raises(GeometryError):
+        Geometry.parse(load_yaml(
+            "geometry: !Cylinder {radius: -1.0}")["geometry"])
+    with pytest.raises(GeometryError):
+        Geometry.parse(load_yaml(
+            "geometry: !Cuboid {xdim: [5, 2]}")["geometry"])

@@ -1,0 +1,166 @@
+"""Ordermap golden tests vs the reference directories.
+
+Note on tolerances: the cg split trajectories shipped in the reference corpus
+were re-encoded at XTC precision 100, while the original cg.xtc the goldens
+were produced from used finer coordinates. Averaged order parameters agree to
+<2e-4, but the tile assignment of samples near bin boundaries shifts, so CG
+map comparisons use a looser per-tile tolerance. The UA fixtures are original
+(precision 1000) and compare at the strict tolerance."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gorder_tpu.input import Analysis, AnalysisType, LeafletClassification, OrderMapParams
+from gorder_tpu.present import write_yaml
+from gorder_tpu.present.ordermaps_out import write_ordermaps
+
+from .golden import assert_eq_order
+
+
+def assert_eq_maps(path_a, path_b, skip=2, tol=None):
+    """Token-wise dat comparison, NaN == NaN (assert_eq_maps equivalent)."""
+    if tol is None:
+        assert_eq_order(path_a, path_b, skip=skip)
+        return
+    def load(path):
+        rows = [l.split() for l in open(path).read().splitlines()[skip:]
+                if l and not l.startswith(("#", "@", "$"))]
+        return np.array([[float(v) for v in r] for r in rows])
+    a, b = load(path_a), load(path_b)
+    assert a.shape == b.shape, f"{a.shape} vs {b.shape}"
+    np.testing.assert_array_equal(a[:, :2], b[:, :2])
+    va, vb = a[:, 2], b[:, 2]
+    both = ~(np.isnan(va) | np.isnan(vb))
+    # quantization-shifted samples may flip a tile across the min_samples
+    # threshold: allow a few NaN-pattern differences
+    assert (np.isnan(va) != np.isnan(vb)).sum() <= max(3, len(va) // 50)
+    assert np.abs(va[both] - vb[both]).max() <= tol, (
+        np.abs(va[both] - vb[both]).max())
+
+
+def test_cg_order_maps_basic(fixtures, tmp_path):
+    out_dir = tmp_path / "maps"
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder(
+            "resname POPC and name C1B C2B C3B C4B"),
+        map=OrderMapParams.parse({
+            "bin_size": [1.0, 1.0],
+            "output_directory": str(out_dir),
+            "min_samples": 10,
+        }),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    write_ordermaps(results, str(out_dir))
+
+    for name in (
+        "ordermap_POPC-C1B-8--POPC-C2B-9_full.dat",
+        "ordermap_POPC-C2B-9--POPC-C3B-10_full.dat",
+        "ordermap_POPC-C3B-10--POPC-C4B-11_full.dat",
+        "ordermap_average_full.dat",
+    ):
+        assert_eq_maps(str(out_dir / "POPC" / name),
+                       str(fixtures / "ordermaps_cg" / name), tol=0.03)
+    # system-wide average equals the single molecule type's average
+    assert_eq_maps(str(out_dir / "ordermap_average_full.dat"),
+                   str(fixtures / "ordermaps_cg" / "ordermap_average_full.dat"),
+                   tol=0.03)
+    assert (out_dir / "plot.py").is_file()
+
+    out_yaml = tmp_path / "order.yaml"
+    write_yaml(results, str(out_yaml))
+    assert_eq_order(str(out_yaml), str(fixtures / "cg_order_small.yaml"))
+
+
+def test_cg_order_maps_leaflets(fixtures, tmp_path):
+    out_dir = tmp_path / "maps"
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder(
+            "resname POPC and name C1B C2B C3B C4B"),
+        leaflets=LeafletClassification.global_("@membrane", "name PO4"),
+        map=OrderMapParams.parse({
+            "bin_size": [1.0, 1.0],
+            "output_directory": str(out_dir),
+            "min_samples": 10,
+        }),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    write_ordermaps(results, str(out_dir))
+    for name in (
+        "ordermap_POPC-C1B-8--POPC-C2B-9_full.dat",
+        "ordermap_POPC-C1B-8--POPC-C2B-9_upper.dat",
+        "ordermap_POPC-C1B-8--POPC-C2B-9_lower.dat",
+    ):
+        assert_eq_maps(str(out_dir / "POPC" / name),
+                       str(fixtures / "ordermaps_cg" / name), tol=0.05)
+
+
+def test_cg_order_maps_full_membrane_averages(fixtures, tmp_path):
+    out_dir = tmp_path / "maps"
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        leaflets=LeafletClassification.global_("@membrane", "name PO4"),
+        map=OrderMapParams.parse({
+            "bin_size": [1.0, 1.0],
+            "output_directory": str(out_dir),
+            "min_samples": 10,
+        }),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    write_ordermaps(results, str(out_dir))
+    for cls in ("full", "upper", "lower"):
+        assert_eq_maps(
+            str(out_dir / f"ordermap_average_{cls}.dat"),
+            str(fixtures / "ordermaps_cg" / "full"
+                / f"ordermap_average_{cls}.dat"), tol=0.05)
+
+
+SATURATED_MAP = "resname POPC and name C50 C20 C13"
+UNSATURATED_MAP = "resname POPC and name C24"
+
+
+def test_ua_order_maps_basic(fixtures, tmp_path):
+    """ua.xtc is an original (not re-encoded) fixture: strict comparison."""
+    out_dir = tmp_path / "maps"
+    analysis = Analysis(
+        structure=str(fixtures / "ua.tpr"),
+        trajectory=str(fixtures / "ua.xtc"),
+        analysis_type=AnalysisType.uaorder(
+            saturated=SATURATED_MAP, unsaturated=UNSATURATED_MAP),
+        map=OrderMapParams.parse({
+            "bin_size": [0.5, 2.0],
+            "output_directory": str(out_dir),
+            "min_samples": 5,
+        }),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    write_ordermaps(results, str(out_dir))
+    for name in (
+        "ordermap_POPC-C13-12_full.dat",
+        "ordermap_POPC-C13-12--POPC-H1-12_full.dat",
+        "ordermap_POPC-C20-19_full.dat",
+        "ordermap_POPC-C20-19--POPC-H1-19_full.dat",
+        "ordermap_POPC-C20-19--POPC-H2-19_full.dat",
+        "ordermap_POPC-C24-23_full.dat",
+        "ordermap_POPC-C24-23--POPC-H1-23_full.dat",
+        "ordermap_POPC-C50-49_full.dat",
+        "ordermap_POPC-C50-49--POPC-H1-49_full.dat",
+        "ordermap_POPC-C50-49--POPC-H2-49_full.dat",
+        "ordermap_POPC-C50-49--POPC-H3-49_full.dat",
+        "ordermap_average_full.dat",
+    ):
+        assert_eq_maps(str(out_dir / "POPC" / name),
+                       str(fixtures / "ordermaps_ua" / name))
+    assert_eq_maps(str(out_dir / "ordermap_average_full.dat"),
+                   str(fixtures / "ordermaps_ua" / "ordermap_average_full.dat"))

@@ -51,16 +51,17 @@ def test_frame_sharded_matches_single_device(fixtures):
     normal = np.array([0, 0, 1], np.float32)
     classes = rng.integers(0, 2, (B, n_mols)).astype(np.int32)
 
-    single = {k: np.asarray(v)
-              for k, v in step(coords, box, normal, mask, classes).items()}
+    single_out, _ = step(coords, box, normal, mask, classes)
+    single = {k: np.asarray(v) for k, v in single_out.items()}
 
     mesh = frame_mesh()
     sh = NamedSharding(mesh, P("frames"))
-    sharded = {k: np.asarray(v) for k, v in step(
+    sharded_out, _ = step(
         jax.device_put(coords, sh), jax.device_put(box, sh),
         jax.device_put(normal, NamedSharding(mesh, P())),
         jax.device_put(mask, sh), jax.device_put(classes, sh),
-    ).items()}
+    )
+    sharded = {k: np.asarray(v) for k, v in sharded_out.items()}
 
     for key in single:
         np.testing.assert_array_equal(single[key], sharded[key])
