@@ -147,6 +147,7 @@ class LeafletRuntime:
     collect_frames: Optional[List[np.ndarray]] = None  # per assignment frame
     kinds: Optional[List[MoleculeKind]] = None
     flip: bool = False
+    max_atom: int = 0
 
     def assignment_source(self, analyzed_idx: np.ndarray) -> np.ndarray:
         if self.frequency.kind == "once":
@@ -154,19 +155,36 @@ class LeafletRuntime:
         n = self.frequency.n
         return (analyzed_idx // n) * n
 
+    def validate(self, n_analyzed: int) -> None:
+        """Manual assignments must cover every assignment frame
+        (reference: validate_run, topology/mod.rs:148-155)."""
+        if self.manual_table is None:
+            return
+        if self.frequency.kind == "once":
+            expected = 1
+        else:
+            expected = (n_analyzed + self.frequency.n - 1) // self.frequency.n
+        if len(self.manual_table) != expected:
+            from .errors import ManualLeafletError
+
+            raise ManualLeafletError(
+                f"manual leaflet assignment provides "
+                f"{len(self.manual_table)} assignment frame(s) but the "
+                f"analysis visits {expected}")
+
     def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray
                           ) -> np.ndarray:
         """(B, M) leaflet classes for the analyzed frames of the batch."""
         src = self.assignment_source(analyzed_idx)
-        batch_start = analyzed_idx[0]
+        is_assign = src == analyzed_idx
         if self.manual_table is not None:
-            per_frame = self.manual_table[
-                np.minimum(src // max(self.frequency.n, 1)
-                           if self.frequency.kind == "every" else 0,
-                           len(self.manual_table) - 1)
-            ]
-            classes = per_frame
+            if self.frequency.kind == "once":
+                table_idx = np.zeros_like(src)
+            else:
+                table_idx = src // self.frequency.n
+            classes = self.manual_table[table_idx]
         else:
+            batch_start = analyzed_idx[0]
             assigned = np.asarray(self.classify(coords_dev, box_dev))
             in_batch = src >= batch_start
             local = np.clip(src - batch_start, 0, len(analyzed_idx) - 1)
@@ -176,15 +194,14 @@ class LeafletRuntime:
                  else assigned[0])[None, :],
             )
             # update carried state with the last assignment frame <= batch end
-            is_assign = src == analyzed_idx
             if is_assign.any():
                 last = np.nonzero(is_assign)[0][-1]
                 self.carried = assigned[last]
-            if self.collect_frames is not None:
-                for i in np.nonzero(is_assign)[0]:
-                    self.collect_frames.append(classes[i].copy())
         if self.flip:
             classes = 1 - classes
+        if self.collect_frames is not None:
+            for i in np.nonzero(is_assign)[0]:
+                self.collect_frames.append(classes[i].copy())
         return classes.astype(np.int32)
 
 
@@ -272,11 +289,124 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
             heads, methyls, methyl_mols, n_molecules, axis,
             analysis.handle_pbc)
         runtime.max_atom = int(max(heads.max(), methyls.max()))
+    elif params.kind in ("from_file", "from_map"):
+        if params.kind == "from_file":
+            import yaml as _yaml
+
+            from .errors import ManualLeafletError
+
+            try:
+                with open(params.file) as fh:
+                    assignment = _yaml.safe_load(fh)
+            except OSError as e:
+                raise ManualLeafletError(
+                    f"could not read leaflet assignment file "
+                    f"'{params.file}': {e}") from None
+            except _yaml.YAMLError as e:
+                raise ManualLeafletError(
+                    f"could not parse leaflet assignment file "
+                    f"'{params.file}': {e}") from None
+        else:
+            assignment = params.assignment
+        runtime.manual_table = _manual_leaflet_table(assignment, kinds)
+    elif params.kind == "from_ndx":
+        runtime.manual_table = _ndx_leaflet_table(system, kinds, params)
     else:
         raise AnalysisError(
             f"leaflet classification method '{params.kind}' is not yet "
             f"supported")
     return runtime
+
+
+def _manual_leaflet_table(assignment, kinds: List[MoleculeKind]) -> np.ndarray:
+    """{moltype: [per-assignment-frame [1/0 or Upper/Lower per molecule]]}
+    → (n_assignment_frames, M) classes (0 = upper, 1 = lower)."""
+    from .errors import ManualLeafletError
+
+    if not isinstance(assignment, dict):
+        raise ManualLeafletError(
+            "manual leaflet assignment must map molecule types to per-frame "
+            "assignments")
+
+    def to_class(value):
+        if value in (1, "1", "Upper", "upper"):
+            return 0
+        if value in (0, "0", "Lower", "lower"):
+            return 1
+        raise ManualLeafletError(
+            f"invalid leaflet value '{value}' in the manual assignment")
+
+    n_frames = None
+    per_kind = []
+    for kind in kinds:
+        if kind.name not in assignment:
+            raise ManualLeafletError(
+                f"molecule type '{kind.name}' not found in the leaflet "
+                f"assignment")
+        frames = assignment[kind.name]
+        if n_frames is None:
+            n_frames = len(frames)
+        elif len(frames) != n_frames:
+            raise ManualLeafletError(
+                "inconsistent number of assignment frames between molecule "
+                "types in the manual leaflet assignment")
+        rows = []
+        for frame in frames:
+            if len(frame) != kind.n_molecules:
+                raise ManualLeafletError(
+                    f"molecule type '{kind.name}': assignment frame lists "
+                    f"{len(frame)} molecules, expected {kind.n_molecules}")
+            rows.append([to_class(v) for v in frame])
+        per_kind.append(np.asarray(rows, np.int32))
+    if n_frames is None or n_frames == 0:
+        raise ManualLeafletError("the manual leaflet assignment is empty")
+    return np.concatenate(per_kind, axis=1)
+
+
+def _ndx_leaflet_table(system: System, kinds: List[MoleculeKind],
+                       params) -> np.ndarray:
+    """One NDX file per assignment frame; heads in the upper/lower groups
+    decide each molecule's leaflet (leaflets.rs FromNdx)."""
+    from .errors import NdxLeafletError
+    from .io.ndx import parse_ndx
+
+    heads = _single_atom_per_molecule(system, kinds, params.heads,
+                                      "leaflet heads")
+    rows = []
+    for path in params.ndx:
+        try:
+            with open(path) as fh:
+                groups = parse_ndx(fh.read(), system.n_atoms, path)
+        except OSError as e:
+            raise NdxLeafletError(
+                f"could not read leaflet ndx file '{path}': {e}") from None
+        upper = set(groups.get(params.upper_leaflet, np.zeros(0)).tolist())
+        lower = set(groups.get(params.lower_leaflet, np.zeros(0)).tolist())
+        if params.upper_leaflet not in groups:
+            raise NdxLeafletError(
+                f"group '{params.upper_leaflet}' not found in ndx file "
+                f"'{path}'")
+        if params.lower_leaflet not in groups:
+            raise NdxLeafletError(
+                f"group '{params.lower_leaflet}' not found in ndx file "
+                f"'{path}'")
+        row = np.zeros(len(heads), np.int32)
+        for m, head in enumerate(heads):
+            in_upper = int(head) in upper
+            in_lower = int(head) in lower
+            if in_upper and in_lower:
+                raise NdxLeafletError(
+                    f"head atom {int(head) + 1} is in both leaflet groups in "
+                    f"'{path}'")
+            if not in_upper and not in_lower:
+                raise NdxLeafletError(
+                    f"head atom {int(head) + 1} is in neither leaflet group "
+                    f"in '{path}'")
+            row[m] = 0 if in_upper else 1
+        rows.append(row)
+    if not rows:
+        raise NdxLeafletError("no ndx files given for leaflet assignment")
+    return np.stack(rows)
 
 
 # ------------------------------------------------------------------- run (CG/AA)
@@ -402,6 +532,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     if len(frame_indices) == 0:
         raise AnalysisError(
             "no trajectory frames are within the specified time range")
+    if leaflets is not None:
+        leaflets.validate(len(frame_indices))
 
     import concurrent.futures as cf
 
@@ -577,8 +709,30 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
         analysis, system, step, normal_vec, compiled.n_types,
         compiled.n_molecules, first_n, leaflets, map_spec,
         geom_mode, geom_payload)
-    return convert_results(analysis, system, kinds, compiled, accum,
-                           traj, frame_indices, map_spec, map_state)
+    results = convert_results(analysis, system, kinds, compiled, accum,
+                              traj, frame_indices, map_spec, map_state)
+    _attach_leaflet_data(results, analysis, kinds, leaflets)
+    return results
+
+
+def _attach_leaflet_data(results, analysis, kinds, leaflets) -> None:
+    if leaflets is None or leaflets.collect_frames is None:
+        return
+    bounds = []
+    offset = 0
+    for kind in kinds:
+        bounds.append((kind.name, offset, offset + kind.n_molecules))
+        offset += kind.n_molecules
+    frames = leaflets.collect_frames
+    if leaflets.manual_table is not None and not frames:
+        frames = list(leaflets.manual_table)
+    results.leaflets_data = {
+        "frames": frames,
+        "kinds": bounds,
+        "step": analysis.step,
+        "frequency_n": (leaflets.frequency.n
+                        if leaflets.frequency.kind == "every" else 1),
+    }
 
 
 def _run_ua(analysis: Analysis) -> AnalysisResults:
@@ -629,8 +783,10 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         analysis, system, step, normal_vec, compiled.n_types,
         compiled.n_molecules, compiled.max_atom_index + 1, leaflets,
         map_spec, geom_mode, geom_payload)
-    return convert_results_ua(analysis, system, kinds, compiled, accum,
-                              traj, frame_indices, map_spec, map_state)
+    results = convert_results_ua(analysis, system, kinds, compiled, accum,
+                                 traj, frame_indices, map_spec, map_state)
+    _attach_leaflet_data(results, analysis, kinds, leaflets)
+    return results
 
 
 # ------------------------------------------------------------------ converter

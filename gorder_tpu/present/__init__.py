@@ -31,3 +31,9 @@ def write_all_results(results) -> None:
         from .ordermaps_out import write_ordermaps
 
         write_ordermaps(results, analysis.map.output_directory)
+    if (analysis.leaflets is not None and analysis.leaflets.collect.enabled
+            and analysis.leaflets.collect.path
+            and results.leaflets_data is not None):
+        from .leaflets_out import write_leaflets
+
+        write_leaflets(results, analysis.leaflets.collect.path)

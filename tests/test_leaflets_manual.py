@@ -1,0 +1,120 @@
+"""Manual leaflet methods (from file / map / NDX) + leaflet export."""
+
+import yaml
+import numpy as np
+import pytest
+
+from gorder_tpu.errors import ManualLeafletError, NdxLeafletError
+from gorder_tpu.input import Analysis, AnalysisType, Frequency, LeafletClassification
+from gorder_tpu.present import write_yaml
+from gorder_tpu.present.leaflets_out import write_leaflets
+
+from .golden import assert_eq_order
+
+
+def cg_analysis(fixtures, leaflets, **kwargs):
+    return Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        leaflets=leaflets,
+        silent=True, overwrite=True, **kwargs,
+    )
+
+
+def test_cg_leaflets_from_file_once(fixtures, tmp_path):
+    leaflets = LeafletClassification.from_file(
+        str(fixtures / "inputs" / "leaflets_files" / "cg_once.yaml"))
+    leaflets.with_frequency(Frequency.once())
+    results = cg_analysis(fixtures, leaflets).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_cg_leaflets_from_file_every(fixtures, tmp_path):
+    leaflets = LeafletClassification.from_file(
+        str(fixtures / "inputs" / "leaflets_files" / "cg_every.yaml"))
+    results = cg_analysis(fixtures, leaflets).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_cg_leaflets_from_file_every20(fixtures, tmp_path):
+    leaflets = LeafletClassification.from_file(
+        str(fixtures / "inputs" / "leaflets_files" / "cg_every20.yaml"))
+    leaflets.with_frequency(Frequency.every(20))
+    results = cg_analysis(fixtures, leaflets).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_cg_leaflets_from_map_once(fixtures, tmp_path):
+    assignment = yaml.safe_load(
+        open(fixtures / "inputs" / "leaflets_files" / "cg_once.yaml"))
+    leaflets = LeafletClassification.from_map(assignment)
+    leaflets.with_frequency(Frequency.once())
+    results = cg_analysis(fixtures, leaflets).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_cg_leaflets_from_ndx_once(fixtures, tmp_path):
+    leaflets = LeafletClassification.from_ndx(
+        [str(fixtures / "ndx" / "cg_leaflets.ndx")],
+        "name PO4", "Upper", "Lower")
+    leaflets.with_frequency(Frequency.once())
+    results = cg_analysis(fixtures, leaflets).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_manual_frame_count_mismatch(fixtures):
+    leaflets = LeafletClassification.from_file(
+        str(fixtures / "inputs" / "leaflets_files" / "cg_once.yaml"))
+    # every(1) over 101 frames needs 101 assignment frames, the file has 1
+    with pytest.raises(ManualLeafletError):
+        cg_analysis(fixtures, leaflets).run()
+
+
+def test_manual_missing_moltype(fixtures):
+    leaflets = LeafletClassification.from_map({"POPC": [[1] * 242]})
+    leaflets.with_frequency(Frequency.once())
+    with pytest.raises(ManualLeafletError):
+        cg_analysis(fixtures, leaflets).run()
+
+
+def test_ndx_missing_group(fixtures):
+    leaflets = LeafletClassification.from_ndx(
+        [str(fixtures / "ndx" / "cg_leaflets.ndx")],
+        "name PO4", "NoSuchGroup", "Lower")
+    leaflets.with_frequency(Frequency.once())
+    with pytest.raises(NdxLeafletError):
+        cg_analysis(fixtures, leaflets).run()
+
+
+def test_aa_leaflet_export(fixtures, tmp_path):
+    for freq, golden in ((Frequency.every(1), "aa_leaflets_every1.yaml"),
+                         (Frequency.every(5), "aa_leaflets_every5.yaml"),
+                         (Frequency.once(), "aa_leaflets_once.yaml")):
+        leaflets = LeafletClassification.global_("@membrane", "name P")
+        leaflets.with_frequency(freq)
+        leaflets.with_collect(str(tmp_path / "leaflets.yaml"))
+        analysis = Analysis(
+            structure=str(fixtures / "pcpepg.tpr"),
+            trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                        for i in range(1, 6)],
+            analysis_type=AnalysisType.aaorder(
+                "@membrane and element name carbon",
+                "@membrane and element name hydrogen"),
+            leaflets=leaflets,
+            silent=True, overwrite=True,
+        )
+        results = analysis.run()
+        write_leaflets(results, str(tmp_path / "leaflets.yaml"))
+        assert_eq_order(str(tmp_path / "leaflets.yaml"),
+                        str(fixtures / golden))
