@@ -451,6 +451,143 @@ def _prepare_bond_kinds(system: System, analysis: Analysis
     return kinds, compile_bonds(kinds)
 
 
+@dataclass
+class NormalsRuntime:
+    """Per-batch membrane normals (dynamic PCA or manual tables)."""
+
+    mode: str                     # 'dynamic' | 'manual'
+    compute = None                # device fn (dynamic)
+    table: Optional[np.ndarray] = None    # (F, M, 3) manual normals
+    collected: Optional[List[np.ndarray]] = None
+    max_atom: int = 0
+
+    def validate(self, n_analyzed: int) -> None:
+        from .errors import ManualNormalError
+
+        if self.mode == "manual" and len(self.table) != n_analyzed:
+            raise ManualNormalError(
+                f"manual membrane normals provide {len(self.table)} frame(s) "
+                f"but the analysis visits {n_analyzed}")
+
+    def normals_for_batch(self, coords_f32, box_dev,
+                          analyzed_idx: np.ndarray, batch_size: int):
+        from .errors import DynamicNormalError
+
+        if self.mode == "manual":
+            n_valid = len(analyzed_idx)
+            out = np.zeros((batch_size,) + self.table.shape[1:], np.float32)
+            out[:n_valid] = self.table[analyzed_idx]
+            normals = out
+            if self.collected is not None:
+                self.collected.append(self.table[analyzed_idx])
+            return normals
+        normals, counts = self.compute(coords_f32, box_dev)
+        n_valid = len(analyzed_idx)
+        counts_host = np.asarray(counts[:n_valid])
+        if (counts_host < 3).any():
+            raise DynamicNormalError(
+                "fewer than 3 head-group atoms within the scanning sphere of "
+                "a molecule — increase the dynamic normal radius")
+        if self.collected is not None:
+            self.collected.append(np.asarray(normals[:n_valid]))
+        return normals
+
+
+def _build_normals(system: System, analysis: Analysis,
+                   kinds: List[MoleculeKind], n_molecules: int):
+    """→ (leaflet_axis, static_vec or None, NormalsRuntime or None)."""
+    from .errors import ManualNormalError
+
+    mn = analysis.membrane_normal
+    if mn.kind == "static":
+        axis = _AXIS_INDEX[mn.axis]
+        normal_vec = np.zeros(3, np.float32)
+        normal_vec[axis] = 1.0
+        return axis, normal_vec, None
+
+    # non-static normals: leaflet methods need their own axis
+    axis = 2
+    if analysis.leaflets is not None and analysis.leaflets.kind in (
+            "global", "local", "individual"):
+        if analysis.leaflets.membrane_normal is None:
+            raise ConfigError(
+                "leaflet classification requires an explicit "
+                "'membrane_normal' axis when the analysis uses dynamic or "
+                "manual membrane normals")
+        axis = _AXIS_INDEX[analysis.leaflets.membrane_normal]
+
+    runtime = NormalsRuntime(mode="dynamic" if mn.kind == "dynamic"
+                             else "manual")
+    if mn.collect.enabled:
+        runtime.collected = []
+
+    if mn.kind == "dynamic":
+        from .core.normals import make_dynamic_normals
+
+        heads = _single_atom_per_molecule(system, kinds, mn.heads,
+                                          "dynamic membrane normal heads")
+        cloud_mask = select_mask(system, mn.heads)
+        cloud = np.nonzero(cloud_mask)[0]
+        runtime.compute = make_dynamic_normals(heads, cloud, mn.radius,
+                                               analysis.handle_pbc)
+        runtime.max_atom = int(max(heads.max(), cloud.max()))
+        return axis, None, runtime
+
+    # manual normals (from file or inline map)
+    if mn.kind == "from_file":
+        import yaml as _yaml
+
+        try:
+            with open(mn.file) as fh:
+                mapping = _yaml.safe_load(fh)
+        except OSError as e:
+            raise ManualNormalError(
+                f"could not read membrane normals file '{mn.file}': {e}"
+            ) from None
+        except _yaml.YAMLError as e:
+            raise ManualNormalError(
+                f"could not parse membrane normals file '{mn.file}': {e}"
+            ) from None
+    else:
+        mapping = mn.normals_map
+    runtime.table = _manual_normals_table(mapping, kinds)
+    return axis, None, runtime
+
+
+def _manual_normals_table(mapping, kinds: List[MoleculeKind]) -> np.ndarray:
+    from .errors import ManualNormalError
+
+    if not isinstance(mapping, dict):
+        raise ManualNormalError(
+            "manual membrane normals must map molecule types to per-frame "
+            "per-molecule vectors")
+    n_frames = None
+    per_kind = []
+    for kind in kinds:
+        if kind.name not in mapping:
+            raise ManualNormalError(
+                f"molecule type '{kind.name}' not found in the manual "
+                f"normals structure")
+        frames = mapping[kind.name]
+        if n_frames is None:
+            n_frames = len(frames)
+        elif len(frames) != n_frames:
+            raise ManualNormalError(
+                "inconsistent frame counts between molecule types in the "
+                "manual membrane normals")
+        rows = []
+        for frame in frames:
+            if len(frame) != kind.n_molecules:
+                raise ManualNormalError(
+                    f"molecule type '{kind.name}': normals frame lists "
+                    f"{len(frame)} molecules, expected {kind.n_molecules}")
+            rows.append(np.asarray(frame, np.float32))
+        per_kind.append(np.stack(rows))
+    if not n_frames:
+        raise ManualNormalError("the manual membrane normals are empty")
+    return np.concatenate(per_kind, axis=1)
+
+
 def _static_normal(analysis: Analysis):
     if analysis.membrane_normal.kind != "static":
         raise AnalysisError(
@@ -501,7 +638,8 @@ def _prepare_geometry(system: System, analysis: Analysis):
 def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  n_types: int, n_molecules: int, first_n: int,
                  leaflets: Optional[LeafletRuntime], map_spec=None,
-                 geom_mode=None, geom_payload=None):
+                 geom_mode=None, geom_payload=None,
+                 normals: Optional[NormalsRuntime] = None):
     """Shared frame-batch loop: decode → device → kernel → accumulate.
 
     The decode of batch k+1 runs in a worker thread (the native codec
@@ -518,6 +656,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     if leaflets is not None:
         first_n = max(first_n, leaflets.max_atom + 1)
+    if normals is not None:
+        first_n = max(first_n, normals.max_atom + 1)
     if geom_mode == "selection":
         first_n = max(first_n, int(geom_payload.max()) + 1)
     # round up so different configs on the same system share compiled shapes
@@ -534,6 +674,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             "no trajectory frames are within the specified time range")
     if leaflets is not None:
         leaflets.validate(len(frame_indices))
+    if normals is not None:
+        normals.validate(len(frame_indices))
 
     import concurrent.futures as cf
 
@@ -637,23 +779,36 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
             analyzed = np.arange(b * batch_size,
                                  b * batch_size + n_valid, dtype=np.int64)
-            if leaflets is not None:
-                # leaflet classifiers consume f32 coordinates, and the
-                # carried-assignment logic needs host values per batch
+            if leaflets is not None or normals is not None:
+                # these subsystems consume f32 coordinates, and their
+                # carried/collected state needs host values per batch
                 if scale_dev is not None:
                     coords_f32 = _dequantize(coords_dev, scale_dev)
                 else:
                     coords_f32 = coords_dev
-                classes_arr = leaflets.classes_for_batch(
-                    coords_f32, box_dev, analyzed)
-                if classes_arr.shape[0] < batch_size:
-                    classes_arr = np.concatenate([
-                        classes_arr,
-                        np.zeros((batch_size - classes_arr.shape[0],
-                                  n_molecules), np.int32)])
-                result, map_state = step(coords_f32, box_dev, normal_dev,
+                if normals is not None:
+                    normal_arg = normals.normals_for_batch(
+                        coords_f32, box_dev, analyzed, batch_size)
+                    normal_arg = jax.device_put(np.asarray(normal_arg)
+                                                if isinstance(normal_arg,
+                                                              np.ndarray)
+                                                else normal_arg)
+                else:
+                    normal_arg = normal_dev
+                if leaflets is not None:
+                    classes_arr = leaflets.classes_for_batch(
+                        coords_f32, box_dev, analyzed)
+                    if classes_arr.shape[0] < batch_size:
+                        classes_arr = np.concatenate([
+                            classes_arr,
+                            np.zeros((batch_size - classes_arr.shape[0],
+                                      n_molecules), np.int32)])
+                    classes_dev = jax.device_put(classes_arr)
+                else:
+                    classes_dev = None
+                result, map_state = step(coords_f32, box_dev, normal_arg,
                                          jax.device_put(frame_mask),
-                                         jax.device_put(classes_arr),
+                                         classes_dev,
                                          map_state=map_state,
                                          geom_ref=geom_ref)
             else:
@@ -689,7 +844,8 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
 
     system = load_structure(analysis)
     kinds, compiled = _prepare_bond_kinds(system, analysis)
-    axis, normal_vec = _static_normal(analysis)
+    axis, normal_vec, normals_rt = _build_normals(system, analysis, kinds,
+                                                  compiled.n_molecules)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
                                      compiled.n_molecules, axis)
     map_spec = (build_map_spec(analysis.map, system.box)
@@ -701,18 +857,36 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
         compiled.molecule, compiled.n_types, compiled.n_molecules,
         handle_pbc=analysis.handle_pbc,
         with_leaflets=leaflets is not None,
+        normal_mode="per_molecule" if normals_rt is not None else "static",
         map_spec=map_spec, geom_spec=geom_spec,
     )
     first_n = int(max(compiled.atom_a.max(initial=0),
                       compiled.atom_b.max(initial=0))) + 1
     accum, traj, frame_indices, map_state = _run_batches(
-        analysis, system, step, normal_vec, compiled.n_types,
-        compiled.n_molecules, first_n, leaflets, map_spec,
-        geom_mode, geom_payload)
+        analysis, system, step,
+        normal_vec if normal_vec is not None else np.zeros(3, np.float32),
+        compiled.n_types, compiled.n_molecules, first_n, leaflets, map_spec,
+        geom_mode, geom_payload, normals_rt)
     results = convert_results(analysis, system, kinds, compiled, accum,
                               traj, frame_indices, map_spec, map_state)
     _attach_leaflet_data(results, analysis, kinds, leaflets)
+    _attach_normals_data(results, analysis, kinds, normals_rt)
     return results
+
+
+def _attach_normals_data(results, analysis, kinds, normals_rt) -> None:
+    if normals_rt is None or normals_rt.collected is None:
+        return
+    bounds = []
+    offset = 0
+    for kind in kinds:
+        bounds.append((kind.name, offset, offset + kind.n_molecules))
+        offset += kind.n_molecules
+    results.normals_data = {
+        "frames": np.concatenate(normals_rt.collected, axis=0),
+        "kinds": bounds,
+        "step": analysis.step,
+    }
 
 
 def _attach_leaflet_data(results, analysis, kinds, leaflets) -> None:
@@ -764,7 +938,8 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         log.info("molecule type %s: %d molecules, %d analyzable atoms",
                  kind.name, kind.n_molecules, len(compiled.atom_specs[k]))
 
-    axis, normal_vec = _static_normal(analysis)
+    axis, normal_vec, normals_rt = _build_normals(system, analysis, kinds,
+                                                  compiled.n_molecules)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
                                      compiled.n_molecules, axis)
     from .core.ordermap import build_map_spec
@@ -777,15 +952,19 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         compiled.n_types,
         handle_pbc=analysis.handle_pbc,
         with_leaflets=leaflets is not None,
+        normal_mode="per_molecule" if normals_rt is not None else "static",
         map_spec=map_spec, geom_spec=geom_spec,
     )
     accum, traj, frame_indices, map_state = _run_batches(
-        analysis, system, step, normal_vec, compiled.n_types,
-        compiled.n_molecules, compiled.max_atom_index + 1, leaflets,
-        map_spec, geom_mode, geom_payload)
+        analysis, system, step,
+        normal_vec if normal_vec is not None else np.zeros(3, np.float32),
+        compiled.n_types, compiled.n_molecules,
+        compiled.max_atom_index + 1, leaflets,
+        map_spec, geom_mode, geom_payload, normals_rt)
     results = convert_results_ua(analysis, system, kinds, compiled, accum,
                                  traj, frame_indices, map_spec, map_state)
     _attach_leaflet_data(results, analysis, kinds, leaflets)
+    _attach_normals_data(results, analysis, kinds, normals_rt)
     return results
 
 

@@ -84,12 +84,15 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
 
     if normal_mode == "static":
         proj = jnp.einsum("bnc,c->bn", d, normal)
+        n2 = jnp.float32(1.0)
     else:
         per_bond_normal = jnp.take(normal, bond_mol, axis=1)  # (B, N, 3)
         proj = jnp.sum(d * per_bond_normal, axis=-1)
+        n2 = jnp.maximum(
+            jnp.sum(per_bond_normal * per_bond_normal, axis=-1), 1e-18)
 
     d2 = jnp.sum(d * d, axis=-1)
-    cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
+    cos2 = (proj * proj) / (jnp.maximum(d2, 1e-18) * n2)
     sch = 1.5 * cos2 - 0.5                            # (B, N)
 
     # reference-exact per-sample fixed-point quantization

@@ -37,3 +37,9 @@ def write_all_results(results) -> None:
         from .leaflets_out import write_leaflets
 
         write_leaflets(results, analysis.leaflets.collect.path)
+    if (analysis.membrane_normal.collect.enabled
+            and analysis.membrane_normal.collect.path
+            and results.normals_data is not None):
+        from .normals_out import write_normals
+
+        write_normals(results, analysis.membrane_normal.collect.path)
