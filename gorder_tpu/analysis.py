@@ -148,6 +148,7 @@ class LeafletRuntime:
     kinds: Optional[List[MoleculeKind]] = None
     flip: bool = False
     max_atom: int = 0
+    orienter = None   # SpectralOrienter: raw cluster labels → leaflets
 
     def assignment_source(self, analyzed_idx: np.ndarray) -> np.ndarray:
         if self.frequency.kind == "once":
@@ -186,6 +187,12 @@ class LeafletRuntime:
         else:
             batch_start = analyzed_idx[0]
             assigned = np.asarray(self.classify(coords_dev, box_dev))
+            if self.orienter is not None:
+                # cluster identities are resolved sequentially per
+                # assignment frame (clustering.rs classify_by_match)
+                assigned = assigned.copy()
+                for i in np.nonzero(is_assign)[0]:
+                    assigned[i] = self.orienter.orient(assigned[i])
             in_batch = src >= batch_start
             local = np.clip(src - batch_start, 0, len(analyzed_idx) - 1)
             classes = np.where(
@@ -289,6 +296,22 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
             heads, methyls, methyl_mols, n_molecules, axis,
             analysis.handle_pbc)
         runtime.max_atom = int(max(heads.max(), methyls.max()))
+    elif params.kind == "clustering":
+        from .core.clustering import SpectralOrienter, make_spectral_labels
+
+        heads = _single_atom_per_molecule(system, kinds, params.heads,
+                                          "cluster heads")
+        runtime.classify = make_spectral_labels(heads, analysis.handle_pbc)
+        runtime.orienter = SpectralOrienter(heads)
+        runtime.max_atom = int(heads.max())
+    elif params.kind == "spherical":
+        from .core.clustering import make_spherical_classifier
+
+        heads = _single_atom_per_molecule(system, kinds, params.heads,
+                                          "cluster heads")
+        runtime.classify = make_spherical_classifier(heads,
+                                                     analysis.handle_pbc)
+        runtime.max_atom = int(heads.max())
     elif params.kind in ("from_file", "from_map"):
         if params.kind == "from_file":
             import yaml as _yaml

@@ -1,0 +1,221 @@
+"""Clustering-based leaflet classification.
+
+Behavioral reference: src/analysis/clustering.rs (spectral) and
+src/analysis/spherical_clustering.rs (1-D GMM).
+
+Spectral: similarity W = exp(−σ d²) over head-group atoms, normalized
+Laplacian I − D^{-1/2} W D^{-1/2}, the two smallest non-trivial eigenvectors
+row-normalized, k-means(k=2) with first-two-rows init. The reference runs a
+"precise" dense path for ≤5000 heads and a Lanczos "sloppy" heuristic with
+retries above; on TPU the dense eigendecomposition is cheap at these sizes,
+so the precise path runs always (deterministic — the retry/validation
+machinery and its nondeterministic seed vector disappear, SURVEY.md §7
+step 9). Cluster→leaflet identity is resolved on the host: ab initio on the
+first assignment frame (larger cluster = upper; tie → the cluster holding
+the lowest head index), then ≥80% membership overlap with the previous
+assignment (clustering.rs classify_by_match).
+
+Spherical: distances of heads from their center of geometry → two-component
+1-D GMM fit by EM (percentile init, log-sum-exp, variance/weight floors);
+the component with the larger mean distance (outer shell) is the upper
+leaflet.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ClusterError
+from .pbc import circular_mean_cog, min_image, naive_cog
+
+PRECISE_SIGMA = 1.0
+CLASSIFICATION_LIMIT = 0.8
+KMEANS_ITERS = 100
+GMM_MAX_ITERATIONS = 50
+GMM_TOLERANCE = 1e-4
+
+
+def _pairwise_sq_distances(points, box, handle_pbc):
+    d = points[:, None, :] - points[None, :, :]
+    if handle_pbc:
+        d = min_image(d, box[None, None, :])
+    return jnp.sum(d * d, axis=-1)
+
+
+def _kmeans2(embedding):
+    """k-means with k=2, first-two-rows init, fixed iterations
+    (clustering.rs k_means — deterministic)."""
+
+    def body(_, centroids):
+        d0 = jnp.sum((embedding - centroids[0]) ** 2, axis=1)
+        d1 = jnp.sum((embedding - centroids[1]) ** 2, axis=1)
+        labels = (d1 < d0).astype(jnp.float32)          # 1 → cluster 1
+        w1 = labels[:, None]
+        w0 = 1.0 - w1
+        c0 = jnp.sum(embedding * w0, axis=0) / jnp.maximum(w0.sum(), 1.0)
+        c1 = jnp.sum(embedding * w1, axis=0) / jnp.maximum(w1.sum(), 1.0)
+        # empty-cluster fallback: first data point
+        c0 = jnp.where(w0.sum() > 0, c0, embedding[0])
+        c1 = jnp.where(w1.sum() > 0, c1, embedding[0])
+        return jnp.stack([c0, c1])
+
+    centroids = jax.lax.fori_loop(
+        0, KMEANS_ITERS, body, embedding[:2])
+    d0 = jnp.sum((embedding - centroids[0]) ** 2, axis=1)
+    d1 = jnp.sum((embedding - centroids[1]) ** 2, axis=1)
+    return (d1 < d0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("handle_pbc",))
+def _spectral_labels(coords, box_diag, head_idx, *, handle_pbc):
+    """(B, A, 3) → (B, M) raw k-means cluster labels per frame."""
+
+    def per_frame(args):
+        frame, box = args
+        heads = jnp.take(frame, head_idx, axis=0)
+        d2 = _pairwise_sq_distances(heads, box, handle_pbc)
+        w = jnp.exp(-PRECISE_SIGMA * d2)
+        degree = jnp.sum(w, axis=1)
+        d_inv_sqrt = jnp.where(degree > 1e-10, 1.0 / jnp.sqrt(degree), 0.0)
+        n = heads.shape[0]
+        laplacian = jnp.eye(n) - w * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
+        _, vecs = jnp.linalg.eigh(laplacian)   # ascending eigenvalues
+        embedding = vecs[:, 1:3]               # skip the trivial eigenvector
+        norm = jnp.sqrt(jnp.sum(embedding ** 2, axis=1, keepdims=True))
+        embedding = jnp.where(norm > 1e-10, embedding / norm, embedding)
+        return _kmeans2(embedding)
+
+    return jax.lax.map(per_frame, (coords, box_diag))
+
+
+def make_spectral_labels(head_indices, handle_pbc=True):
+    head_d = jax.device_put(np.asarray(head_indices, np.int32))
+
+    def compute(coords, box_diag):
+        return _spectral_labels(coords, box_diag, head_d,
+                                handle_pbc=handle_pbc)
+
+    return compute
+
+
+class SpectralOrienter:
+    """Sequential cluster→leaflet identity across assignment frames."""
+
+    def __init__(self, head_indices):
+        self.head_indices = np.asarray(head_indices)
+        self.prev_upper = None   # (M,) bool
+
+    def orient(self, labels: np.ndarray) -> np.ndarray:
+        """raw (M,) k-means labels → (M,) classes (0 upper, 1 lower)."""
+        c1 = labels == 0
+        c2 = ~c1
+        if self.prev_upper is None:
+            n1, n2 = int(c1.sum()), int(c2.sum())
+            if n1 > n2:
+                upper = c1
+            elif n2 > n1:
+                upper = c2
+            else:
+                # tie: the cluster holding the lowest head atom index
+                first = int(np.argmin(self.head_indices))
+                upper = c1 if c1[first] else c2
+        else:
+            overlap_upper = (c1 & self.prev_upper).sum() / max(c1.sum(), 1)
+            overlap_lower = (c1 & ~self.prev_upper).sum() / max(c1.sum(), 1)
+            if (overlap_upper < CLASSIFICATION_LIMIT
+                    and overlap_lower < CLASSIFICATION_LIMIT):
+                raise ClusterError(
+                    f"could not match leaflets between frames: no cluster "
+                    f"matches the previous assignment to at least "
+                    f"{int(CLASSIFICATION_LIMIT * 100)}%")
+            upper = c1 if overlap_upper >= overlap_lower else c2
+        self.prev_upper = upper
+        return np.where(upper, 0, 1).astype(np.int32)
+
+
+# ------------------------------------------------------------------ spherical
+
+
+@functools.partial(jax.jit, static_argnames=("handle_pbc",))
+def _spherical_classes(coords, box_diag, head_idx, *, handle_pbc):
+    """(B, A, 3) → (B, M) classes (0 = outer/upper, 1 = inner/lower)."""
+
+    def per_frame(args):
+        frame, box = args
+        heads = jnp.take(frame, head_idx, axis=0)      # (M, 3)
+        mask = jnp.ones(heads.shape[:-1], frame.dtype)
+        if handle_pbc:
+            center = circular_mean_cog(heads[None], mask[None], box[None])[0]
+        else:
+            center = naive_cog(heads[None], mask[None])[0]
+        rel = heads - center
+        if handle_pbc:
+            rel = min_image(rel, box[None, :])
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))   # (M,)
+
+        # GMM init: 25th/75th percentile means, global variance
+        sorted_d = jnp.sort(dist)
+        n = dist.shape[0]
+        mean_a0 = sorted_d[n // 4]
+        mean_b0 = sorted_d[(3 * n) // 4]
+        gmean = jnp.mean(dist)
+        gvar = jnp.maximum(jnp.var(dist, ddof=1), 1e-6)
+
+        def em(_, state):
+            w_a, m_a, v_a, m_b, v_b = state
+            log_w_a = jnp.log(w_a)
+            log_w_b = jnp.log(1.0 - w_a)
+
+            def log_gauss(x, m, v):
+                return -0.5 * (jnp.log(2.0 * jnp.pi) + jnp.log(v)
+                               + (x - m) ** 2 / v)
+
+            ja = log_w_a + log_gauss(dist, m_a, v_a)
+            jb = log_w_b + log_gauss(dist, m_b, v_b)
+            mx = jnp.maximum(ja, jb)
+            log_px = mx + jnp.log(jnp.exp(ja - mx) + jnp.exp(jb - mx))
+            resp_a = jnp.exp(ja - log_px)
+
+            sum_a = jnp.maximum(resp_a.sum(), 1e-6)
+            sum_b = jnp.maximum(n - resp_a.sum(), 1e-6)
+            w_a = jnp.clip(sum_a / n, 1e-4, 1.0 - 1e-4)
+            m_a = jnp.sum(resp_a * dist) / sum_a
+            m_b = jnp.sum((1.0 - resp_a) * dist) / sum_b
+            v_a = jnp.maximum(
+                jnp.sum(resp_a * (dist - m_a) ** 2) / sum_a, 1e-6)
+            v_b = jnp.maximum(
+                jnp.sum((1.0 - resp_a) * (dist - m_b) ** 2) / sum_b, 1e-6)
+            return (w_a, m_a, v_a, m_b, v_b)
+
+        state = jax.lax.fori_loop(
+            0, GMM_MAX_ITERATIONS, em,
+            (jnp.float32(0.5), mean_a0, gvar, mean_b0, gvar))
+        w_a, m_a, v_a, m_b, v_b = state
+        ja = jnp.log(w_a) - 0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v_a)
+                                   + (dist - m_a) ** 2 / v_a)
+        jb = jnp.log(1 - w_a) - 0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v_b)
+                                       + (dist - m_b) ** 2 / v_b)
+        mx = jnp.maximum(ja, jb)
+        resp_a = jnp.exp(ja - (mx + jnp.log(jnp.exp(ja - mx)
+                                            + jnp.exp(jb - mx))))
+        in_a = resp_a >= 0.5
+        # outer shell (larger mean distance) = upper leaflet
+        a_is_outer = m_a >= m_b
+        upper = jnp.where(a_is_outer, in_a, ~in_a)
+        return jnp.where(upper, 0, 1).astype(jnp.int32)
+
+    return jax.lax.map(per_frame, (coords, box_diag))
+
+
+def make_spherical_classifier(head_indices, handle_pbc=True):
+    head_d = jax.device_put(np.asarray(head_indices, np.int32))
+
+    def classify(coords, box_diag):
+        return _spherical_classes(coords, box_diag, head_d,
+                                  handle_pbc=handle_pbc)
+
+    return classify

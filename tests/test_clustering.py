@@ -1,0 +1,99 @@
+"""Clustering leaflet classification: spectral (flat bilayer golden) and
+spherical GMM (synthetic vesicle)."""
+
+import numpy as np
+import pytest
+
+from gorder_tpu.input import Analysis, AnalysisType, Frequency, LeafletClassification
+from gorder_tpu.present import write_yaml
+
+from .golden import assert_eq_order
+
+
+def test_aa_clustering_matches_golden(fixtures, tmp_path):
+    """Spectral clustering on a flat bilayer reproduces the global-method
+    golden (the reference's test_aa_order_leaflets_yaml clustering case)."""
+    analysis = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        leaflets=LeafletClassification.clustering("name P"),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "aa_order_leaflets.yaml"))
+
+
+def test_cg_clustering_every4(fixtures, tmp_path):
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        leaflets=LeafletClassification.clustering("name PO4").with_frequency(
+            Frequency.every(4)),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_spherical_gmm_vesicle():
+    """Synthetic two-shell vesicle: the GMM must put the outer shell in the
+    upper leaflet for every frame."""
+    from gorder_tpu.core.clustering import make_spherical_classifier
+
+    rng = np.random.default_rng(3)
+    n_outer, n_inner = 160, 90
+    box = np.array([30.0, 30.0, 30.0], np.float32)
+    center = box / 2
+
+    def shell(n, radius):
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        r = radius + rng.normal(0, 0.15, (n, 1))
+        return center + v * r
+
+    frames = []
+    for _ in range(3):
+        pts = np.concatenate([shell(n_outer, 8.0), shell(n_inner, 5.5)])
+        frames.append(pts)
+    coords = np.asarray(frames, np.float32)
+    boxes = np.tile(box, (3, 1))
+
+    classify = make_spherical_classifier(np.arange(n_outer + n_inner))
+    classes = np.asarray(classify(coords, boxes))
+    assert (classes[:, :n_outer] == 0).all()   # outer = upper
+    assert (classes[:, n_outer:] == 1).all()   # inner = lower
+
+
+def test_spectral_orienter_scrambling():
+    """Membership matching keeps leaflet identity stable when cluster labels
+    flip between frames, and errors when no match exists."""
+    from gorder_tpu.core.clustering import SpectralOrienter
+    from gorder_tpu.errors import ClusterError
+
+    orienter = SpectralOrienter(np.arange(10))
+    frame0 = np.array([0] * 6 + [1] * 4)
+    classes0 = orienter.orient(frame0)
+    assert (classes0 == np.array([0] * 6 + [1] * 4)).all()
+
+    # identical clustering but labels swapped → same leaflets
+    classes1 = orienter.orient(1 - frame0)
+    assert (classes1 == classes0).all()
+
+    # one molecule flips leaflet → still matched
+    frame2 = frame0.copy()
+    frame2[5] = 1
+    classes2 = orienter.orient(frame2)
+    assert (classes2[:5] == 0).all() and (classes2[5:] == 1).all()
+
+    # total scramble → no ≥80% match → error
+    with pytest.raises(ClusterError):
+        orienter.orient(np.array([0, 1] * 5))
