@@ -731,21 +731,27 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         for _ in range(2)
     ]
 
+    # n_threads maps to decoder threads (frames decode independently); the
+    # reference's analysis threading is superseded by device parallelism
+    n_threads = max(1, analysis.n_threads)
+
     def decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % 2]
         if use_i16:
-            res = traj.read_frames_quantized(chunk, first_n, out=buf)
+            res = traj.read_frames_quantized(chunk, first_n, out=buf,
+                                             n_threads=n_threads)
             if res is not None:
                 coords, inv_prec, boxes, times, steps = res
                 if len(chunk) < batch_size:
                     coords = buf
                 return coords, inv_prec, boxes, len(chunk), b
             # rare mid-trajectory fallback: decode as f32 into a new buffer
-            coords, boxes, times, steps = traj.read_frames(chunk, first_n)
+            coords, boxes, times, steps = traj.read_frames(
+                chunk, first_n, n_threads=n_threads)
             return coords.astype(np.float32), None, boxes, len(chunk), b
-        coords, boxes, times, steps = traj.read_frames(chunk, first_n,
-                                                       out=buf)
+        coords, boxes, times, steps = traj.read_frames(
+            chunk, first_n, n_threads=n_threads, out=buf)
         if len(chunk) < batch_size:
             coords = buf
         return coords, None, boxes, len(chunk), b
