@@ -47,7 +47,19 @@ from .topology.classify import (
 
 log = logging.getLogger("gorder")
 
-DEFAULT_BATCH_SIZE = int(os.environ.get("GORDER_TPU_BATCH_SIZE", "128"))
+def _default_batch_size() -> int:
+    """Frames per device execution. Accelerators amortize per-execution
+    dispatch/link overhead with large batches; CPU (tests) keeps batches
+    small so short fixture trajectories are not mostly padding."""
+    env = os.environ.get("GORDER_TPU_BATCH_SIZE")
+    if env:
+        return int(env)
+    import jax
+
+    return 128 if jax.default_backend() == "cpu" else 512
+
+
+DEFAULT_BATCH_SIZE = None  # resolved lazily (monkeypatchable in tests)
 
 
 def _configure_jax() -> None:
@@ -705,7 +717,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     import jax
 
     # fixed batch size (padded) so every run of a system shares one compile
-    batch_size = DEFAULT_BATCH_SIZE
+    batch_size = (DEFAULT_BATCH_SIZE if DEFAULT_BATCH_SIZE
+                  else _default_batch_size())
     normal_dev = jax.device_put(normal_vec)
 
     # probe whether the whole trajectory supports the int16 fast path
