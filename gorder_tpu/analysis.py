@@ -161,6 +161,21 @@ class LeafletRuntime:
     flip: bool = False
     max_atom: int = 0
     orienter = None   # SpectralOrienter: raw cluster labels → leaflets
+    _logged_stats: bool = False
+
+    def _log_first_stats(self, classes: np.ndarray) -> None:
+        """First-assignment-frame leaflet populations
+        (reference: topology/mod.rs:178-225)."""
+        if self._logged_stats or self.kinds is None:
+            return
+        self._logged_stats = True
+        offset = 0
+        for kind in self.kinds:
+            chunk = classes[offset:offset + kind.n_molecules]
+            log.info(
+                "leaflet assignment (first frame): %s: %d upper, %d lower",
+                kind.name, int((chunk == 0).sum()), int((chunk == 1).sum()))
+            offset += kind.n_molecules
 
     def assignment_source(self, analyzed_idx: np.ndarray) -> np.ndarray:
         if self.frequency.kind == "once":
@@ -221,6 +236,8 @@ class LeafletRuntime:
         if self.collect_frames is not None:
             for i in np.nonzero(is_assign)[0]:
                 self.collect_frames.append(classes[i].copy())
+        if not self._logged_stats and len(classes):
+            self._log_first_stats(np.asarray(classes[0]))
         return classes.astype(np.int32)
 
 
@@ -866,6 +883,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     {k: np.asarray(v) for k, v in result.items()}, n_valid)
             else:
                 in_flight.append((result, n_valid))
+            if b % 16 == 15:
+                log.info("dispatched %d / %d frames",
+                         min((b + 1) * batch_size, len(frame_indices)),
+                         len(frame_indices))
     finally:
         executor.shutdown(wait=True)
 
@@ -1043,6 +1064,9 @@ class _Collector:
         if self.with_errors:
             for cls in self.classes:
                 self.timewise[cls] = accum.timewise(cls)
+            log.info(
+                "error estimation: %d blocks of %d frames",
+                self.n_blocks, accum.n_frames // max(self.n_blocks, 1))
 
     def collection(self, type_slice, *, for_average=False) -> OrderCollection:
         col = OrderCollection()

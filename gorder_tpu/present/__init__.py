@@ -1,4 +1,8 @@
+import logging
+
 from .yaml_out import render_yaml, write_yaml  # noqa: F401
+
+_log = logging.getLogger("gorder")
 
 
 def write_all_results(results) -> None:
@@ -9,6 +13,7 @@ def write_all_results(results) -> None:
         return
     if analysis.output_yaml:
         write_yaml(results, analysis.output_yaml)
+        _log.info("written results to '%s'", analysis.output_yaml)
     if analysis.output_tab:
         from .tab_out import write_tab
 

@@ -148,12 +148,14 @@ def write_ordermaps(results: AnalysisResults, directory: str) -> None:
                 f"type {mol.name}."), grid, spec, mode)
         for bond in mol.bonds:  # CG
             for cls, grid in classes_of(bond.maps):
-                name = (f"ordermap_{bond.atom1.compact()}--"
-                        f"{bond.atom2.compact()}_{_CLASS_SUFFIX[cls]}.dat")
+                a1, a2 = sorted((bond.atom1, bond.atom2),
+                                key=lambda a: a.rel_index)
+                name = (f"ordermap_{a1.compact()}--"
+                        f"{a2.compact()}_{_CLASS_SUFFIX[cls]}.dat")
                 _write_map(os.path.join(mol_dir, name), _comment(
                     f"Map of average order parameters calculated for bonds "
-                    f"between atom types {bond.atom1.compact()} and "
-                    f"{bond.atom2.compact()} of a molecule type {mol.name}."),
+                    f"between atom types {a1.compact()} and "
+                    f"{a2.compact()} of a molecule type {mol.name}."),
                     grid, spec, mode)
         for atom in mol.atoms:  # AA / UA
             for cls, grid in classes_of(atom.maps):
@@ -166,12 +168,14 @@ def write_ordermaps(results: AnalysisResults, directory: str) -> None:
             for bond in atom.bonds:
                 for cls, grid in classes_of(bond.maps):
                     if bond.atom2 is not None:
-                        name = (f"ordermap_{bond.atom1.compact()}--"
-                                f"{bond.atom2.compact()}"
+                        a1, a2 = sorted((bond.atom1, bond.atom2),
+                                        key=lambda a: a.rel_index)
+                        name = (f"ordermap_{a1.compact()}--"
+                                f"{a2.compact()}"
                                 f"_{_CLASS_SUFFIX[cls]}.dat")
                         what = (f"bonds between atom types "
-                                f"{bond.atom1.compact()} and "
-                                f"{bond.atom2.compact()}")
+                                f"{a1.compact()} and "
+                                f"{a2.compact()}")
                     else:
                         # UA virtual hydrogens: RES-H{k}-{relindex}
                         virtual = (f"{bond.atom1.resname}-"
