@@ -156,3 +156,33 @@ def test_same_name_distinct_types(fixtures):
     kinds = classify_molecules(system, mask, mode="bonds")
     if len(kinds) > 1:
         assert sorted(k.name for k in kinds) == ["POPC1", "POPC2"]
+
+
+def test_cg_redefined_bonds(fixtures, tmp_path):
+    """A bonds file replaces the TPR bond topology entirely
+    (structure.rs:27-88)."""
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        bonds=str(fixtures / "cg_redefined.bnd"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_redefined_bonds.yaml"))
+
+
+def test_membrane_normal_axis_config():
+    from gorder_tpu.input import MembraneNormal
+    from gorder_tpu.input.config import load_yaml
+
+    for axis in ("x", "y", "z"):
+        mn = MembraneNormal.parse(load_yaml(f"membrane_normal: {axis}")
+                                  ["membrane_normal"])
+        assert mn.kind == "static" and mn.axis == axis
+    dyn = MembraneNormal.parse(load_yaml(
+        "membrane_normal: !Dynamic {heads: 'name P', radius: 2.5}")
+        ["membrane_normal"])
+    assert dyn.kind == "dynamic" and dyn.radius == 2.5
