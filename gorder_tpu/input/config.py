@@ -214,6 +214,8 @@ class MembraneNormal:
                     fields.get("collect"),
                 )
             if tag == "fromfile":
+                if "__scalar__" in value:  # !FromFile "normals.yaml"
+                    return MembraneNormal.from_file(value["__scalar__"])
                 fields = _expect_keys(
                     dict(value), {"file": [], "collect": ["export"]},
                     "!FromFile membrane normal",
@@ -227,6 +229,11 @@ class MembraneNormal:
                 )
                 return MembraneNormal.from_map(
                     fields["normals"], fields.get("collect"))
+            if tag == "inline":
+                # molecule-type keys directly under the tag
+                mapping = dict(value)
+                collect = mapping.pop("collect", None)
+                return MembraneNormal.from_map(mapping, collect)
             raise ConfigError(f"unknown membrane normal type '!{value.tag}'")
         if isinstance(value, dict):
             # inline manual normals map (moltype -> per-frame vectors)
@@ -438,11 +445,13 @@ class LeafletClassification:
                                                   fields["methyls"])
             return finish(lc, fields)
         if tag == "fromfile":
+            if "__scalar__" in value:  # !FromFile "assignment.yaml"
+                return LeafletClassification.from_file(value["__scalar__"])
             fields = _expect_keys(dict(value), {"file": [], **common},
                                   "!FromFile leaflet classification")
             lc = LeafletClassification.from_file(fields["file"])
             return finish(lc, fields)
-        if tag == "frommap":
+        if tag in ("frommap", "inline"):
             fields = _expect_keys(dict(value), {"assignment": [], **common},
                                   "!FromMap leaflet classification")
             lc = LeafletClassification.from_map(fields["assignment"])
@@ -531,12 +540,16 @@ class OrderMapParams:
             raise OrderMapError(f"invalid ordermap specification '{value}'")
         fields = _expect_keys(
             dict(value),
-            {"output_directory": [], "min_samples": [], "bin_size": [],
-             "dim": [], "plane": []},
+            {"output_directory": ["output_dir"], "min_samples": [],
+             "bin_size": [], "dim": [], "plane": []},
             "ordermap parameters")
         params = OrderMapParams()
         params.output_directory = fields.get("output_directory")
         params.min_samples = int(fields.get("min_samples", 1))
+        if params.min_samples < 1:
+            raise OrderMapError(
+                f"ordermap min_samples must be at least 1, got "
+                f"{params.min_samples}")
         bin_size = fields.get("bin_size", [0.1, 0.1])
         if isinstance(bin_size, (int, float)):
             bin_size = [bin_size, bin_size]
@@ -610,6 +623,7 @@ class Geometry:
     # cylinder
     radius: float = float("inf")
     span: Tuple[float, float] = (-float("inf"), float("inf"))
+    invert: bool = False
     orientation: str = "z"
 
     @staticmethod
@@ -647,7 +661,8 @@ class Geometry:
         if tag == "cuboid":
             fields = _expect_keys(
                 dict(value),
-                {"reference": [], "xdim": [], "ydim": [], "zdim": []},
+                {"reference": [], "xdim": ["x"], "ydim": ["y"],
+                 "zdim": ["z"], "invert": []},
                 "!Cuboid geometry")
             return Geometry(
                 "cuboid",
@@ -655,11 +670,13 @@ class Geometry:
                 xdim=Geometry._parse_span(fields.get("xdim"), "xdim"),
                 ydim=Geometry._parse_span(fields.get("ydim"), "ydim"),
                 zdim=Geometry._parse_span(fields.get("zdim"), "zdim"),
+                invert=bool(fields.get("invert", False)),
             )
         if tag == "cylinder":
             fields = _expect_keys(
                 dict(value),
-                {"reference": [], "radius": [], "span": [], "orientation": []},
+                {"reference": [], "radius": [], "span": [],
+                 "orientation": [], "invert": []},
                 "!Cylinder geometry")
             radius = float(fields.get("radius", float("inf")))
             if radius < 0:
@@ -675,10 +692,12 @@ class Geometry:
                 radius=radius,
                 span=Geometry._parse_span(fields.get("span"), "cylinder span"),
                 orientation=orientation,
+                invert=bool(fields.get("invert", False)),
             )
         if tag == "sphere":
-            fields = _expect_keys(dict(value), {"reference": [], "radius": []},
-                                  "!Sphere geometry")
+            fields = _expect_keys(
+                dict(value), {"reference": [], "radius": [], "invert": []},
+                "!Sphere geometry")
             radius = float(fields.get("radius", float("inf")))
             if radius < 0:
                 raise GeometryError(
@@ -687,6 +706,7 @@ class Geometry:
                 "sphere",
                 reference=Geometry._parse_reference(fields.get("reference")),
                 radius=radius,
+                invert=bool(fields.get("invert", False)),
             )
         raise GeometryError(f"unknown geometry '!{value.tag}'")
 
