@@ -368,7 +368,10 @@ class LeafletClassification:
     def from_ndx(ndx, heads: str, upper_leaflet: str,
                  lower_leaflet: str) -> "LeafletClassification":
         if isinstance(ndx, str):
-            ndx = [ndx]
+            # a string is a glob pattern; expanded sorted, and kept literal
+            # when nothing matches (leaflets.rs deserialize_string_or_vec)
+            import glob as _glob
+            ndx = sorted(_glob.glob(ndx)) or [ndx]
         return LeafletClassification(
             "from_ndx", ndx=list(ndx), heads=heads,
             upper_leaflet=upper_leaflet, lower_leaflet=lower_leaflet,

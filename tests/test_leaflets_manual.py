@@ -73,6 +73,19 @@ def test_cg_leaflets_from_ndx_once(fixtures, tmp_path):
     assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
 
 
+def test_from_ndx_glob_expansion(fixtures):
+    """A string ndx value is a glob pattern, expanded sorted; an unmatched
+    pattern is kept literally (leaflets.rs deserialize_string_or_vec)."""
+    lc = LeafletClassification.from_ndx(
+        str(fixtures / "ndx" / "glob" / "index*.ndx"),
+        "name P", "Upper", "Lower")
+    assert [p.rsplit("/", 1)[-1] for p in lc.ndx] == [
+        "index1.ndx", "index2.ndx"]
+    lit = LeafletClassification.from_ndx(
+        "no/such/file*.ndx", "name P", "Upper", "Lower")
+    assert lit.ndx == ["no/such/file*.ndx"]
+
+
 def test_manual_frame_count_mismatch(fixtures):
     leaflets = LeafletClassification.from_file(
         str(fixtures / "inputs" / "leaflets_files" / "cg_once.yaml"))
