@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time as _time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -81,6 +82,21 @@ def _configure_jax() -> None:
 
     key = (env_platforms or jax.config.jax_platforms or "default").replace(
         ",", "-")
+    if "cpu" in key:
+        # CPU executables are AOT-specialized to host ISA features; a cache
+        # written on one sandbox host must not be loaded on another
+        # (XLA logs machine-feature mismatches and may SIGILL)
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        import hashlib
+
+                        key += "-" + hashlib.sha1(
+                            line.encode()).hexdigest()[:10]
+                        break
+        except OSError:
+            pass
     cache_dir = os.environ.get(
         "GORDER_TPU_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "gorder_tpu",
@@ -465,9 +481,15 @@ def _ndx_leaflet_table(system: System, kinds: List[MoleculeKind],
 
 
 def run_analysis(analysis: Analysis) -> AnalysisResults:
-    if analysis.analysis_type.kind in ("cg", "aa"):
-        return _run_bond_based(analysis)
-    return _run_ua(analysis)
+    from .utils.timers import profiled_run, timers
+
+    with profiled_run():
+        if analysis.analysis_type.kind in ("cg", "aa"):
+            results = _run_bond_based(analysis)
+        else:
+            results = _run_ua(analysis)
+    log.info("phase times: %s", timers.summary())
+    return results
 
 
 def _prepare_bond_kinds(system: System, analysis: Analysis
@@ -765,7 +787,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # reference's analysis threading is superseded by device parallelism
     n_threads = max(1, analysis.n_threads)
 
+    from .utils.timers import timers
+
     def decode_batch(b):
+        t0 = _time.perf_counter()
+        try:
+            return _decode_batch(b)
+        finally:
+            timers.add("decode", _time.perf_counter() - t0)
+
+    def _decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % 2]
         if use_i16:
@@ -879,8 +910,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                          map_state=map_state,
                                          geom_ref=geom_ref)
             if sync_fetch:
-                accum.add_batch(
-                    {k: np.asarray(v) for k, v in result.items()}, n_valid)
+                with timers.phase("compute"):
+                    accum.add_batch(
+                        {k: np.asarray(v) for k, v in result.items()},
+                        n_valid)
             else:
                 in_flight.append((result, n_valid))
             if b % 16 == 15:
@@ -890,9 +923,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     finally:
         executor.shutdown(wait=True)
 
-    for result, n_valid in in_flight:
-        accum.add_batch({k: np.asarray(v) for k, v in result.items()},
-                        n_valid)
+    with timers.phase("compute"):
+        for result, n_valid in in_flight:
+            accum.add_batch({k: np.asarray(v) for k, v in result.items()},
+                            n_valid)
 
     map_state_host = None
     if map_state is not None:
@@ -904,9 +938,12 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
 def _run_bond_based(analysis: Analysis) -> AnalysisResults:
     from .core.ordermap import build_map_spec
+    from .utils.timers import timers
 
-    system = load_structure(analysis)
-    kinds, compiled = _prepare_bond_kinds(system, analysis)
+    with timers.phase("structure"):
+        system = load_structure(analysis)
+    with timers.phase("topology"):
+        kinds, compiled = _prepare_bond_kinds(system, analysis)
     axis, normal_vec, normals_rt = _build_normals(system, analysis, kinds,
                                                   compiled.n_molecules)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
@@ -925,13 +962,15 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
     )
     first_n = int(max(compiled.atom_a.max(initial=0),
                       compiled.atom_b.max(initial=0))) + 1
-    accum, traj, frame_indices, map_state = _run_batches(
-        analysis, system, step,
-        normal_vec if normal_vec is not None else np.zeros(3, np.float32),
-        compiled.n_types, compiled.n_molecules, first_n, leaflets, map_spec,
-        geom_mode, geom_payload, normals_rt)
-    results = convert_results(analysis, system, kinds, compiled, accum,
-                              traj, frame_indices, map_spec, map_state)
+    with timers.phase("trajectory"):
+        accum, traj, frame_indices, map_state = _run_batches(
+            analysis, system, step,
+            normal_vec if normal_vec is not None else np.zeros(3, np.float32),
+            compiled.n_types, compiled.n_molecules, first_n, leaflets,
+            map_spec, geom_mode, geom_payload, normals_rt)
+    with timers.phase("convert"):
+        results = convert_results(analysis, system, kinds, compiled, accum,
+                                  traj, frame_indices, map_spec, map_state)
     _attach_leaflet_data(results, analysis, kinds, leaflets)
     _attach_normals_data(results, analysis, kinds, normals_rt)
     return results
@@ -975,8 +1014,10 @@ def _attach_leaflet_data(results, analysis, kinds, leaflets) -> None:
 def _run_ua(analysis: Analysis) -> AnalysisResults:
     from .core.ua import make_ua_step
     from .topology.ua import compile_ua
+    from .utils.timers import timers
 
-    system = load_structure(analysis)
+    with timers.phase("structure"):
+        system = load_structure(analysis)
     at = analysis.analysis_type
     n = system.n_atoms
     sat = select_mask(system, at.saturated) if at.saturated \
@@ -993,10 +1034,11 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         raise SelectionError(
             "no atoms matched the saturated/unsaturated queries")
 
-    kinds = classify_molecules(system, satunsat, mode="atoms")
-    if not kinds:
-        raise TopologyError("no molecules with analyzable atoms found")
-    compiled = compile_ua(system, kinds, sat, unsat, ignore)
+    with timers.phase("topology"):
+        kinds = classify_molecules(system, satunsat, mode="atoms")
+        if not kinds:
+            raise TopologyError("no molecules with analyzable atoms found")
+        compiled = compile_ua(system, kinds, sat, unsat, ignore)
     for k, kind in enumerate(kinds):
         log.info("molecule type %s: %d molecules, %d analyzable atoms",
                  kind.name, kind.n_molecules, len(compiled.atom_specs[k]))
@@ -1018,14 +1060,17 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         normal_mode="per_molecule" if normals_rt is not None else "static",
         map_spec=map_spec, geom_spec=geom_spec,
     )
-    accum, traj, frame_indices, map_state = _run_batches(
-        analysis, system, step,
-        normal_vec if normal_vec is not None else np.zeros(3, np.float32),
-        compiled.n_types, compiled.n_molecules,
-        compiled.max_atom_index + 1, leaflets,
-        map_spec, geom_mode, geom_payload, normals_rt)
-    results = convert_results_ua(analysis, system, kinds, compiled, accum,
-                                 traj, frame_indices, map_spec, map_state)
+    with timers.phase("trajectory"):
+        accum, traj, frame_indices, map_state = _run_batches(
+            analysis, system, step,
+            normal_vec if normal_vec is not None else np.zeros(3, np.float32),
+            compiled.n_types, compiled.n_molecules,
+            compiled.max_atom_index + 1, leaflets,
+            map_spec, geom_mode, geom_payload, normals_rt)
+    with timers.phase("convert"):
+        results = convert_results_ua(analysis, system, kinds, compiled,
+                                     accum, traj, frame_indices, map_spec,
+                                     map_state)
     _attach_leaflet_data(results, analysis, kinds, leaflets)
     _attach_normals_data(results, analysis, kinds, normals_rt)
     return results

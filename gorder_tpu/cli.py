@@ -79,9 +79,12 @@ def main(argv=None) -> int:
             "running gorder-tpu from the command line", file=sys.stderr)
         return 1
 
+    from .utils.timers import timers
+
     try:
         results = analysis.run()
-        results.write()
+        with timers.phase("write"):
+            results.write()
         if args.export_config:
             export_config(analysis, args.export_config)
     except GorderError as e:
