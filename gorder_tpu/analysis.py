@@ -87,14 +87,22 @@ def _configure_jax() -> None:
         # written on one sandbox host must not be loaded on another
         # (XLA logs machine-feature mismatches and may SIGILL)
         try:
+            sig = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        import hashlib
+                    # both matter: "flags" carries the ISA extensions and
+                    # "model name" drives XLA tuning heuristics such as
+                    # prefer-no-scatter/prefer-no-gather
+                    if line.startswith(("flags", "model", "stepping",
+                                        "cpu family", "vendor_id")):
+                        sig.append(line)
+                        if len(sig) == 6:
+                            break
+            if sig:
+                import hashlib
 
-                        key += "-" + hashlib.sha1(
-                            line.encode()).hexdigest()[:10]
-                        break
+                key += "-" + hashlib.sha1(
+                    "".join(sorted(sig)).encode()).hexdigest()[:10]
         except OSError:
             pass
     cache_dir = os.environ.get(

@@ -167,8 +167,24 @@ def make_order_step(
     onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
     dummy_classes = jax.device_put(np.zeros((1, 1), np.int32))
 
+    fast_step = None
+    from ..ops.pallas_p2 import make_pallas_order_step, pallas_supported
+
+    if pallas_supported(with_leaflets=with_leaflets, normal_mode=normal_mode,
+                        map_spec=map_spec, geom_spec=geom_spec,
+                        n_types=n_types):
+        fast_step = make_pallas_order_step(
+            np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
+            np.asarray(bond_type, np.int32), n_types,
+            handle_pbc=handle_pbc)
+
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
+        if (fast_step is not None and leaflet_classes is None
+                and map_state is None and geom_ref is None
+                and coords.shape[0] % 8 == 0):
+            return fast_step(coords, box_diag, normal, frame_mask,
+                             inv_scale=inv_scale)
         return _order_step(
             coords, box_diag, normal, frame_mask,
             atom_a_d, atom_b_d, bond_mol_d, onehot_d,

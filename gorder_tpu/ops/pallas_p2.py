@@ -1,0 +1,194 @@
+"""Fused Pallas TPU kernel for the P2 hot loop.
+
+The reference's innermost loop (BondType::analyze_frame,
+src/analysis/topology/bond.rs:396-446) costs one pass over every bond
+instance per frame. The XLA path (core/order.py) expresses it as gather →
+elementwise → one-hot einsum; XLA fuses the elementwise chain but still
+materializes the (B, 3, N) stacked operand in HBM before the reduction.
+This module fuses min-image, P2, fixed-point quantization, frame masking
+and the per-bond-type MXU reduction into ONE Pallas kernel: per grid step a
+(Bt × Nt) displacement tile is read from HBM once, everything else lives in
+VMEM/registers, and three (Bt × T) partial matmuls accumulate in place.
+
+Exactness: the reductions are exact — the matmuls sum integer-valued f32
+(|hi| ≤ 367, lo < 4096, counts ≤ N) whose totals stay below 2^24, so any
+summation order yields the same integers, and the path is deterministic
+and batch-size/device-count invariant like the einsum path. The
+*per-sample* elementwise chain can differ from the XLA path by one 1e-6
+quantum on a small fraction of samples (XLA FMA-contracts its fused
+|d|² reduction; that contraction is not expressible in portable jnp), so
+the two paths agree per bond type to |Δsum| ≤ n_samples quanta — orders
+of magnitude inside the 1e-5 reference-parity bar. Asserted by
+tests/test_pallas.py in interpret mode.
+
+Scope: the common configuration (bond-based analysis, static membrane
+normal, no leaflets / ordermaps / geometry). Everything else uses the XLA
+path. Selection: GORDER_TPU_PALLAS=1 forces on (interpreted off-TPU),
+=0 forces off, unset → enabled exactly on real TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SCALE = 1.0e6
+_SPLIT = 4096.0
+_BT = 8        # frame tile (f32 sublane)
+_NT = 512      # bond tile (lanes)
+_TP = 128      # padded bond-type count (lane width of the output)
+
+
+def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
+                     n_types: int) -> bool:
+    """Whether the fused kernel covers this configuration."""
+    flag = os.environ.get("GORDER_TPU_PALLAS")
+    if flag == "0":
+        return False
+    if with_leaflets or normal_mode != "static":
+        return False
+    if map_spec is not None or geom_spec is not None:
+        return False
+    if n_types > _TP:
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
+               mask_ref, oh_ref, hi_ref, lo_ref, ct_ref, *, handle_pbc):
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    if handle_pbc:
+        bx = bx_ref[:]                       # (Bt, 1), broadcasts over bonds
+        by = by_ref[:]
+        bz = bz_ref[:]
+        dx = dx - bx * jnp.round(dx / bx)    # min_image (core/pbc.py)
+        dy = dy - by * jnp.round(dy / by)
+        dz = dz - bz * jnp.round(dz / bz)
+    nx = nrm_ref[0, 0]
+    ny = nrm_ref[0, 1]
+    nz = nrm_ref[0, 2]
+    proj = dx * nx + dy * ny + dz * nz
+    d2 = dx * dx + dy * dy + dz * dz
+    cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
+    sch = 1.5 * cos2 - 0.5
+    q = jnp.trunc(sch * _SCALE)
+    hi = jnp.trunc(q / _SPLIT)
+    lo = q - hi * _SPLIT
+
+    m = jnp.broadcast_to(mask_ref[:], hi.shape)        # (Bt, Nt)
+    oh = oh_ref[:]                                     # (Nt, TP)
+    hi_part = jnp.dot(hi * m, oh, preferred_element_type=jnp.float32)
+    lo_part = jnp.dot(lo * m, oh, preferred_element_type=jnp.float32)
+    ct_part = jnp.dot(m, oh, preferred_element_type=jnp.float32)
+
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        hi_ref[:] = hi_part
+        lo_ref[:] = lo_part
+        ct_ref[:] = ct_part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        hi_ref[:] = hi_ref[:] + hi_part
+        lo_ref[:] = lo_ref[:] + lo_part
+        ct_ref[:] = ct_ref[:] + ct_part
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("handle_pbc", "quantized", "interpret",
+                                    "n_types"))
+def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
+                       onehot_pad, inv_scale=None, *, handle_pbc, quantized,
+                       interpret, n_types):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if quantized:
+        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
+    pa = jnp.take(coords, atom_a, axis=1)              # (B, Np, 3)
+    pb = jnp.take(coords, atom_b, axis=1)
+    d = pb - pa
+    B, Np = d.shape[0], d.shape[1]
+
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]       # (B, Np) planes
+    bx = box_diag[:, 0:1]
+    by = box_diag[:, 1:2]
+    bz = box_diag[:, 2:3]
+    mask = frame_mask.astype(jnp.float32)[:, None]     # (B, 1)
+
+    grid = (B // _BT, Np // _NT)
+    tile = lambda i, j: (i, j)          # noqa: E731  (Bt, Nt) data tiles
+    col = lambda i, j: (i, 0)           # noqa: E731  per-frame columns
+    mem = pltpu.VMEM if not interpret else None
+
+    def vspec(shape, index_map):
+        if interpret:
+            return pl.BlockSpec(shape, index_map)
+        return pl.BlockSpec(shape, index_map, memory_space=mem)
+
+    out_shape = [jax.ShapeDtypeStruct((B, _TP), jnp.float32)] * 3
+    out_spec = vspec((_BT, _TP), col)
+    hi_s, lo_s, ct_s = pl.pallas_call(
+        functools.partial(_p2_kernel, handle_pbc=handle_pbc),
+        grid=grid,
+        in_specs=[
+            vspec((1, 3), lambda i, j: (0, 0)),        # normal
+            vspec((_BT, _NT), tile),                   # dx
+            vspec((_BT, _NT), tile),                   # dy
+            vspec((_BT, _NT), tile),                   # dz
+            vspec((_BT, 1), col),                      # box x
+            vspec((_BT, 1), col),                      # box y
+            vspec((_BT, 1), col),                      # box z
+            vspec((_BT, 1), col),                      # frame mask
+            vspec((_NT, _TP), lambda i, j: (j, 0)),    # one-hot types
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(normal[None, :], dx, dy, dz, bx, by, bz, mask, onehot_pad)
+
+    out = jnp.stack([hi_s[:, :n_types], lo_s[:, :n_types],
+                     ct_s[:, :n_types]], axis=1)       # (B, 3, T)
+    return {"total": out}, None
+
+
+def make_pallas_order_step(atom_a, atom_b, bond_type, n_types: int, *,
+                           handle_pbc: bool = True):
+    """Fused fast-path variant of core.order.make_order_step (same call
+    signature and output layout for the configurations it supports)."""
+    n = len(atom_a)
+    n_pad = max(_NT, ((n + _NT - 1) // _NT) * _NT)
+    atom_a_p = np.zeros(n_pad, np.int32)
+    atom_b_p = np.zeros(n_pad, np.int32)
+    atom_a_p[:n] = atom_a
+    atom_b_p[:n] = atom_b
+    onehot = np.zeros((n_pad, _TP), np.float32)
+    onehot[np.arange(n), np.asarray(bond_type)] = 1.0  # padded rows stay 0
+
+    atom_a_d = jax.device_put(atom_a_p)
+    atom_b_d = jax.device_put(atom_b_p)
+    onehot_d = jax.device_put(onehot)
+    interpret = jax.default_backend() != "tpu"
+
+    def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
+             inv_scale=None, map_state=None, geom_ref=None):
+        assert leaflet_classes is None and map_state is None \
+            and geom_ref is None, "pallas fast path: unsupported arguments"
+        return _pallas_order_step(
+            coords, box_diag, normal, frame_mask, atom_a_d, atom_b_d,
+            onehot_d, inv_scale,
+            handle_pbc=handle_pbc, quantized=inv_scale is not None,
+            interpret=interpret, n_types=n_types,
+        )
+
+    return step
