@@ -26,21 +26,30 @@ def wrap(x, box_diag):
 
 
 def circular_mean_cog(points, mask, box_diag):
-    """Bai–Breen circular-mean center of geometry under PBC.
+    """Refined Bai–Breen center of geometry under PBC.
 
     points: (..., N, 3); mask: (..., N) bool/float weights;
     box_diag: (..., 3). Returns (..., 3) center inside the box.
 
-    This is the same construction groan_rs uses for group centers
-    (SURVEY.md §2.1 "PBC handling"): each coordinate maps to an angle on a
-    circle, the weighted mean angle maps back.
+    Same construction groan_rs ≥0.9 uses for group centers (gorder
+    CHANGELOG §1.0.0 "Refined Bai-Breen algorithm"; SURVEY.md §2.1 "PBC
+    handling"): the classic circular mean — each coordinate maps to an
+    angle, the weighted mean angle maps back — gives an estimate that is
+    exact only for tight clusters; the refinement step averages the
+    min-image deviations of all points from that estimate, which removes
+    the circular-projection bias whenever the group spans less than half
+    the box around its center.
     """
     weights = mask.astype(points.dtype)[..., None]
+    count = jnp.maximum(jnp.sum(weights, axis=-2), 1e-30)
     theta = points / box_diag[..., None, :] * (2.0 * jnp.pi)
     xi = jnp.sum(jnp.cos(theta) * weights, axis=-2)
     zeta = jnp.sum(jnp.sin(theta) * weights, axis=-2)
     mean_theta = jnp.arctan2(-zeta, -xi) + jnp.pi
-    return mean_theta / (2.0 * jnp.pi) * box_diag
+    estimate = mean_theta / (2.0 * jnp.pi) * box_diag
+    dev = min_image(points - estimate[..., None, :], box_diag[..., None, :])
+    refined = estimate + jnp.sum(dev * weights, axis=-2) / count
+    return wrap(refined, box_diag)
 
 
 def naive_cog(points, mask):

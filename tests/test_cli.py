@@ -77,6 +77,39 @@ def test_cli_export_config(cg_config, tmp_path):
     assert exported.step == 1 and exported.n_threads == 1
 
 
+def test_cli_export_config_roundtrip(tmp_path, fixtures):
+    """test_bin_cg_order_maps_export_config (tests_bin.rs:165-212): delete
+    all outputs and rerun from the exported config — same results."""
+    cfg = tmp_path / "analyze.yaml"
+    out_dir = tmp_path / "maps"
+    cfg.write_text(f"""
+structure: {fixtures}/cg.tpr
+trajectory: {fixtures}/split/cg*.xtc
+type: !CGOrder
+  beads: "resname POPC and name C1B C2B C3B C4B"
+output_yaml: order.yaml
+ordermaps:
+  output_directory: {out_dir}
+  bin_size: [1.0, 1.0]
+  min_samples: 10
+""")
+    proc = run_cli([str(cfg), "--silent", "--overwrite",
+                    "--export-config", "exported.yaml"], cwd=tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    original = (tmp_path / "order.yaml").read_text()
+
+    (tmp_path / "order.yaml").unlink()
+    import shutil
+
+    shutil.rmtree(out_dir)
+    proc = run_cli(["exported.yaml", "--overwrite"], cwd=tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    rerun = (tmp_path / "order.yaml").read_text()
+    assert rerun.splitlines()[1:] == original.splitlines()[1:]
+    assert (out_dir / "POPC"
+            / "ordermap_POPC-C1B-8--POPC-C2B-9_full.dat").is_file()
+
+
 def test_cli_backup_and_overwrite(cg_config, tmp_path):
     (tmp_path / "order.yaml").write_text("previous content\n")
     proc = run_cli([str(cg_config), "--silent"], cwd=tmp_path)
