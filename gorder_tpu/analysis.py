@@ -1130,10 +1130,13 @@ class _Collector:
                                  ms, self.sign)
             error = None
             if self.with_errors:
-                fsums, fcounts = self.timewise[cls]
-                error = self._estimate_error(
-                    fsums[:, type_slice].sum(axis=1),
-                    fcounts[:, type_slice].sum(axis=1), self.n_blocks)
+                if value != value:  # below min_samples → error is NaN too
+                    error = float("nan")
+                else:
+                    fsums, fcounts = self.timewise[cls]
+                    error = self._estimate_error(
+                        fsums[:, type_slice].sum(axis=1),
+                        fcounts[:, type_slice].sum(axis=1), self.n_blocks)
             setattr(col, cls, Order(value, error))
         return col
 

@@ -85,3 +85,35 @@ geometry: !Cylinder
     with pytest.raises(GeometryError):
         Geometry.parse(load_yaml(
             "geometry: !Cuboid {xdim: [5, 2]}")["geometry"])
+
+
+def test_invert_partitions_space_exactly():
+    """invert must select exactly the complement: inside + inverted = 1 for
+    every point, every shape, PBC on and off."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gorder_tpu.core.geometry import build_geometry_spec, inside_mask
+    from gorder_tpu.input.config import Geometry
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 18, (4, 500, 3)).astype(np.float32)
+    box = np.full((4, 3), 13.0, np.float32)
+    ref = np.tile(np.array([8.0, 2.0, 0.0], np.float32), (4, 1))
+    shapes = [
+        Geometry("cuboid", reference=(8, 2, 0), xdim=(-2.0, 4.0),
+                 ydim=(-4.0, 1.0)),
+        Geometry("cylinder", reference=(8, 2, 0), radius=3.0,
+                 span=(-1.0, 3.0), orientation="x"),
+        Geometry("sphere", reference=(8, 2, 0), radius=2.5),
+    ]
+    for geo in shapes:
+        for pbc in (True, False):
+            spec_in = build_geometry_spec(geo)
+            spec_out = build_geometry_spec(
+                Geometry(**{**geo.__dict__, "invert": True}))
+            m_in = np.asarray(inside_mask(jnp.asarray(pts), jnp.asarray(ref),
+                                          jnp.asarray(box), spec_in, pbc))
+            m_out = np.asarray(inside_mask(jnp.asarray(pts), jnp.asarray(ref),
+                                           jnp.asarray(box), spec_out, pbc))
+            assert np.all(m_in ^ m_out), (geo.kind, pbc)

@@ -142,3 +142,24 @@ def test_ua_order_flipped_leaflets(fixtures, tmp_path):
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
     assert_eq_order(str(out), str(fixtures / "ua_order_leaflets_flipped.yaml"))
+
+
+def test_ua_order_leaflets_no_pbc(fixtures, tmp_path):
+    """PBC fully ignored: pre-whole-molecule trajectory, boxless PDB
+    structure, global leaflets with an explicit normal override
+    (test_ua_order_leaflets_no_pbc, tests_ua.rs:687-714)."""
+    leaflets = LeafletClassification.global_("@membrane", "name r'^P'")
+    leaflets.with_membrane_normal("z")
+    analysis = Analysis(
+        structure=str(fixtures / "ua_nobox.pdb"),
+        trajectory=str(fixtures / "ua_whole_nobox.xtc"),
+        analysis_type=AnalysisType.uaorder(
+            saturated=SATURATED, unsaturated=UNSATURATED),
+        leaflets=leaflets,
+        handle_pbc=False,
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "ua_order_leaflets_nopbc.yaml"))
