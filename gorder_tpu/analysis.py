@@ -1143,12 +1143,13 @@ class _Collector:
     def convergence(self, type_slice):
         if not self.with_errors:
             return None
-        fsums, fcounts = self.timewise["total"]
-        return {
-            "total": self.sign * self._prefix_average(
+        out = {}
+        for cls in self.classes:
+            fsums, fcounts = self.timewise[cls]
+            out[cls] = self.sign * self._prefix_average(
                 fsums[:, type_slice].sum(axis=1),
-                fcounts[:, type_slice].sum(axis=1)),
-        }
+                fcounts[:, type_slice].sum(axis=1))
+        return out
 
 
 class _MapCollector:

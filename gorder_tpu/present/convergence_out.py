@@ -24,11 +24,24 @@ def render_convergence(results: AnalysisResults) -> str:
         'molecule types"')
     lines.append('@    xaxis label "Frame number"')
     lines.append(f'@    yaxis label "{_YLABELS[results.mode]}"')
-    for i, mol in enumerate(results.molecules):
-        lines.append(f'@    s{i} legend "{mol.name}"')
+    # leaflet-wise runs emit three series per molecule type: full/upper/lower
+    # (convergence.rs; golden aa_order_leaflets_convergence.xvg)
+    with_leaflets = any(
+        "upper" in (mol.convergence or {}) for mol in results.molecules)
+    curves = []
+    idx = 0
+    for mol in results.molecules:
+        if with_leaflets:
+            for cls, label in (("total", "full"), ("upper", "upper"),
+                               ("lower", "lower")):
+                lines.append(f'@    s{idx} legend "{mol.name} {label}"')
+                curves.append(mol.convergence[cls])
+                idx += 1
+        else:
+            lines.append(f'@    s{idx} legend "{mol.name}"')
+            curves.append(mol.convergence["total"])
+            idx += 1
     lines.append("@TYPE xy")
-
-    curves = [mol.convergence["total"] for mol in results.molecules]
     n = len(curves[0]) if curves else 0
     step = getattr(results.analysis, "step", 1) if results.analysis else 1
     for k in range(n):

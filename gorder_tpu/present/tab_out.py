@@ -79,12 +79,12 @@ def render_tab(results: AnalysisResults) -> str:
             for c in row_cells(results.average_order))
         lines.append(f"{'AVERAGE':<10}{cells} |")
     else:
-        max_bonds = max(
-            (len(a.bonds) for mol in results.molecules for a in mol.atoms),
-            default=0)
         multi = len(classes) > 1
         group_width = (cell_width + 2) * len(classes) + len(classes) - 1
         for mol in results.molecules:
+            # hydrogen columns are sized per molecule type
+            # (tab_presenter.rs; golden aa_order_different_hydrogen_numbers)
+            max_bonds = max((len(a.bonds) for a in mol.atoms), default=0)
             label_width = max(
                 [len(a.atom.name) for a in mol.atoms] + [len("AVERAGE")]) + 2
             lines.append(f"Molecule type {mol.name}")

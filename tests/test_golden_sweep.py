@@ -156,3 +156,117 @@ def test_golden(golden, fixtures, tmp_path):
     write_yaml(results, str(out))
     assert_eq_order(str(out), str(fixtures / f"{golden}.yaml"),
                     atol=LOOSE.get(golden))
+
+
+# ---------------------------------------------------------------- formats
+# Multi-format goldens: one run, compared in every format the reference
+# stores (tab/csv/xvg/convergence), mirroring tests_aa.rs / tests_cg.rs /
+# tests_ua.rs table/csv/xvg variants.
+
+from gorder_tpu.present.convergence_out import write_convergence  # noqa: E402
+from gorder_tpu.present.csv_out import write_csv                  # noqa: E402
+from gorder_tpu.present.tab_out import write_tab                  # noqa: E402
+from gorder_tpu.present.xvg_out import write_xvg                  # noqa: E402
+
+FORMAT_CASES = {
+    "aa_order_different_hydrogen_numbers": (
+        lambda f: aa(f, heavy=("(resname POPC and name C29 C210) or "
+                               "(resname POPE and element name carbon)"),
+                     leaflets=_global_p()),
+        {"tab": "aa_order_different_hydrogen_numbers.tab",
+         "csv": "aa_order_different_hydrogen_numbers.csv"}),
+    "aa_order_error": (
+        lambda f: aa(f, estimate_error=EstimateError()),
+        {"tab": "aa_order_error.tab", "csv": "aa_order_error.csv",
+         "convergence": "aa_order_convergence.xvg"}),
+    "aa_order_error_limit": (
+        lambda f: aa(f, estimate_error=EstimateError(), min_samples=2000),
+        {"tab": "aa_order_error_limit.tab",
+         "csv": "aa_order_error_limit.csv"}),
+    "aa_order_error_leaflets_limit": (
+        lambda f: aa(f, estimate_error=EstimateError(), min_samples=500,
+                     leaflets=_global_p()),
+        {"tab": "aa_order_error_leaflets_limit.tab",
+         "csv": "aa_order_error_leaflets_limit.csv"}),
+    "aa_order_leaflets_limit_fmt": (
+        lambda f: aa(f, min_samples=500, leaflets=_global_p()),
+        {"tab": "aa_order_leaflets_limit.tab",
+         "csv": "aa_order_leaflets_limit.csv"}),
+    "aa_order_leaflets_fmt": (
+        lambda f: aa(f, leaflets=_global_p()),
+        {"tab": "aa_order_leaflets.tab", "csv": "aa_order_leaflets.csv",
+         "xvg": "aa_order_leaflets_{mol}.xvg"}),
+    "aa_order_leaflets_convergence": (
+        lambda f: aa(f, leaflets=_global_p(),
+                     estimate_error=EstimateError()),
+        {"convergence": "aa_order_leaflets_convergence.xvg"}),
+    "cg_order_leaflets_convergence": (
+        lambda f: cg(f, estimate_error=EstimateError(),
+                     leaflets=LeafletClassification.global_(
+                         "@membrane", "name PO4")),
+        {"xvg": "cg_order_leaflets_{mol}.xvg",
+         "convergence": "cg_order_leaflets_convergence.xvg"}),
+    "aa_order_convergence_s5": (
+        lambda f: aa(f, estimate_error=EstimateError(), step=5),
+        {"convergence": "aa_order_convergence_s5.xvg"}),
+    "cg_order_convergence_s5": (
+        lambda f: cg(f, estimate_error=EstimateError(), step=5),
+        {"convergence": "cg_order_convergence_s5.xvg"}),
+    "cg_order_error_limit": (
+        lambda f: cg(f, estimate_error=EstimateError(), min_samples=5000),
+        {"tab": "cg_order_error_limit.tab",
+         "csv": "cg_order_error_limit.csv"}),
+    "cg_order_error_leaflets_limit": (
+        lambda f: cg(f, estimate_error=EstimateError(), min_samples=2000,
+                     leaflets=LeafletClassification.global_(
+                         "@membrane", "name PO4")),
+        {"tab": "cg_order_error_leaflets_limit.tab",
+         "csv": "cg_order_error_leaflets_limit.csv"}),
+    "cg_order_error_leaflets_fmt": (
+        lambda f: cg(f, estimate_error=EstimateError(),
+                     leaflets=LeafletClassification.global_(
+                         "@membrane", "name PO4")),
+        {"tab": "cg_order_error_leaflets.tab",
+         "csv": "cg_order_error_leaflets.csv"}),
+    "cg_order_leaflets_limit_fmt": (
+        lambda f: cg(f, min_samples=2000,
+                     leaflets=LeafletClassification.global_(
+                         "@membrane", "name PO4")),
+        {"tab": "cg_order_leaflets_limit.tab",
+         "csv": "cg_order_leaflets_limit.csv"}),
+    "ua_order_basic_fmt": (
+        lambda f: ua(f, estimate_error=EstimateError()),
+        {"xvg": "ua_order_basic_{mol}.xvg",
+         "convergence": "ua_order_convergence.xvg"}),
+    "ua_order_leaflets_fmt": (
+        lambda f: ua(f, estimate_error=EstimateError(),
+                     leaflets=LeafletClassification.global_(
+                         "@membrane", "name r'^P'")),
+        {"tab": "ua_order_leaflets_error.tab",
+         "csv": "ua_order_leaflets_error.csv",
+         "xvg": "ua_order_leaflets_{mol}.xvg",
+         "convergence": "ua_order_leaflets_convergence.xvg"}),
+}
+
+
+@pytest.mark.parametrize("case", sorted(FORMAT_CASES))
+def test_format_golden(case, fixtures, tmp_path):
+    build, formats = FORMAT_CASES[case]
+    results = Analysis(**build(fixtures)).run()
+    if "tab" in formats:
+        write_tab(results, str(tmp_path / "order.tab"))
+        assert_eq_order(str(tmp_path / "order.tab"),
+                        str(fixtures / formats["tab"]))
+    if "csv" in formats:
+        write_csv(results, str(tmp_path / "order.csv"))
+        assert_eq_order(str(tmp_path / "order.csv"),
+                        str(fixtures / formats["csv"]), skip=0, csv=True)
+    if "xvg" in formats:
+        write_xvg(results, str(tmp_path / "order.xvg"))
+        for mol in [m.name for m in results.molecules]:
+            assert_eq_order(str(tmp_path / f"order_{mol}.xvg"),
+                            str(fixtures / formats["xvg"].format(mol=mol)))
+    if "convergence" in formats:
+        write_convergence(results, str(tmp_path / "conv.xvg"))
+        assert_eq_order(str(tmp_path / "conv.xvg"),
+                        str(fixtures / formats["convergence"]))
