@@ -270,3 +270,71 @@ def test_format_golden(case, fixtures, tmp_path):
         write_convergence(results, str(tmp_path / "conv.xvg"))
         assert_eq_order(str(tmp_path / "conv.xvg"),
                         str(fixtures / formats["convergence"]))
+
+
+# ------------------------------------------------------------ geometry maps
+# Ordermaps restricted by a geometric region
+# (tests_aa.rs geometry cuboid/cylinder map comparisons). Split-fixture
+# precision tolerance as in tests/test_ordermaps.py.
+
+GEOM_MAP_FILES = [
+    "ordermap_POPC-C218-87--POPC-H18R-88_full.dat",
+    "ordermap_POPC-C22-32--POPC-H2R-33_full.dat",
+    "ordermap_POPC-C24-47_full.dat",
+    "ordermap_average_full.dat",
+]
+
+
+@pytest.mark.parametrize("shape,min_samples,golden_dir", [
+    ("cuboid", 5, "ordermaps_cuboid"),
+    ("cylinder", 1, "ordermaps_cylinder"),
+])
+def test_geometry_ordermaps(shape, min_samples, golden_dir, fixtures,
+                            tmp_path):
+    from gorder_tpu.input import OrderMapParams
+    from gorder_tpu.present.ordermaps_out import write_ordermaps
+
+    from .test_ordermaps import assert_eq_maps
+
+    if shape == "cuboid":
+        geometry = Geometry("cuboid", reference=(8.0, 2.0, 0.0),
+                            xdim=(-2.0, 4.0), ydim=(-4.0, 1.0))
+    else:
+        geometry = Geometry("cylinder", reference=(8.0, 2.0, 0.0),
+                            radius=2.5, orientation="z")
+    out_dir = tmp_path / "maps"
+    params = aa(fixtures, heavy="resname POPC and name C22 C24 C218",
+                geometry=geometry,
+                map=OrderMapParams.parse({
+                    "output_directory": str(out_dir),
+                    "bin_size": [0.5, 0.5],
+                    "min_samples": min_samples,
+                }))
+    results = Analysis(**params).run()
+    write_ordermaps(results, str(out_dir))
+    # The precision-100 re-encode moves a few samples across tile borders;
+    # with a tight region each tile holds only a handful of samples, so
+    # single-sample flips shift sparse tiles by up to ~0.13. Require the
+    # bulk of tiles to agree tightly and bound the worst sparse tile.
+    import numpy as np
+
+    for name in GEOM_MAP_FILES:
+        mine = _load_map(out_dir / "POPC" / name)
+        ref = _load_map(fixtures / golden_dir / name)
+        np.testing.assert_array_equal(mine[:, :2], ref[:, :2])
+        va, vb = mine[:, 2], ref[:, 2]
+        both = ~(np.isnan(va) | np.isnan(vb))
+        assert (np.isnan(va) != np.isnan(vb)).sum() <= max(
+            3, len(va) // 50), name
+        diff = np.abs(va[both] - vb[both])
+        assert np.median(diff) <= 5e-3, (name, np.median(diff))
+        assert (diff > 0.05).mean() <= 0.10, (name, np.sort(diff)[-5:])
+        assert diff.max() <= 0.2, (name, diff.max())
+
+
+def _load_map(path):
+    import numpy as np
+
+    rows = [l.split() for l in open(path).read().splitlines()
+            if l and not l.startswith(("#", "@", "$"))]
+    return np.array([[float(v) for v in r] for r in rows])
