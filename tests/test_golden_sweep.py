@@ -338,3 +338,28 @@ def _load_map(path):
     rows = [l.split() for l in open(path).read().splitlines()
             if l and not l.startswith(("#", "@", "$"))]
     return np.array([[float(v) for v in r] for r in rows])
+
+
+def test_aa_order_selected(fixtures, tmp_path):
+    """'Supershort' trajectory window (pcpepg_selected.xtc) with global
+    leaflets (test_aa_order_leaflets_yaml_supershort)."""
+    params = aa(fixtures, leaflets=_global_p())
+    params["trajectory"] = str(fixtures / "pcpepg_selected.xtc")
+    results = Analysis(**params).run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "aa_order_selected.yaml"))
+
+
+def test_ua_leaflet_export_once(fixtures, tmp_path):
+    """UA leaflet collect export with Once frequency (tests_ua.rs,
+    golden ua_leaflets_once.yaml)."""
+    from gorder_tpu.present.leaflets_out import write_leaflets
+
+    leaflets = LeafletClassification.global_("@membrane", "name r'^P'")
+    leaflets.with_frequency(Frequency.once())
+    leaflets.with_collect(str(tmp_path / "leaflets.yaml"))
+    results = Analysis(**ua(fixtures, leaflets=leaflets)).run()
+    write_leaflets(results, str(tmp_path / "leaflets.yaml"))
+    assert_eq_order(str(tmp_path / "leaflets.yaml"),
+                    str(fixtures / "ua_leaflets_once.yaml"))
