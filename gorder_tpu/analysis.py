@@ -651,6 +651,10 @@ def _manual_normals_table(mapping, kinds: List[MoleculeKind]) -> np.ndarray:
                 f"molecule type '{kind.name}' not found in the manual "
                 f"normals structure")
         frames = mapping[kind.name]
+        if not frames:  # `NAME:` with no value parses as None
+            raise ManualNormalError(
+                f"no membrane normals provided for molecule type "
+                f"'{kind.name}'")
         if n_frames is None:
             n_frames = len(frames)
         elif len(frames) != n_frames:

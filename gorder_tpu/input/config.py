@@ -9,6 +9,7 @@ and unknown-field rejection.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field as dataclass_field
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -548,6 +549,15 @@ class OrderMapParams:
             "ordermap parameters")
         params = OrderMapParams()
         params.output_directory = fields.get("output_directory")
+        if params.output_directory is not None:
+            # the ordermap writer clears its output directory — refusing the
+            # cwd protects the user's working tree (ordermap.rs:196-214)
+            resolved = os.path.realpath(params.output_directory)
+            if resolved == os.path.realpath(os.getcwd()):
+                raise OrderMapError(
+                    "the output directory specified for saving ordermaps "
+                    "cannot be the current directory "
+                    f"('{params.output_directory}')")
         params.min_samples = int(fields.get("min_samples", 1))
         if params.min_samples < 1:
             raise OrderMapError(

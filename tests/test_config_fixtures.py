@@ -35,6 +35,7 @@ EXPECTED_INVALID = {
     "ordermap_invalid_dim_y.yaml": "span",
     "ordermap_unknown_keyword.yaml": "ordermap",
     "ordermap_zero_min_samples.yaml": "min_samples",
+    "fail_ordermaps_working_dir.yaml": "current directory",
     "sphere_negative_radius.yaml": "radius",
     "ua_no_carbons.yaml": "united-atom",
     "zero_min_samples.yaml": "min_samples",
@@ -66,6 +67,19 @@ def test_fixture_corpus_present():
     if not INPUTS.is_dir():
         pytest.skip("reference fixture corpus not available")
     assert len(_input_files()) >= 60
+
+
+def test_ordermap_cwd_rejected(tmp_path):
+    """The ordermap output dir must never resolve to the cwd
+    (ordermap.rs:196-214 — the writer clears the directory)."""
+    from gorder_tpu.errors import OrderMapError
+    from gorder_tpu.input import OrderMapParams
+
+    for bad in (".", "tests/../gorder_tpu/.."):
+        with pytest.raises(OrderMapError) as exc:
+            OrderMapParams.parse({"output_directory": bad})
+        assert "current directory" in str(exc.value)
+    OrderMapParams.parse({"output_directory": str(tmp_path / "maps")})
 
 
 def test_inverted_cuboid_fields():

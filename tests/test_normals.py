@@ -98,3 +98,37 @@ def test_manual_normals_frame_count_mismatch(fixtures):
         fixtures, membrane_normal=MembraneNormal.from_map(mapping))
     with pytest.raises(ManualNormalError):
         analysis.run()
+
+
+def test_manual_normals_error_fixtures(fixtures):
+    """Validation errors for the reference's malformed normals files
+    (tests_cg.rs vesicle manual-normal failure tests, run against the
+    table builder with matching synthetic molecule kinds)."""
+    from dataclasses import dataclass
+
+    import yaml
+
+    from gorder_tpu.analysis import _manual_normals_table
+
+    @dataclass
+    class Kind:
+        name: str
+        n_molecules: int
+
+    def load(name):
+        with open(fixtures / name) as fh:
+            return yaml.safe_load(fh)
+
+    kinds = [Kind("POPE", 3), Kind("POPG", 3)]
+    with pytest.raises(ManualNormalError) as e:
+        _manual_normals_table(load("normals_empty.yaml"), kinds)
+    assert "no membrane normals provided for molecule type" in str(e.value)
+
+    with pytest.raises(ManualNormalError) as e:
+        _manual_normals_table(load("normals_missing.yaml"), kinds)
+    assert "not found in the manual normals structure" in str(e.value)
+
+    with pytest.raises(ManualNormalError) as e:
+        _manual_normals_table(load("normals_unmatching.yaml"),
+                              [Kind("POPE", 5), Kind("POPG", 3)])
+    assert "molecules" in str(e.value)
