@@ -55,3 +55,28 @@ from .results.model import (  # noqa: F401
     Order,
     OrderCollection,
 )
+
+# pygorder-compatible namespaces (gorder.analysis_types.AAOrder, ...)
+from .compat import (  # noqa: F401,E402
+    analysis_types,
+    estimate_error as estimate_error_module,
+    exceptions,
+    geometry,
+    leaflets,
+    membrane_normal,
+    ordermap,
+)
+
+# pygorder spells it `gorder.estimate_error.EstimateError`; the top-level
+# EstimateError class import above stays for the native API
+estimate_error = estimate_error_module
+
+import sys as _sys  # noqa: E402
+
+_sys.modules[__name__ + ".analysis_types"] = analysis_types
+_sys.modules[__name__ + ".estimate_error"] = estimate_error_module
+_sys.modules[__name__ + ".leaflets"] = leaflets
+_sys.modules[__name__ + ".geometry"] = geometry
+_sys.modules[__name__ + ".membrane_normal"] = membrane_normal
+_sys.modules[__name__ + ".ordermap"] = ordermap
+_sys.modules[__name__ + ".exceptions"] = exceptions

@@ -1,0 +1,9 @@
+"""pygorder ``gorder.exceptions`` (exceptions.pyi: AnalysisError,
+WriteError, ConfigError, APIError)."""
+
+from ..errors import AnalysisError, ConfigError, GorderError, WriteError
+
+#: pygorder's catch-all for API misuse; our taxonomy root serves the role
+APIError = GorderError
+
+__all__ = ["AnalysisError", "WriteError", "ConfigError", "APIError"]

@@ -10,7 +10,7 @@ and unknown-field rejection.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field as dataclass_field
+from dataclasses import InitVar, dataclass, field as dataclass_field
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import yaml
@@ -639,6 +639,22 @@ class Geometry:
     invert: bool = False
     orientation: str = "z"
 
+    def __post_init__(self):
+        if self.kind not in ("cuboid", "cylinder", "sphere"):
+            raise GeometryError(f"unknown geometry '{self.kind}'")
+        if self.kind == "cylinder" and self.orientation not in _AXES:
+            raise GeometryError(
+                f"invalid cylinder orientation '{self.orientation}'")
+        if self.radius < 0:
+            raise GeometryError(
+                f"{self.kind} radius must not be negative, got {self.radius}")
+        for what, span in (("xdim", self.xdim), ("ydim", self.ydim),
+                           ("zdim", self.zdim), ("span", self.span)):
+            if span[0] > span[1]:
+                raise GeometryError(
+                    f"invalid {what}: start ({span[0]}) is greater than "
+                    f"end ({span[1]})")
+
     @staticmethod
     def _parse_reference(value):
         if value is None:
@@ -782,10 +798,23 @@ class Analysis:
     handle_pbc: bool = True
     silent: bool = False
     overwrite: bool = False
+    # pygorder constructor alias for `map` (pygorder Analysis.__new__)
+    ordermap: InitVar[Optional[OrderMapParams]] = None
 
-    def __post_init__(self):
+    def __post_init__(self, ordermap=None):
+        if ordermap is not None and self.map is None:
+            self.map = ordermap
         if isinstance(self.trajectory, str):
             self.trajectory = [self.trajectory]
+        # pygorder-style argument coercions (pygorder Analysis.__new__):
+        # membrane_normal accepts an axis string or a moltype→vectors map
+        if isinstance(self.membrane_normal, str):
+            self.membrane_normal = MembraneNormal.static(self.membrane_normal)
+        elif isinstance(self.membrane_normal, dict):
+            self.membrane_normal = MembraneNormal.from_map(
+                self.membrane_normal)
+        elif self.membrane_normal is None:
+            self.membrane_normal = MembraneNormal.static("z")
         self.validate()
 
     def validate(self) -> None:

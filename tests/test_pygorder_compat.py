@@ -1,0 +1,87 @@
+"""pygorder API compatibility: code written against the reference's Python
+package (pygorder/python/gorder/*.pyi signatures) runs unchanged."""
+
+import numpy as np
+import pytest
+
+import gorder_tpu as gorder
+
+from .golden import assert_eq_order
+
+
+def test_pygorder_style_full_analysis(fixtures, tmp_path):
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=gorder.analysis_types.CGOrder("@membrane"),
+        leaflets=gorder.leaflets.GlobalClassification(
+            "@membrane", "name PO4"),
+        output_yaml=str(tmp_path / "order.yaml"),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    results.write()
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "cg_order_leaflets.yaml"))
+
+
+def test_pygorder_style_aa_with_everything(fixtures, tmp_path):
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=gorder.analysis_types.AAOrder(
+            heavy_atoms="resname POPC and name C22 C24 C218",
+            hydrogens="@membrane and element name hydrogen"),
+        geometry=gorder.geometry.Cuboid(
+            xdim=[-2.0, 4.0], ydim=[-4.0, 1.0], reference=[8.0, 2.0, 0.0]),
+        ordermap=gorder.ordermap.OrderMap(
+            output_directory=str(tmp_path / "maps"), bin_size=[0.5, 0.5],
+            min_samples=5),
+        estimate_error=gorder.estimate_error.EstimateError(n_blocks=5),
+        membrane_normal="z",
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    assert np.isfinite(results.average_order.total.value)
+    assert results.molecules[0].name == "POPC"
+
+
+def test_pygorder_style_variants():
+    lc = gorder.leaflets.LocalClassification(
+        "@membrane", "name P", 2.5, frequency=gorder.Frequency.once(),
+        flip=True)
+    assert lc.kind == "local" and lc.radius == 2.5 and lc.flip
+    lc = gorder.leaflets.IndividualClassification(
+        "name P", "name C218 C316", membrane_normal="x")
+    assert lc.kind == "individual" and lc.membrane_normal == "x"
+    lc = gorder.leaflets.ClusteringClassification("name P")
+    assert lc.kind == "clustering"
+    lc = gorder.leaflets.SphericalClusteringClassification("name P")
+    assert lc.kind == "spherical"
+    lc = gorder.leaflets.ManualClassification(
+        {"POPC": [[1, 0], [0, 1]]})
+    assert lc.kind == "from_map"
+    lc = gorder.leaflets.NdxClassification(
+        ["a.ndx"], "name P", "Upper", "Lower")
+    assert lc.kind == "from_ndx" and lc.ndx == ["a.ndx"]
+    ua = gorder.analysis_types.UAOrder(saturated="name C1")
+    assert ua.kind == "ua"
+    g = gorder.geometry.Cylinder(3.0, "x", span=[-1.0, 3.0])
+    assert g.kind == "cylinder" and g.orientation == "x"
+    mn = gorder.membrane_normal.DynamicNormal("name P", 2.5)
+    assert mn.kind == "dynamic" and mn.radius == 2.5
+    with pytest.raises(gorder.exceptions.ConfigError):
+        gorder.Analysis(structure="x.txt", trajectory="t.xtc",
+                        analysis_type=gorder.analysis_types.CGOrder("all"))
+
+
+def test_membrane_normal_string_and_map_coercion(fixtures):
+    a = gorder.Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),
+        analysis_type=gorder.analysis_types.CGOrder("@membrane"),
+        membrane_normal="x", silent=True,
+    )
+    assert a.membrane_normal.kind == "static"
+    assert a.membrane_normal.axis == "x"
