@@ -68,6 +68,16 @@ class AtomResults:
     bonds: List[BondResults] = field(default_factory=list)
     maps: Optional[Dict[str, np.ndarray]] = None
 
+    def get_bond(self, relative_index: int) -> "BondResults":
+        """Bond to the partner atom with this relative index
+        (pygorder AtomResults.get_bond)."""
+        for b in self.bonds:
+            if b.atom2 is not None and b.atom2.rel_index == relative_index:
+                return b
+        raise KeyError(
+            f"no bond between atom {self.atom.rel_index} and atom "
+            f"{relative_index}")
+
 
 @dataclass
 class MoleculeResults:
@@ -78,6 +88,28 @@ class MoleculeResults:
     atoms: List[AtomResults] = field(default_factory=list)
     convergence: Optional[Dict[str, np.ndarray]] = None  # class -> prefix avgs
     average_maps: Optional[Dict[str, np.ndarray]] = None
+
+    def get_atom(self, relative_index: int) -> AtomResults:
+        """Heavy atom by relative index (pygorder
+        MoleculeResults.get_atom)."""
+        for a in self.atoms:
+            if a.atom.rel_index == relative_index:
+                return a
+        raise KeyError(f"no analyzed atom with relative index "
+                       f"{relative_index} in molecule '{self.name}'")
+
+    def get_bond(self, relative_index_1: int,
+                 relative_index_2: int) -> BondResults:
+        """Bond by its two relative indices, order-insensitive (pygorder
+        MoleculeResults.get_bond)."""
+        want = {relative_index_1, relative_index_2}
+        for b in self.bonds + [b for a in self.atoms for b in a.bonds]:
+            if b.atom2 is not None and \
+                    {b.atom1.rel_index, b.atom2.rel_index} == want:
+                return b
+        raise KeyError(
+            f"no bond between atoms {relative_index_1} and "
+            f"{relative_index_2} in molecule '{self.name}'")
 
 
 @dataclass
@@ -103,6 +135,31 @@ class AnalysisResults:
 
     def molecule_names(self) -> List[str]:
         return [m.name for m in self.molecules]
+
+    def leaflets_for_molecule(self, name: str) -> Optional[np.ndarray]:
+        """Collected per-frame leaflet assignment for one molecule type as a
+        (n_assignment_frames, n_molecules) uint8 array, 1 = upper / 0 = lower
+        (pygorder LeafletsData.get_molecule numpy export)."""
+        if self.leaflets_data is None:
+            return None
+        for kind, lo, hi in self.leaflets_data["kinds"]:
+            if kind == name:
+                frames = self.leaflets_data["frames"]
+                return np.stack([1 - np.asarray(f[lo:hi], np.uint8)
+                                 for f in frames])
+        return None
+
+    def normals_for_molecule(self, name: str) -> Optional[np.ndarray]:
+        """Collected per-frame dynamic/manual membrane normals for one
+        molecule type as a (n_frames, n_molecules, 3) float32 array
+        (pygorder NormalsData.get_molecule numpy export)."""
+        if self.normals_data is None:
+            return None
+        for kind, lo, hi in self.normals_data["kinds"]:
+            if kind == name:
+                return np.asarray(self.normals_data["frames"][:, lo:hi],
+                                  np.float32)
+        return None
 
     def write(self) -> None:
         from ..present import write_all_results

@@ -85,3 +85,46 @@ def test_membrane_normal_string_and_map_coercion(fixtures):
     )
     assert a.membrane_normal.kind == "static"
     assert a.membrane_normal.axis == "x"
+
+
+def test_results_lookup_and_numpy_exports(fixtures):
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),
+        analysis_type=gorder.analysis_types.CGOrder("@membrane"),
+        leaflets=gorder.leaflets.GlobalClassification(
+            "@membrane", "name PO4", collect=True),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    popc = results.get_molecule("POPC")
+    bond = popc.get_bond(4, 5)        # C1A(4)-D2A(5)
+    assert bond is popc.get_bond(5, 4)
+    assert np.isfinite(bond.order.total.value)
+    with pytest.raises(KeyError):
+        popc.get_bond(4, 999)
+
+    lf = results.leaflets_for_molecule("POPC")
+    assert lf is not None and lf.dtype == np.uint8
+    assert lf.shape[1] == 242 and set(np.unique(lf)) <= {0, 1}
+    assert results.leaflets_for_molecule("NOPE") is None
+
+
+def test_results_atom_lookup_aa(fixtures):
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=str(fixtures / "split" / "pcpepg1.xtc"),
+        analysis_type=gorder.analysis_types.AAOrder(
+            "resname POPC and name C22", "@membrane and element name hydrogen"),
+        membrane_normal=gorder.membrane_normal.DynamicNormal(
+            "name P", 2.5, collect=True),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    popc = results.get_molecule("POPC")
+    atom = popc.get_atom(popc.atoms[0].atom.rel_index)
+    bond = atom.get_bond(atom.bonds[0].atom2.rel_index)
+    assert np.isfinite(bond.order.total.value)
+    nrm = results.normals_for_molecule("POPC")
+    assert nrm is not None and nrm.shape[2] == 3
+    assert np.allclose(np.linalg.norm(nrm, axis=2), 1.0, atol=1e-5)
