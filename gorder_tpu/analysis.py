@@ -489,15 +489,27 @@ def _ndx_leaflet_table(system: System, kinds: List[MoleculeKind],
 
 
 def run_analysis(analysis: Analysis) -> AnalysisResults:
+    from .parallel import context as mesh_context
     from .utils.timers import profiled_run, timers
 
-    with profiled_run():
-        if analysis.analysis_type.kind in ("cg", "aa"):
-            results = _run_bond_based(analysis)
-        else:
-            results = _run_ua(analysis)
+    mesh = mesh_context.activate(_effective_batch_size())
+    if mesh is not None:
+        log.info("data-parallel over %d devices ('frames' mesh)",
+                 mesh.devices.size)
+    try:
+        with profiled_run():
+            if analysis.analysis_type.kind in ("cg", "aa"):
+                results = _run_bond_based(analysis)
+            else:
+                results = _run_ua(analysis)
+    finally:
+        mesh_context.deactivate()
     log.info("phase times: %s", timers.summary())
     return results
+
+
+def _effective_batch_size() -> int:
+    return DEFAULT_BATCH_SIZE if DEFAULT_BATCH_SIZE else _default_batch_size()
 
 
 def _prepare_bond_kinds(system: System, analysis: Analysis
@@ -767,25 +779,36 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     import jax
 
+    from .parallel.context import put_const, put_frames
+
     # fixed batch size (padded) so every run of a system shares one compile
-    batch_size = (DEFAULT_BATCH_SIZE if DEFAULT_BATCH_SIZE
-                  else _default_batch_size())
-    normal_dev = jax.device_put(normal_vec)
+    batch_size = _effective_batch_size()
+    normal_dev = put_const(normal_vec)
 
     # probe whether the whole trajectory supports the int16 fast path
     probe = traj.read_frames_quantized(frame_indices[:1], first_n)
     use_i16 = probe is not None
 
-    map_state = None
+    # per-batch zero map state: batch tile sums are fetched and accumulated
+    # in int64 on the host every batch (exact like the order sums; carrying
+    # f32 state across the whole run would overflow the 2^24 exact range)
+    map_zero = None
+    map_accum = None
     if map_spec is not None:
         from .core.ordermap import init_map_state
 
-        map_state = init_map_state(classes, n_types, map_spec)
+        map_zero = init_map_state(classes, n_types, map_spec)
+        n_seg = n_types * map_spec.ncells + 1
+        map_accum = {cls: np.zeros((3, n_seg), np.int64) for cls in classes}
+
+    def drain_map_state(state_out):
+        for cls, arr in state_out.items():
+            map_accum[cls] += np.asarray(arr).astype(np.int64)
 
     geom_sel_dev = None
     geom_point = None
     if geom_mode == "selection":
-        geom_sel_dev = jax.device_put(np.asarray(geom_payload, np.int32))
+        geom_sel_dev = put_const(np.asarray(geom_payload, np.int32))
     elif geom_mode == "point":
         geom_point = np.asarray(geom_payload, np.float32)
 
@@ -848,7 +871,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if b + 1 < n_batches:
                 pending = executor.submit(decode_batch, b + 1)
 
-            coords_dev = jax.device_put(coords)
+            coords_dev = put_frames(coords)
             # accelerator transfers are asynchronous: the decode buffer must
             # not be rewritten (decode b+2) until the copy has drained
             jax.block_until_ready(coords_dev)
@@ -861,21 +884,21 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             box_arr[:n_valid] = boxes[:n_valid, [0, 1, 2], [0, 1, 2]]
             frame_mask = np.zeros(batch_size, bool)
             frame_mask[:n_valid] = True
-            box_dev = jax.device_put(box_arr)
+            box_dev = put_frames(box_arr)
 
             scale_dev = None
             if inv_prec is not None:
                 scale = np.ones(batch_size, np.float32)
                 scale[:n_valid] = inv_prec
-                scale_dev = jax.device_put(scale)
+                scale_dev = put_frames(scale)
 
             if geom_mode == "selection":
                 geom_ref = geom_sel_dev
             elif geom_mode == "point":
-                geom_ref = jax.device_put(
+                geom_ref = put_frames(
                     np.tile(geom_point, (batch_size, 1)))
             elif geom_mode == "center":
-                geom_ref = jax.device_put(box_arr * 0.5)
+                geom_ref = put_frames(box_arr * 0.5)
             else:
                 geom_ref = None
 
@@ -891,10 +914,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 if normals is not None:
                     normal_arg = normals.normals_for_batch(
                         coords_f32, box_dev, analyzed, batch_size)
-                    normal_arg = jax.device_put(np.asarray(normal_arg)
-                                                if isinstance(normal_arg,
-                                                              np.ndarray)
-                                                else normal_arg)
+                    normal_arg = put_frames(np.asarray(normal_arg)
+                                            if isinstance(normal_arg,
+                                                          np.ndarray)
+                                            else np.asarray(normal_arg))
                 else:
                     normal_arg = normal_dev
                 if leaflets is not None:
@@ -905,29 +928,31 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                             classes_arr,
                             np.zeros((batch_size - classes_arr.shape[0],
                                       n_molecules), np.int32)])
-                    classes_dev = jax.device_put(classes_arr)
+                    classes_dev = put_frames(classes_arr)
                 else:
                     classes_dev = None
-                result, map_state = step(coords_f32, box_dev, normal_arg,
-                                         jax.device_put(frame_mask),
-                                         classes_dev,
-                                         map_state=map_state,
-                                         geom_ref=geom_ref)
+                result, map_out = step(coords_f32, box_dev, normal_arg,
+                                       put_frames(frame_mask),
+                                       classes_dev,
+                                       map_state=map_zero,
+                                       geom_ref=geom_ref)
             else:
                 # fully async: dispatch and defer the (tiny) result fetch —
                 # the device and link work on batch b while b+1 decodes
-                result, map_state = step(coords_dev, box_dev, normal_dev,
-                                         jax.device_put(frame_mask),
-                                         inv_scale=scale_dev,
-                                         map_state=map_state,
-                                         geom_ref=geom_ref)
+                result, map_out = step(coords_dev, box_dev, normal_dev,
+                                       put_frames(frame_mask),
+                                       inv_scale=scale_dev,
+                                       map_state=map_zero,
+                                       geom_ref=geom_ref)
             if sync_fetch:
                 with timers.phase("compute"):
                     accum.add_batch(
                         {k: np.asarray(v) for k, v in result.items()},
                         n_valid)
+                    if map_out is not None:
+                        drain_map_state(map_out)
             else:
-                in_flight.append((result, n_valid))
+                in_flight.append((result, map_out, n_valid))
             if b % 16 == 15:
                 log.info("dispatched %d / %d frames",
                          min((b + 1) * batch_size, len(frame_indices)),
@@ -936,16 +961,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         executor.shutdown(wait=True)
 
     with timers.phase("compute"):
-        for result, n_valid in in_flight:
+        for result, map_out, n_valid in in_flight:
             accum.add_batch({k: np.asarray(v) for k, v in result.items()},
                             n_valid)
-
-    map_state_host = None
-    if map_state is not None:
-        map_state_host = {k: np.asarray(v) for k, v in map_state.items()}
+            if map_out is not None:
+                drain_map_state(map_out)
 
     log.info("analyzed %d frames", accum.n_frames)
-    return accum, traj, frame_indices, map_state_host
+    return accum, traj, frame_indices, map_accum
 
 
 def _run_bond_based(analysis: Analysis) -> AnalysisResults:

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.context import put_const
+
 from ..errors import ClusterError
 from .pbc import circular_mean_cog, min_image, naive_cog
 
@@ -93,7 +95,7 @@ def _spectral_labels(coords, box_diag, head_idx, *, handle_pbc):
 
 
 def make_spectral_labels(head_indices, handle_pbc=True):
-    head_d = jax.device_put(np.asarray(head_indices, np.int32))
+    head_d = put_const(np.asarray(head_indices, np.int32))
 
     def compute(coords, box_diag):
         return _spectral_labels(coords, box_diag, head_d,
@@ -212,7 +214,7 @@ def _spherical_classes(coords, box_diag, head_idx, *, handle_pbc):
 
 
 def make_spherical_classifier(head_indices, handle_pbc=True):
-    head_d = jax.device_put(np.asarray(head_indices, np.int32))
+    head_d = put_const(np.asarray(head_indices, np.int32))
 
     def classify(coords, box_diag):
         return _spherical_classes(coords, box_diag, head_d,

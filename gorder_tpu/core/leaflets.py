@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.context import put_const
+
 from .pbc import circular_mean_cog, min_image, naive_cog
 
 
@@ -49,8 +51,8 @@ def make_global_classifier(membrane_indices, head_indices, normal_axis,
                            handle_pbc=True):
     """Global method: head above/below the whole-membrane center of geometry
     along the normal axis."""
-    membrane_d = jax.device_put(np.asarray(membrane_indices, np.int32))
-    heads_d = jax.device_put(np.asarray(head_indices, np.int32))
+    membrane_d = put_const(np.asarray(membrane_indices, np.int32))
+    heads_d = put_const(np.asarray(head_indices, np.int32))
 
     def classify(coords, box_diag):
         return _global_classify(coords, box_diag, membrane_d, heads_d,
@@ -101,8 +103,8 @@ def make_local_classifier(membrane_indices, head_indices, normal_axis,
 
     The reference accelerates this with a cell grid; on TPU an O(M·Nm) masked
     reduction maps straight onto the MXU/VPU (SURVEY.md §2.6 item 5)."""
-    membrane_d = jax.device_put(np.asarray(membrane_indices, np.int32))
-    heads_d = jax.device_put(np.asarray(head_indices, np.int32))
+    membrane_d = put_const(np.asarray(membrane_indices, np.int32))
+    heads_d = put_const(np.asarray(head_indices, np.int32))
     radius_d = jnp.float32(radius)
 
     def classify(coords, box_diag):
@@ -131,12 +133,12 @@ def make_individual_classifier(head_indices, methyl_indices, methyl_mol,
                                n_molecules, normal_axis, handle_pbc=True):
     """Individual method: sign of the summed wrapped (head − methyl)
     distance along the normal (leaflets.rs Individual)."""
-    heads_d = jax.device_put(np.asarray(head_indices, np.int32))
-    methyls_d = jax.device_put(np.asarray(methyl_indices, np.int32))
-    mol_d = jax.device_put(np.asarray(methyl_mol, np.int32))
+    heads_d = put_const(np.asarray(head_indices, np.int32))
+    methyls_d = put_const(np.asarray(methyl_indices, np.int32))
+    mol_d = put_const(np.asarray(methyl_mol, np.int32))
     onehot = np.zeros((len(methyl_indices), n_molecules), np.float32)
     onehot[np.arange(len(methyl_indices)), np.asarray(methyl_mol)] = 1.0
-    onehot_d = jax.device_put(onehot)
+    onehot_d = put_const(onehot)
 
     def classify(coords, box_diag):
         return _individual_classify(coords, box_diag, heads_d, methyls_d,

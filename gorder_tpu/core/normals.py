@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.context import put_const
+
 from .pbc import min_image
 
 
@@ -56,8 +58,8 @@ def _dynamic_normals(coords, box_diag, head_idx, cloud_idx, radius, *,
 
 def make_dynamic_normals(head_indices, cloud_indices, radius,
                          handle_pbc=True):
-    head_d = jax.device_put(np.asarray(head_indices, np.int32))
-    cloud_d = jax.device_put(np.asarray(cloud_indices, np.int32))
+    head_d = put_const(np.asarray(head_indices, np.int32))
+    cloud_d = put_const(np.asarray(cloud_indices, np.int32))
     radius_d = jnp.float32(radius)
 
     def compute(coords, box_diag):

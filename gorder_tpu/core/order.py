@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.context import put_const
+
 from .pbc import min_image
 
 _SCALE = 1.0e6
@@ -160,12 +162,12 @@ def make_order_step(
     and yielding a dict of (B, 3, T) f32 arrays per class
     ([sum_hi, sum_lo, count]; sum = hi·4096 + lo exactly, ×1e-6 → order).
     """
-    atom_a_d = jax.device_put(np.asarray(atom_a, np.int32))
-    atom_b_d = jax.device_put(np.asarray(atom_b, np.int32))
-    bond_mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
-    bond_type_d = jax.device_put(np.asarray(bond_type, np.int32))
-    onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
-    dummy_classes = jax.device_put(np.zeros((1, 1), np.int32))
+    atom_a_d = put_const(np.asarray(atom_a, np.int32))
+    atom_b_d = put_const(np.asarray(atom_b, np.int32))
+    bond_mol_d = put_const(np.asarray(bond_mol, np.int32))
+    bond_type_d = put_const(np.asarray(bond_type, np.int32))
+    onehot_d = put_const(_one_hot(np.asarray(bond_type), n_types))
+    dummy_classes = put_const(np.zeros((1, 1), np.int32))
 
     fast_step = None
     from ..ops.pallas_p2 import make_pallas_order_step, pallas_supported
@@ -178,11 +180,15 @@ def make_order_step(
             np.asarray(bond_type, np.int32), n_types,
             handle_pbc=handle_pbc)
 
+    def _single_device(x):
+        s = getattr(x, "sharding", None)
+        return s is None or len(s.device_set) == 1
+
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
         if (fast_step is not None and leaflet_classes is None
                 and map_state is None and geom_ref is None
-                and coords.shape[0] % 8 == 0):
+                and coords.shape[0] % 8 == 0 and _single_device(coords)):
             return fast_step(coords, box_diag, normal, frame_mask,
                              inv_scale=inv_scale)
         return _order_step(

@@ -82,22 +82,32 @@ def map_cells(mid, spec: MapSpec, bond_type, n_types):
 def update_maps(state, sch, cells, masks):
     """Scatter per-sample order values into the per-class grids.
 
-    state: {cls: (2, n_types*ncells + 1) f32 [sums, counts]};
-    sch: (B, N) f32; cells: (B, N) int32; masks: {cls: (B, N) f32}."""
+    state: {cls: (3, n_types*ncells + 1) f32 [hi_sums, lo_sums, counts]};
+    sch: (B, N) f32; cells: (B, N) int32; masks: {cls: (B, N) f32}.
+
+    Samples are quantized to the same 1e-6 fixed point as the main order
+    accumulation (core/order.py) and split into exact 12-bit f32 halves, so
+    tile sums are bit-identical regardless of batch size, device count, or
+    GSPMD reduction order — the reference accumulates map tiles in its i64
+    `OrderValue` for the same reason (src/analysis/ordermap.rs)."""
     import jax
     import jax.numpy as jnp
 
     n_seg = state[next(iter(state))].shape[1]
     flat_cells = cells.reshape(-1)
-    flat_sch = sch.reshape(-1)
+    q = jnp.trunc(sch * 1.0e6)
+    hi = jnp.trunc(q / 4096.0).reshape(-1)
+    lo = (q - jnp.trunc(q / 4096.0) * 4096.0).reshape(-1)
     out = {}
     for cls, mask in masks.items():
         flat_mask = mask.reshape(-1)
-        sums = jax.ops.segment_sum(flat_sch * flat_mask, flat_cells,
-                                   num_segments=n_seg)
+        hi_sums = jax.ops.segment_sum(hi * flat_mask, flat_cells,
+                                      num_segments=n_seg)
+        lo_sums = jax.ops.segment_sum(lo * flat_mask, flat_cells,
+                                      num_segments=n_seg)
         counts = jax.ops.segment_sum(flat_mask, flat_cells,
                                      num_segments=n_seg)
-        out[cls] = state[cls] + jnp.stack([sums, counts])
+        out[cls] = state[cls] + jnp.stack([hi_sums, lo_sums, counts])
     return out
 
 
@@ -105,7 +115,7 @@ def init_map_state(classes, n_types: int, spec: MapSpec):
     import jax.numpy as jnp
 
     return {
-        cls: jnp.zeros((2, n_types * spec.ncells + 1), jnp.float32)
+        cls: jnp.zeros((3, n_types * spec.ncells + 1), jnp.float32)
         for cls in classes
     }
 
@@ -118,8 +128,13 @@ def finalize_maps(state_host, n_types: int, spec: MapSpec, min_samples: int,
     raw = {}
     for cls, arr in state_host.items():
         arr = np.asarray(arr)[:, :-1]  # drop the dump cell
-        sums = arr[0].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
-        counts = arr[1].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
+        # exact int64 recombination of the 12-bit halves, then back to the
+        # 1e-6 scale (matches core/order.py OrderAccumulator)
+        hi = arr[0].astype(np.int64)
+        lo = arr[1].astype(np.int64)
+        sums = ((hi * 4096 + lo).reshape(n_types, spec.n0, spec.n1)
+                .astype(np.float64) * 1e-6)
+        counts = arr[2].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
         raw[cls] = (sums, counts)
         with np.errstate(invalid="ignore", divide="ignore"):
             values = sign * sums / counts

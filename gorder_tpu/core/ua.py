@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.context import put_const
+
 from .order import _SCALE, _SPLIT
 from .pbc import min_image, wrap
 
@@ -234,14 +236,14 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
         for cat in ("ch3", "ch2", "ch1u", "ch1s") if cat in categories
     )
     indices = {
-        cat: {k: jax.device_put(np.asarray(v, np.int32))
+        cat: {k: put_const(np.asarray(v, np.int32))
               for k, v in categories[cat].items()}
         for cat, _ in layout
     }
-    onehot_d = jax.device_put(_one_hot(np.asarray(bond_type), n_types))
-    bond_mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
-    bond_type_d = jax.device_put(np.asarray(bond_type, np.int32))
-    dummy = jax.device_put(np.zeros((1, 1), np.int32))
+    onehot_d = put_const(_one_hot(np.asarray(bond_type), n_types))
+    bond_mol_d = put_const(np.asarray(bond_mol, np.int32))
+    bond_type_d = put_const(np.asarray(bond_type, np.int32))
+    dummy = put_const(np.zeros((1, 1), np.int32))
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
