@@ -1,0 +1,68 @@
+"""Runtime failure behaviors mirrored from the reference's *_fail_* tests
+(tests_cg.rs:4005-4090, tests_aa.rs:4610): dynamic-normal constraints and
+no-PBC geometry restrictions must be rejected with named errors."""
+
+import pytest
+
+from gorder_tpu.errors import (
+    ConfigError,
+    GorderError,
+    OrderMapError,
+    TopologyError,
+)
+from gorder_tpu.input import (
+    Analysis,
+    AnalysisType,
+    LeafletClassification,
+    MembraneNormal,
+    OrderMapParams,
+)
+from gorder_tpu.input.config import Geometry
+
+
+def cg(fixtures, **kw):
+    return Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        silent=True, overwrite=True, **kw)
+
+
+def test_dynamic_normal_requires_explicit_map_plane(fixtures, tmp_path):
+    """test_cg_order_fail_dynamic_undefined_ordermap_plane"""
+    with pytest.raises(OrderMapError, match="plane"):
+        cg(fixtures,
+           membrane_normal=MembraneNormal.dynamic("name PO4", 2.0),
+           map=OrderMapParams.parse({
+               "output_directory": str(tmp_path / "m"),
+               "bin_size": [1, 1]}))
+
+
+def test_dynamic_normal_requires_leaflet_axis(fixtures):
+    """test_cg_order_fail_dynamic_undefined_leaflet_normal"""
+    with pytest.raises(ConfigError, match="membrane_normal"):
+        cg(fixtures,
+           membrane_normal=MembraneNormal.dynamic("name PO4", 2.0),
+           leaflets=LeafletClassification.individual(
+               "name PO4", "name C4A C4B")).run()
+
+
+def test_dynamic_normal_multiple_heads(fixtures):
+    """test_cg_order_fail_dynamic_multiple_heads"""
+    with pytest.raises(TopologyError, match="2 atoms"):
+        cg(fixtures,
+           membrane_normal=MembraneNormal.dynamic("name PO4 NC3", 2.0)).run()
+
+
+def test_dynamic_normal_no_head(fixtures):
+    """test_cg_order_fail_dynamic_no_head"""
+    with pytest.raises(TopologyError, match="0 atoms"):
+        cg(fixtures,
+           membrane_normal=MembraneNormal.dynamic("name W", 2.0)).run()
+
+
+def test_nopbc_rejects_box_center_reference(fixtures):
+    """test_aa_order_geometry_no_pbc_fail_box_center"""
+    with pytest.raises(GorderError, match="box center"):
+        cg(fixtures, handle_pbc=False,
+           geometry=Geometry("sphere", radius=2.5)).run()
