@@ -412,6 +412,13 @@ def _manual_leaflet_table(assignment, kinds: List[MoleculeKind]) -> np.ndarray:
         raise ManualLeafletError(
             f"invalid leaflet value '{value}' in the manual assignment")
 
+    known = {kind.name for kind in kinds}
+    extra = [name for name in assignment if name not in known]
+    if extra:
+        raise ManualLeafletError(
+            f"molecule type(s) {extra} specified in the leaflet assignment "
+            f"structure not found in the system")
+
     n_frames = None
     per_kind = []
     for kind in kinds:
@@ -420,6 +427,10 @@ def _manual_leaflet_table(assignment, kinds: List[MoleculeKind]) -> np.ndarray:
                 f"molecule type '{kind.name}' not found in the leaflet "
                 f"assignment")
         frames = assignment[kind.name]
+        if not frames:  # `NAME:` with no value parses as None
+            raise ManualLeafletError(
+                f"no leaflet assignment data provided for molecule type "
+                f"'{kind.name}'")
         if n_frames is None:
             n_frames = len(frames)
         elif len(frames) != n_frames:

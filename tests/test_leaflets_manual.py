@@ -131,3 +131,35 @@ def test_aa_leaflet_export(fixtures, tmp_path):
         write_leaflets(results, str(tmp_path / "leaflets.yaml"))
         assert_eq_order(str(tmp_path / "leaflets.yaml"),
                         str(fixtures / golden))
+
+
+def test_manual_unexpected_moltype(fixtures):
+    """Extra molecule types in the assignment are an error
+    (test_cg_order_leaflets_from_map_fail_unexpected_molecule_type)."""
+    leaflets = LeafletClassification.from_map({
+        "POPC": [[1] * 242], "POPE": [[1] * 242], "POPG": [[1] * 24],
+        "WATER": [[1] * 3]})
+    leaflets.with_frequency(Frequency.once())
+    with pytest.raises(ManualLeafletError,
+                       match="not found in the system"):
+        cg_analysis(fixtures, leaflets).run()
+
+
+def test_manual_empty_assignment(fixtures):
+    """test_cg_order_leaflets_from_map_fail_empty_assignment."""
+    leaflets = LeafletClassification.from_map({
+        "POPC": [], "POPE": [[1] * 242], "POPG": [[1] * 24]})
+    leaflets.with_frequency(Frequency.once())
+    with pytest.raises(ManualLeafletError,
+                       match="no leaflet assignment data provided"):
+        cg_analysis(fixtures, leaflets).run()
+
+
+def test_manual_file_nonexistent_and_invalid(fixtures, tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("not: [valid\n")
+    for path, match in (("/no/such/file.yaml", "could not read"),
+                        (str(bad), "could not parse")):
+        leaflets = LeafletClassification.from_file(path)
+        with pytest.raises(ManualLeafletError, match=match):
+            cg_analysis(fixtures, leaflets).run()
