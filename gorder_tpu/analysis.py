@@ -666,6 +666,12 @@ def _manual_normals_table(mapping, kinds: List[MoleculeKind]) -> np.ndarray:
         raise ManualNormalError(
             "manual membrane normals must map molecule types to per-frame "
             "per-molecule vectors")
+    known = {kind.name for kind in kinds}
+    extra = [name for name in mapping if name not in known]
+    if extra:
+        raise ManualNormalError(
+            f"molecule type(s) {extra} specified in the normals structure "
+            f"not found in the system")
     n_frames = None
     per_kind = []
     for kind in kinds:

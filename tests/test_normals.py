@@ -132,3 +132,19 @@ def test_manual_normals_error_fixtures(fixtures):
         _manual_normals_table(load("normals_unmatching.yaml"),
                               [Kind("POPE", 5), Kind("POPG", 3)])
     assert "molecules" in str(e.value)
+
+
+def test_manual_normals_unexpected_moltype(fixtures):
+    """Extra molecule types in a manual normals map are rejected."""
+    from gorder_tpu.input import Analysis, AnalysisType, MembraneNormal
+
+    mapping = {"POPC": [[[0, 0, 1]] * 242], "POPE": [[[0, 0, 1]] * 242],
+               "POPG": [[[0, 0, 1]] * 24], "WATER": [[[0, 0, 1]] * 3]}
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        membrane_normal=MembraneNormal.from_map(mapping),
+        step=21, silent=True, overwrite=True)
+    with pytest.raises(ManualNormalError, match="not found in the system"):
+        analysis.run()
