@@ -548,12 +548,27 @@ def _prepare_bond_kinds(system: System, analysis: Analysis
                 f"{int(overlap.sum())} atom(s)")
         kinds = classify_molecules(system, heavy, hydrogens, mode="bonds")
 
-    if not kinds:
-        raise TopologyError("no molecules containing analyzable bonds found")
     for kind in kinds:
         log.info("molecule type %s: %d molecules, %d bond types",
                  kind.name, kind.n_molecules, kind.n_bond_types)
-    return kinds, compile_bonds(kinds)
+    return kinds, (compile_bonds(kinds) if kinds else None)
+
+
+def _empty_results(analysis: Analysis, system: System) -> AnalysisResults:
+    """Atoms matched but nothing is analyzable: the reference finishes
+    successfully with empty results and writes no output files
+    (tests_cg.rs test_cg_order_no_molecules,
+    tests_ua.rs test_ua_order_nothing_to_analyze)."""
+    log.warning("no molecules to analyze — writing no output")
+    return AnalysisResults(
+        mode=analysis.analysis_type.kind,
+        average_order=OrderCollection(),
+        molecules=[],
+        n_analyzed_frames=0,
+        structure_path=str(analysis.structure),
+        trajectory_paths=[str(t) for t in analysis.trajectory],
+        analysis=analysis,
+    )
 
 
 @dataclass
@@ -996,6 +1011,8 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
         system = load_structure(analysis)
     with timers.phase("topology"):
         kinds, compiled = _prepare_bond_kinds(system, analysis)
+    if not kinds:
+        return _empty_results(analysis, system)
     axis, normal_vec, normals_rt = _build_normals(system, analysis, kinds,
                                                   compiled.n_molecules)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
@@ -1089,8 +1106,10 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
     with timers.phase("topology"):
         kinds = classify_molecules(system, satunsat, mode="atoms")
         if not kinds:
-            raise TopologyError("no molecules with analyzable atoms found")
+            return _empty_results(analysis, system)
         compiled = compile_ua(system, kinds, sat, unsat, ignore)
+        if compiled is None:
+            return _empty_results(analysis, system)
     for k, kind in enumerate(kinds):
         log.info("molecule type %s: %d molecules, %d analyzable atoms",
                  kind.name, kind.n_molecules, len(compiled.atom_specs[k]))

@@ -468,10 +468,11 @@ def _read_moltype(r: _XdrReader, symtab: List[str], file_version: int) -> _MolTy
         entries = iatoms.reshape(-1, width)
         if ftype in _BOND_FTYPES:
             pairs.extend(zip(entries[:, 1].tolist(), entries[:, 2].tolist()))
-        elif ftype == _SETTLE:
-            # SETTLE: O, H1, H2 → O-H1, O-H2
-            pairs.extend(zip(entries[:, 1].tolist(), entries[:, 2].tolist()))
-            pairs.extend(zip(entries[:, 1].tolist(), entries[:, 3].tolist()))
+        # SETTLE rigid waters deliberately do NOT become bonds: groan_rs
+        # only converts bonded interactions and constraints, so SETTLE
+        # waters have no connectivity (observable in the reference's
+        # test_ua_order_nothing_to_analyze, tests_ua.rs — a UA analysis of
+        # '@water' finds nothing analyzable because OW has no bonded atoms)
     mt.bonds = pairs
     # charge groups (t_block: nr, index[nr+1]) — written by all supported
     # versions even after mdrun stopped using them

@@ -11,6 +11,11 @@ def write_all_results(results) -> None:
     analysis = results.analysis
     if analysis is None:
         return
+    if not results.molecules:
+        # nothing analyzable: the reference writes no output files at all
+        # (tests_cg.rs test_cg_order_no_molecules)
+        _log.warning("no results to write")
+        return
     if analysis.output_yaml:
         write_yaml(results, analysis.output_yaml)
         _log.info("written results to '%s'", analysis.output_yaml)

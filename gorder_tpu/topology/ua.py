@@ -196,8 +196,10 @@ def compile_ua(system: System, kinds: List[MoleculeKind],
         bond_mol_parts.append(np.concatenate(sample_mols[cat]))
 
     if not bond_type_parts:
-        raise TopologyError(
-            "no united-atom carbons with predictable hydrogens found")
+        # no predictable carbons: the caller finishes with empty results
+        # (the reference succeeds and writes nothing,
+        # tests_ua.rs test_ua_order_nothing_to_analyze)
+        return None
 
     return CompiledUA(
         categories=final_categories,

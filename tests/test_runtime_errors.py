@@ -66,3 +66,29 @@ def test_nopbc_rejects_box_center_reference(fixtures):
     with pytest.raises(GorderError, match="box center"):
         cg(fixtures, handle_pbc=False,
            geometry=Geometry("sphere", radius=2.5)).run()
+
+
+def test_nothing_to_analyze_writes_no_output(fixtures, tmp_path):
+    """Selections that match atoms but yield no analyzable molecules finish
+    successfully with empty results and write NO files
+    (test_cg_order_no_molecules, test_ua_order_nothing_to_analyze)."""
+    out = tmp_path / "should_not_exist.yaml"
+    results = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),
+        analysis_type=AnalysisType.cgorder("@ion"),
+        output_yaml=str(out), silent=True, overwrite=True).run()
+    results.write()
+    assert results.molecules == [] and results.n_analyzed_frames == 0
+    assert not out.exists()
+
+    out2 = tmp_path / "ua_should_not_exist.yaml"
+    results = Analysis(
+        structure=str(fixtures / "ua.tpr"),
+        trajectory=str(fixtures / "ua.xtc"),
+        analysis_type=AnalysisType.uaorder(saturated="@water",
+                                           unsaturated="name Cs"),
+        output_yaml=str(out2), silent=True, overwrite=True).run()
+    results.write()
+    assert results.molecules == []
+    assert not out2.exists()
