@@ -363,3 +363,48 @@ def test_ua_leaflet_export_once(fixtures, tmp_path):
     write_leaflets(results, str(tmp_path / "leaflets.yaml"))
     assert_eq_order(str(tmp_path / "leaflets.yaml"),
                     str(fixtures / "ua_leaflets_once.yaml"))
+
+
+def test_from_ndx_partial_selection_frequencies(fixtures, tmp_path):
+    """Partial bead selection with FromNdx across frequencies; the ndx file
+    count must match the assignment-frame count
+    (test_cg_order_leaflets_from_ndx_partial)."""
+    ndx = str(fixtures / "ndx" / "cg_leaflets.ndx")
+    for freq, files in ((Frequency.once(), [ndx]),
+                        (Frequency.every(1), [ndx] * 101),
+                        (Frequency.every(20), [ndx] * 6)):
+        leaflets = LeafletClassification.from_ndx(
+            files, "name PO4", "Upper", "Lower")
+        leaflets.with_frequency(freq)
+        results = Analysis(**cg(
+            fixtures, beads="resname POPC and name C1B C2B C3B C4B",
+            leaflets=leaflets)).run()
+        out = tmp_path / "order.yaml"
+        write_yaml(results, str(out))
+        assert_eq_order(str(out),
+                        str(fixtures / "cg_order_leaflets_small.yaml"))
+
+
+def test_ordermap_directory_backup(fixtures, tmp_path):
+    """Without --overwrite, an existing ordermap directory is backed up
+    whole, preserving its contents (test_cg_order_maps_basic_backup)."""
+    from gorder_tpu.input import OrderMapParams
+    from gorder_tpu.present.ordermaps_out import write_ordermaps
+
+    out_dir = tmp_path / "maps"
+    out_dir.mkdir()
+    (out_dir / "to_backup.txt").write_text("This file will be backed up.")
+
+    params = cg(fixtures, beads="resname POPC and name C1B C2B C3B C4B",
+                map=OrderMapParams.parse({
+                    "output_directory": str(out_dir),
+                    "bin_size": [1.0, 1.0], "min_samples": 10}))
+    params["overwrite"] = False
+    results = Analysis(**params).run()
+    write_ordermaps(results, str(out_dir))
+    backup = tmp_path / "#maps.1#"
+    assert backup.is_dir()
+    assert (backup / "to_backup.txt").read_text() == \
+        "This file will be backed up."
+    assert (out_dir / "POPC" / "ordermap_average_full.dat").is_file()
+    assert not (out_dir / "to_backup.txt").exists()
