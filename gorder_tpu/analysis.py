@@ -728,6 +728,30 @@ def _static_normal(analysis: Analysis):
     return axis, normal_vec
 
 
+def _unpack12(packed_u8, first_n: int):
+    """Device-side unpack of 12-bit packed XTC integers (io/native.py
+    i12 layout: two two's-complement values per 3 bytes) → (B, first_n, 3)
+    int16, bit-identical to the int16 decode path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def unpack(p, n):
+        b0 = p[:, 0::3].astype(jnp.int32)
+        b1 = p[:, 1::3].astype(jnp.int32)
+        b2 = p[:, 2::3].astype(jnp.int32)
+        v0 = (b0 | ((b1 & 0xF) << 8))
+        v1 = ((b1 >> 4) | (b2 << 4))
+        v0 = (v0 ^ 0x800) - 0x800   # sign-extend 12 → 32 bits
+        v1 = (v1 ^ 0x800) - 0x800
+        vals = jnp.stack([v0, v1], axis=-1).reshape(p.shape[0], -1)
+        return vals[:, :n * 3].reshape(p.shape[0], n, 3).astype(jnp.int16)
+
+    return unpack(packed_u8, first_n)
+
+
 def _dequantize(coords_i16, inv_prec):
     """int16 XTC integers → f32 nm, bit-identical to the host conversion."""
     import jax
@@ -817,9 +841,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     batch_size = _effective_batch_size()
     normal_dev = put_const(normal_vec)
 
-    # probe whether the whole trajectory supports the int16 fast path
-    probe = traj.read_frames_quantized(frame_indices[:1], first_n)
-    use_i16 = probe is not None
+    # probe the most compact coordinate transfer the trajectory supports:
+    # 12-bit packed (25% fewer bytes than int16) → int16 → f32. Probing
+    # first/middle/last frames keeps costly mid-run fallbacks rare.
+    probe_idx = frame_indices[
+        np.unique([0, len(frame_indices) // 2, len(frame_indices) - 1])]
+    use_i12 = traj.read_frames_packed12(probe_idx, first_n) is not None
+    use_i16 = (not use_i12 and
+               traj.read_frames_quantized(probe_idx, first_n) is not None)
 
     # per-batch zero map state: batch tile sums are fetched and accumulated
     # in int64 on the host every batch (exact like the order sums; carrying
@@ -845,10 +874,15 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         geom_point = np.asarray(geom_payload, np.float32)
 
     n_batches = (len(frame_indices) + batch_size - 1) // batch_size
-    buffers = [
-        np.zeros((batch_size, first_n, 3), np.int16 if use_i16 else np.float32)
-        for _ in range(2)
-    ]
+    from .io.native import i12_stride
+
+    if use_i12:
+        buf_shape, buf_dtype = (batch_size, i12_stride(first_n)), np.uint8
+    elif use_i16:
+        buf_shape, buf_dtype = (batch_size, first_n, 3), np.int16
+    else:
+        buf_shape, buf_dtype = (batch_size, first_n, 3), np.float32
+    buffers = [np.zeros(buf_shape, buf_dtype) for _ in range(2)]
 
     # n_threads maps to decoder threads (frames decode independently); the
     # reference's analysis threading is superseded by device parallelism
@@ -866,6 +900,18 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     def _decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % 2]
+        if use_i12:
+            res = traj.read_frames_packed12(chunk, first_n, out=buf,
+                                            n_threads=n_threads)
+            if res is not None:
+                coords, inv_prec, boxes, times, steps = res
+                if len(chunk) < batch_size:
+                    coords = buf
+                return coords, inv_prec, boxes, len(chunk), b
+            # rare mid-trajectory fallback: decode as f32 into a new buffer
+            coords, boxes, times, steps = traj.read_frames(
+                chunk, first_n, n_threads=n_threads)
+            return coords.astype(np.float32), None, boxes, len(chunk), b
         if use_i16:
             res = traj.read_frames_quantized(chunk, first_n, out=buf,
                                              n_threads=n_threads)
@@ -907,6 +953,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             # accelerator transfers are asynchronous: the decode buffer must
             # not be rewritten (decode b+2) until the copy has drained
             jax.block_until_ready(coords_dev)
+            if use_i12 and inv_prec is not None:
+                # 12-bit packed wire format → int16 on device
+                coords_dev = _unpack12(coords_dev, first_n)
 
             if analysis.handle_pbc:
                 for i in range(n_valid):

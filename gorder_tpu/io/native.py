@@ -83,6 +83,14 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ]
+            lib.xtc_decode_i12.restype = ctypes.c_int32
+            lib.xtc_decode_i12.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -192,6 +200,46 @@ def xtc_decode_i16(path: str, offsets: np.ndarray, first_n: int,
             n_threads)
         if rc == 1:
             return None  # out of i16 range somewhere
+        if rc != 0:
+            raise TrajectoryError(
+                f"could not decode xtc file '{path}': {_err(lib)}")
+    return coords, inv_prec, boxes, times, steps
+
+
+def i12_stride(first_n: int) -> int:
+    """Bytes per frame for the 12-bit packed layout."""
+    return ((first_n * 3 + 1) // 2) * 3
+
+
+def xtc_decode_i12(path: str, offsets: np.ndarray, first_n: int,
+                   out: np.ndarray = None, n_threads: int = 1):
+    """Decode frames as 12-bit-packed XTC fixed-point integers (two values
+    per 3 bytes — 25% fewer wire bytes than int16).
+
+    Returns (packed_u8 (n, stride), inv_precision (n,), boxes, times,
+    steps) or None when any coordinate exceeds the 12-bit range (caller
+    falls back to int16/f32). Device-side unpacking then dequantization
+    reproduces the f32 coordinates bit-for-bit."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets)
+    stride = i12_stride(first_n)
+    if out is not None and out.shape[0] >= n and out.shape[1] == stride:
+        coords = out[:n]
+    else:
+        coords = np.empty((n, stride), np.uint8)
+    inv_prec = np.empty(n, np.float32)
+    boxes = np.empty((n, 3, 3), np.float32)
+    times = np.empty(n, np.float32)
+    steps = np.empty(n, np.int32)
+    if n:
+        rc = lib.xtc_decode_i12(
+            path.encode(), _i64p(offsets), n, first_n,
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _f32p(inv_prec), _f32p(boxes), _f32p(times), _i32p(steps),
+            n_threads)
+        if rc == 1:
+            return None  # out of 12-bit range somewhere
         if rc != 0:
             raise TrajectoryError(
                 f"could not decode xtc file '{path}': {_err(lib)}")

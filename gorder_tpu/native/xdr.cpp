@@ -497,6 +497,33 @@ struct I16Sink {
   }
 };
 
+// 12-bit two's-complement packing: two values per 3 bytes. Values are
+// emitted in strictly increasing index order within a frame, so the shared
+// middle byte is always written low-nibble first.
+struct I12Sink {
+  uint8_t *out;
+  float inv_precision;  // unused, kept for interface symmetry
+  bool ok = true;
+  inline void put(size_t i, int32_t v) {
+    if (v < -2048 || v > 2047) ok = false;
+    uint32_t u = (uint32_t)v & 0xFFFu;
+    uint8_t *b = out + (i >> 1) * 3;
+    if ((i & 1) == 0) {
+      b[0] = (uint8_t)(u & 0xFF);
+      b[1] = (uint8_t)((b[1] & 0xF0) | (u >> 8));
+    } else {
+      b[1] = (uint8_t)((b[1] & 0x0F) | ((u & 0xF) << 4));
+      b[2] = (uint8_t)(u >> 4);
+    }
+  }
+  inline void emit(int slot, const int32_t *c) {
+    size_t base = (size_t)slot * 3;
+    put(base + 0, c[0]);
+    put(base + 1, c[1]);
+    put(base + 2, c[2]);
+  }
+};
+
 // Decode the compressed coordinates of one frame through `sink`.
 // Returns false on corruption.
 template <typename Sink>
@@ -1071,6 +1098,60 @@ int32_t xtc_decode_i16(const char *path, const int64_t *frame_offsets,
       // through a 1e-3 grid, so the matching scale is 1/1000
       out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
       I16Sink sink{out_coords + (size_t)f * first_n * 3, 0.0f};
+      if (!decode_xtc_coords_t(h, first_n, sink)) {
+        status.store(-1);
+        return;
+      }
+      if (!sink.ok) {
+        int32_t expected = 0;
+        status.compare_exchange_strong(expected, 1);
+      }
+    }
+  };
+
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return status.load();
+}
+
+// Like xtc_decode_i16 but packs each coordinate into 12 bits (two values
+// per 3 bytes) — 25% fewer bytes on the wire than int16. Frame stride is
+// ((first_n*3 + 1) / 2) * 3 bytes. Returns 1 when any value exceeds the
+// 12-bit range (caller falls back to int16), 0 on success, -1 on error.
+int32_t xtc_decode_i12(const char *path, const int64_t *frame_offsets,
+                       int64_t n, int32_t first_n, uint8_t *out_coords,
+                       float *out_inv_precision, float *out_boxes,
+                       float *out_times, int32_t *out_steps,
+                       int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+
+  const size_t n_vals = (size_t)first_n * 3;
+  const size_t stride = ((n_vals + 1) / 2) * 3;
+
+  std::atomic<int32_t> status{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t f = lo; f < hi; f++) {
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
+        status.store(-1);
+        return;
+      }
+      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h.time;
+      if (out_steps) out_steps[f] = h.step;
+      out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
+      I12Sink sink{out_coords + (size_t)f * stride, 0.0f};
       if (!decode_xtc_coords_t(h, first_n, sink)) {
         status.store(-1);
         return;

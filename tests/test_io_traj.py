@@ -125,3 +125,45 @@ def test_check_box():
     bad[1, 0] = 1.0
     with pytest.raises(Exception):
         check_box(bad)
+
+
+def test_packed12_bit_identical_to_i16(fixtures):
+    """The 12-bit packed wire format reconstructs the exact XTC integers."""
+    import numpy as np
+
+    from gorder_tpu.io import native
+    from gorder_tpu.io.traj import Trajectory
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    idx = traj.select_frames(None, None, 7)[:12]
+    fn = 1000
+    c16, inv16, b16, _, _ = traj.read_frames_quantized(idx, fn)
+    p12, inv12, b12, _, _ = traj.read_frames_packed12(idx, fn)
+    np.testing.assert_array_equal(inv16, inv12)
+    np.testing.assert_array_equal(b16, b12)
+
+    from gorder_tpu.analysis import _unpack12
+
+    unpacked = np.asarray(_unpack12(p12, fn))
+    np.testing.assert_array_equal(unpacked, c16)
+    assert p12.nbytes * 4 == c16.nbytes * 3  # 25% fewer bytes
+
+
+def test_packed12_out_of_range_falls_back():
+    """Values beyond ±2047 make the packed decode return None."""
+    import tempfile
+
+    import numpy as np
+
+    from gorder_tpu.io import native
+
+    coords = np.zeros((1, 4, 3), np.float32)
+    coords[0, 2, 1] = 30.0   # 30 nm * 100 = 3000 > 2047
+    boxes = np.tile(np.eye(3, dtype=np.float32) * 40.0, (1, 1, 1))
+    path = tempfile.mktemp(suffix=".xtc")
+    native.xtc_write(path, coords, boxes, np.zeros(1, np.float32),
+                     np.zeros(1, np.int32), precision=100.0)
+    info = native.xtc_scan(path)
+    offs = np.asarray(info["offsets"])
+    assert native.xtc_decode_i12(path, offs, 4) is None
+    assert native.xtc_decode_i16(path, offs, 4) is not None
