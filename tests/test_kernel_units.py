@@ -1,0 +1,90 @@
+"""Tier-1 numeric unit tests against hand values (SURVEY §4 tier 1:
+calc_sch hand value from src/analysis/mod.rs:94-105, PCA normals from
+synthetic planes from normal.rs:577-641, fixed-point quantization)."""
+
+import numpy as np
+
+from gorder_tpu.core.order import make_order_step
+
+
+def _run_single_bond(pa, pb, box, normal):
+    """One frame, one bond through the production kernel → S value."""
+    coords = np.zeros((8, 2, 3), np.float32)  # batch padded to 8
+    coords[0, 0] = pa
+    coords[0, 1] = pb
+    boxes = np.tile(np.asarray(box, np.float32), (8, 1))
+    mask = np.zeros(8, bool)
+    mask[0] = True
+    step = make_order_step(np.array([0], np.int32), np.array([1], np.int32),
+                           np.array([0], np.int32), np.array([0], np.int32),
+                           1, 1)
+    out, _ = step(coords, boxes, np.asarray(normal, np.float32), mask)
+    arr = np.asarray(out["total"])
+    hi = arr[:, 0].astype(np.int64).sum()
+    lo = arr[:, 1].astype(np.int64).sum()
+    count = arr[:, 2].sum()
+    assert count == 1
+    return float(hi * 4096 + lo) * 1e-6
+
+
+def test_calc_sch_hand_value():
+    """mod.rs test_calc_sch: P2 of the min-image vector (1.7,2.1,9.7)→
+    (1.9,2.4,0.8) in a 10 nm box against +z is 0.8544775."""
+    s = _run_single_bond([1.7, 2.1, 9.7], [1.9, 2.4, 0.8],
+                         [10.0, 10.0, 10.0], [0.0, 0.0, 1.0])
+    # production kernel truncates to the 1e-6 fixed-point grid
+    assert abs(s - 0.8544775) < 1e-6
+
+
+def test_calc_sch_axis_aligned():
+    """A bond parallel to the normal → S = 1; perpendicular → S = -0.5."""
+    s = _run_single_bond([1, 1, 1], [1, 1, 2], [10, 10, 10], [0, 0, 1])
+    assert abs(s - 1.0) < 1e-6
+    s = _run_single_bond([1, 1, 1], [2, 1, 1], [10, 10, 10], [0, 0, 1])
+    assert abs(s - (-0.5)) < 1e-6
+
+
+def test_magic_angle():
+    """At the magic angle (cos² = 1/3) the order parameter vanishes."""
+    d = np.array([1.0, 1.0, 1.0], np.float32)  # cos²(z) = 1/3
+    s = _run_single_bond([0, 0, 0], d, [50, 50, 50], [0, 0, 1])
+    assert abs(s) < 1e-5
+
+
+def test_pca_normal_from_synthetic_plane():
+    """normal.rs:577-641 analogue: heads scattered on a tilted plane →
+    the dynamic-normal PCA recovers the plane normal."""
+    from gorder_tpu.core.normals import make_dynamic_normals
+
+    rng = np.random.default_rng(7)
+    n_heads = 64
+    # plane with normal ∝ (1, 2, 2) through (5, 5, 5)
+    normal = np.array([1.0, 2.0, 2.0]) / 3.0
+    u = np.array([2.0, -1.0, 0.0]) / np.sqrt(5.0)
+    v = np.cross(normal, u)
+    ab = rng.uniform(-1.5, 1.5, (n_heads, 2))
+    pts = 5.0 + ab[:, :1] * u + ab[:, 1:] * v
+    coords = np.zeros((1, n_heads, 3), np.float32)
+    coords[0] = pts
+    box = np.full((1, 3), 50.0, np.float32)
+
+    compute = make_dynamic_normals(
+        head_indices=np.arange(n_heads, dtype=np.int32),
+        cloud_indices=np.arange(n_heads, dtype=np.int32),
+        radius=10.0)
+    normals, counts = compute(coords, box)
+    got = np.asarray(normals)[0]
+    assert np.asarray(counts).min() >= 3
+    cos = np.abs(got @ normal)  # sign ambiguity
+    assert np.all(cos > 0.9999), cos.min()
+
+
+def test_fixed_point_truncation_matches_reference_rule():
+    """order.rs:21-26: each sample is trunc(s·10⁶) toward zero."""
+    s = _run_single_bond([0, 0, 0], [3.0, 0.0, 4.0], [50, 50, 50],
+                         [0, 0, 1])
+    # cos² = 16/25 → s = 1.5·0.64 − 0.5 = 0.46, but 0.64 is not exactly
+    # representable in f32: the product lands a hair below and truncation
+    # toward zero keeps 459999 — NOT rounded up to 460000. This pins the
+    # trunc (not round) semantics of the reference's OrderValue.
+    assert s == 0.459999
