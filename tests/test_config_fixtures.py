@@ -112,3 +112,14 @@ def test_inline_tags():
     assert b.membrane_normal.kind == "from_map"
     assert all(isinstance(v, list)
                for v in b.membrane_normal.normals_map.values())
+
+
+def test_repo_examples_parse():
+    """Every YAML in examples/ must parse through the full config schema."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    files = sorted((repo / "examples").rglob("*.yaml"))
+    assert len(files) >= 9
+    for f in files:
+        Analysis.from_file(str(f))
