@@ -24,7 +24,7 @@ from .core.leaflets import (
 )
 from .core.order import OrderAccumulator, make_order_step
 from .errors import AnalysisError, ConfigError, SelectionError, TopologyError
-from .input.config import Analysis, AnalysisType, Frequency
+from .input.config import Analysis, Frequency
 from .io import read_bnd, read_gro, read_ndx, read_pdb, read_pqr
 from .io.tpr import read_tpr
 from .io.traj import Trajectory, check_box

@@ -1,7 +1,12 @@
 """pygorder ``gorder.exceptions`` (exceptions.pyi: AnalysisError,
 WriteError, ConfigError, APIError)."""
 
-from ..errors import AnalysisError, ConfigError, GorderError, WriteError
+from ..errors import (  # noqa: F401
+    AnalysisError,
+    ConfigError,
+    GorderError,
+    WriteError,
+)
 
 #: pygorder's catch-all for API misuse; our taxonomy root serves the role
 APIError = GorderError

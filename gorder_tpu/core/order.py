@@ -23,7 +23,6 @@ re-architected for TPU:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

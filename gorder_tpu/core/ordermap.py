@@ -10,7 +10,7 @@ across the whole trajectory and fetched once at the end.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

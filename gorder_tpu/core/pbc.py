@@ -8,7 +8,6 @@ naive versions.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -17,7 +17,7 @@ Parity notes:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

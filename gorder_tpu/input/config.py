@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import InitVar, dataclass, field as dataclass_field
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import yaml
 

@@ -15,7 +15,6 @@ single host thread); `activate()/deactivate()` bracket one analysis run.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 _ACTIVE = None
 

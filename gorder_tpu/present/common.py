@@ -6,7 +6,6 @@ import logging
 import math
 import os
 import shutil
-import time
 
 from ..version import __version__
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 from typing import List, Optional
 
-from ..results.model import AnalysisResults, Order
+from ..results.model import AnalysisResults
 from .common import prepare_output_path
 
 _CLASS_NAMES = {

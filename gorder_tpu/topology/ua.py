@@ -11,7 +11,7 @@ target). The object graph becomes flat per-category index arrays.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -1,3 +1,3 @@
-from .timers import PhaseTimers, timers
+from .timers import PhaseTimers, timers  # noqa: F401
 
 __all__ = ["PhaseTimers", "timers"]
