@@ -185,6 +185,10 @@ class LeafletRuntime:
     flip: bool = False
     max_atom: int = 0
     orienter = None   # SpectralOrienter: raw cluster labels → leaflets
+    # clustering methods classify every atom matching the heads query (the
+    # reference's ClusterHeads group spans the whole system, not just the
+    # analyzed molecules); this maps cloud positions → analyzed molecules
+    cloud_to_mol: Optional[np.ndarray] = None
     _logged_stats: bool = False
 
     def _log_first_stats(self, classes: np.ndarray) -> None:
@@ -255,6 +259,8 @@ class LeafletRuntime:
             if is_assign.any():
                 last = np.nonzero(is_assign)[0][-1]
                 self.carried = assigned[last]
+        if self.cloud_to_mol is not None:
+            classes = classes[:, self.cloud_to_mol]
         if self.flip:
             classes = 1 - classes
         if self.collect_frames is not None:
@@ -307,6 +313,23 @@ def _atoms_per_molecule(system: System, kinds: List[MoleculeKind],
     return np.asarray(atoms, np.int64), np.asarray(mols, np.int64)
 
 
+def _cluster_head_cloud(system: System, kinds: List[MoleculeKind],
+                        query: str):
+    """Clustering operates on EVERY atom matching the heads query — the
+    reference's ClusterHeads group spans the whole system (clustering.rs
+    create_similarity_matrix iterates the raw group) — while each analyzed
+    molecule is assigned the cluster of its own head. Returns
+    (cloud_atom_indices, position_of_each_analyzed_molecule's_head)."""
+    cloud = np.nonzero(select_mask(system, query))[0].astype(np.int64)
+    heads = _single_atom_per_molecule(system, kinds, query, "cluster heads")
+    mol_pos = np.searchsorted(cloud, heads)
+    if not np.array_equal(cloud[mol_pos], heads):  # pragma: no cover
+        raise TopologyError(
+            "internal error: analyzed molecule heads missing from the "
+            "cluster head cloud")
+    return cloud, mol_pos
+
+
 def build_leaflet_runtime(system: System, analysis: Analysis,
                           kinds: List[MoleculeKind], n_molecules: int,
                           normal_axis: int) -> Optional[LeafletRuntime]:
@@ -352,19 +375,19 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
     elif params.kind == "clustering":
         from .core.clustering import SpectralOrienter, make_spectral_labels
 
-        heads = _single_atom_per_molecule(system, kinds, params.heads,
-                                          "cluster heads")
-        runtime.classify = make_spectral_labels(heads, analysis.handle_pbc)
-        runtime.orienter = SpectralOrienter(heads)
-        runtime.max_atom = int(heads.max())
+        cloud, mol_pos = _cluster_head_cloud(system, kinds, params.heads)
+        runtime.classify = make_spectral_labels(cloud, analysis.handle_pbc)
+        runtime.orienter = SpectralOrienter(cloud)
+        runtime.cloud_to_mol = mol_pos
+        runtime.max_atom = int(cloud.max())
     elif params.kind == "spherical":
         from .core.clustering import make_spherical_classifier
 
-        heads = _single_atom_per_molecule(system, kinds, params.heads,
-                                          "cluster heads")
-        runtime.classify = make_spherical_classifier(heads,
+        cloud, mol_pos = _cluster_head_cloud(system, kinds, params.heads)
+        runtime.classify = make_spherical_classifier(cloud,
                                                      analysis.handle_pbc)
-        runtime.max_atom = int(heads.max())
+        runtime.cloud_to_mol = mol_pos
+        runtime.max_atom = int(cloud.max())
     elif params.kind in ("from_file", "from_map"):
         if params.kind == "from_file":
             import yaml as _yaml

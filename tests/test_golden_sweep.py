@@ -114,11 +114,26 @@ CASES = {
     "cg_order_error_leaflets": lambda f: cg(
         f, estimate_error=EstimateError(),
         leaflets=LeafletClassification.global_("@membrane", "name PO4")),
-    # --- membrane spanning only one leaflet (tests_cg.rs only_upper)
+    # --- membrane spanning only one leaflet: every automatic method must
+    # agree (tests_cg.rs test_cg_order_leaflets_yaml_only_upper; the
+    # clustering cloud spans the whole heads query, so the analyzed subset
+    # maps onto the upper cluster)
     "cg_order_leaflets_only_upper": lambda f: cg(
         f, beads="resid 1 to 254",
         leaflets=LeafletClassification.global_(
             "@membrane", "name PO4").with_frequency(Frequency.once())),
+    "cg_order_leaflets_only_upper_local": lambda f: cg(
+        f, beads="resid 1 to 254",
+        leaflets=LeafletClassification.local(
+            "@membrane", "name PO4", 2.5).with_frequency(Frequency.once())),
+    "cg_order_leaflets_only_upper_individual": lambda f: cg(
+        f, beads="resid 1 to 254",
+        leaflets=LeafletClassification.individual(
+            "name PO4", "name C4A C4B").with_frequency(Frequency.once())),
+    "cg_order_leaflets_only_upper_clustering": lambda f: cg(
+        f, beads="resid 1 to 254",
+        leaflets=LeafletClassification.clustering(
+            "name PO4").with_frequency(Frequency.once())),
     # --- UA geometry (tests_ua.rs)
     "ua_order_cuboid_point": lambda f: ua(
         f, geometry=Geometry("cuboid", reference=(1.5, 2.5, 0.0),
@@ -149,12 +164,24 @@ LOOSE = {
 }
 
 
+# cases whose golden file differs from the case key (method variants
+# sharing one golden)
+GOLDEN_ALIAS = {
+    "cg_order_leaflets_only_upper_local": "cg_order_leaflets_only_upper",
+    "cg_order_leaflets_only_upper_individual":
+        "cg_order_leaflets_only_upper",
+    "cg_order_leaflets_only_upper_clustering":
+        "cg_order_leaflets_only_upper",
+}
+
+
 @pytest.mark.parametrize("golden", sorted(CASES))
 def test_golden(golden, fixtures, tmp_path):
     results = Analysis(**CASES[golden](fixtures)).run()
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
-    assert_eq_order(str(out), str(fixtures / f"{golden}.yaml"),
+    golden_file = GOLDEN_ALIAS.get(golden, golden)
+    assert_eq_order(str(out), str(fixtures / f"{golden_file}.yaml"),
                     atol=LOOSE.get(golden))
 
 
