@@ -94,7 +94,22 @@ def _spectral_labels(coords, box_diag, head_idx, *, handle_pbc):
     return jax.lax.map(per_frame, (coords, box_diag))
 
 
+# dense spectral clustering holds an (n, n) similarity matrix and runs a
+# full eigh — fine at membrane sizes (the reference's precise path caps at
+# 5000 heads and falls back to a heuristic Lanczos; on TPU dense stays
+# practical well beyond that), but a hard cap keeps pathological inputs
+# from silently exhausting device memory
+MAX_CLUSTER_HEADS = 20_000
+
+
 def make_spectral_labels(head_indices, handle_pbc=True):
+    if len(head_indices) > MAX_CLUSTER_HEADS:
+        from ..errors import ClusterError
+
+        raise ClusterError(
+            f"spectral clustering supports up to {MAX_CLUSTER_HEADS} head "
+            f"atoms ({len(head_indices)} selected); use "
+            f"!SphericalClustering for large vesicles")
     head_d = put_const(np.asarray(head_indices, np.int32))
 
     def compute(coords, box_diag):

@@ -97,3 +97,14 @@ def test_spectral_orienter_scrambling():
     # total scramble → no ≥80% match → error
     with pytest.raises(ClusterError):
         orienter.orient(np.array([0, 1] * 5))
+
+
+def test_spectral_head_cap():
+    import numpy as np
+    import pytest
+
+    from gorder_tpu.core.clustering import make_spectral_labels
+    from gorder_tpu.errors import ClusterError
+
+    with pytest.raises(ClusterError, match="SphericalClustering"):
+        make_spectral_labels(np.arange(30_000, dtype=np.int32))
