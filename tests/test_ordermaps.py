@@ -164,3 +164,38 @@ def test_ua_order_maps_basic(fixtures, tmp_path):
                        str(fixtures / "ordermaps_ua" / name))
     assert_eq_maps(str(out_dir / "ordermap_average_full.dat"),
                    str(fixtures / "ordermaps_ua" / "ordermap_average_full.dat"))
+
+
+def test_ua_order_maps_leaflets(fixtures, tmp_path):
+    """Leaflet-wise UA ordermaps (test_ua_order_maps_leaflets): upper and
+    lower grids against the original-fixture goldens, strict."""
+    from gorder_tpu.input import LeafletClassification
+
+    out_dir = tmp_path / "maps"
+    analysis = Analysis(
+        structure=str(fixtures / "ua.tpr"),
+        trajectory=str(fixtures / "ua.xtc"),
+        analysis_type=AnalysisType.uaorder(
+            saturated=SATURATED_MAP, unsaturated=UNSATURATED_MAP),
+        leaflets=LeafletClassification.global_("@membrane", "name r'^P'"),
+        map=OrderMapParams.parse({
+            "bin_size": [0.5, 2.0],
+            "output_directory": str(out_dir),
+            "min_samples": 5,
+        }),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    write_ordermaps(results, str(out_dir))
+    for name in (
+        "ordermap_POPC-C13-12_upper.dat",
+        "ordermap_POPC-C13-12_lower.dat",
+        "ordermap_POPC-C13-12--POPC-H1-12_upper.dat",
+        "ordermap_POPC-C20-19--POPC-H2-19_upper.dat",
+        "ordermap_POPC-C50-49--POPC-H3-49_lower.dat",
+        "ordermap_POPC-C50-49_full.dat",
+        "ordermap_average_upper.dat",
+        "ordermap_average_lower.dat",
+    ):
+        assert_eq_maps(str(out_dir / "POPC" / name),
+                       str(fixtures / "ordermaps_ua" / name))
