@@ -435,3 +435,39 @@ def test_ordermap_directory_backup(fixtures, tmp_path):
         "This file will be backed up."
     assert (out_dir / "POPC" / "ordermap_average_full.dat").is_file()
     assert not (out_dir / "to_backup.txt").exists()
+
+
+def test_aa_ordermaps_basic_and_leaflets(fixtures, tmp_path):
+    """AA ordermaps vs the reference grids (tests_aa.rs
+    test_aa_order_maps_basic / _leaflets). The split fixtures are
+    precision-100 re-encodes, so sparse 0.1 nm bins use the bulk
+    criterion (most tiles exact, outliers bounded)."""
+    import numpy as np
+
+    from gorder_tpu.input import OrderMapParams
+    from gorder_tpu.present.ordermaps_out import write_ordermaps
+
+    out_dir = tmp_path / "maps"
+    params = aa(fixtures, heavy="resname POPC and name C22 C24 C218",
+                leaflets=_global_p(),
+                map=OrderMapParams.parse({
+                    "output_directory": str(out_dir),
+                    "bin_size": [0.1, 4.0], "min_samples": 5}))
+    results = Analysis(**params).run()
+    write_ordermaps(results, str(out_dir))
+    for name in ("ordermap_POPC-C218-87--POPC-H18R-88_full.dat",
+                 "ordermap_POPC-C22-32_upper.dat",
+                 "ordermap_POPC-C24-47--POPC-H4S-49_lower.dat",
+                 "ordermap_average_full.dat",
+                 "ordermap_average_upper.dat"):
+        mine = _load_map(out_dir / "POPC" / name)
+        ref = _load_map(fixtures / "ordermaps" / name)
+        np.testing.assert_array_equal(mine[:, :2], ref[:, :2])
+        va, vb = mine[:, 2], ref[:, 2]
+        both = ~(np.isnan(va) | np.isnan(vb))
+        assert (np.isnan(va) != np.isnan(vb)).sum() <= max(
+            3, len(va) // 25), name
+        diff = np.abs(va[both] - vb[both])
+        assert np.median(diff) <= 5e-3, (name, np.median(diff))
+        assert (diff > 0.05).mean() <= 0.10, (name, np.sort(diff)[-5:])
+        assert diff.max() <= 0.25, (name, diff.max())
