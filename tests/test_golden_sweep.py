@@ -134,6 +134,22 @@ CASES = {
         f, beads="resid 1 to 254",
         leaflets=LeafletClassification.clustering(
             "name PO4").with_frequency(Frequency.once())),
+    # --- full-membrane leaflet-method equivalence: local/individual/
+    # clustering all reproduce the same golden as global
+    # (tests_aa.rs/tests_cg.rs method × frequency loops)
+    "aa_order_leaflets_local": lambda f: aa(
+        f, leaflets=LeafletClassification.local("@membrane", "name P", 2.5)),
+    "aa_order_leaflets_individual": lambda f: aa(
+        f, leaflets=LeafletClassification.individual(
+            "name P", "name C218 C316")),
+    "cg_order_leaflets_local": lambda f: cg(
+        f, leaflets=LeafletClassification.local(
+            "@membrane", "name PO4", 2.5)),
+    "cg_order_leaflets_individual": lambda f: cg(
+        f, leaflets=LeafletClassification.individual(
+            "name PO4", "name C4A C4B")),
+    "cg_order_leaflets_clustering": lambda f: cg(
+        f, leaflets=LeafletClassification.clustering("name PO4")),
     # --- UA geometry (tests_ua.rs)
     "ua_order_cuboid_point": lambda f: ua(
         f, geometry=Geometry("cuboid", reference=(1.5, 2.5, 0.0),
@@ -167,6 +183,11 @@ LOOSE = {
 # cases whose golden file differs from the case key (method variants
 # sharing one golden)
 GOLDEN_ALIAS = {
+    "aa_order_leaflets_local": "aa_order_leaflets",
+    "aa_order_leaflets_individual": "aa_order_leaflets",
+    "cg_order_leaflets_local": "cg_order_leaflets",
+    "cg_order_leaflets_individual": "cg_order_leaflets",
+    "cg_order_leaflets_clustering": "cg_order_leaflets",
     "cg_order_leaflets_only_upper_local": "cg_order_leaflets_only_upper",
     "cg_order_leaflets_only_upper_individual":
         "cg_order_leaflets_only_upper",
