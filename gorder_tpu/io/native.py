@@ -1,5 +1,10 @@
 """ctypes bindings for the native XTC/TRR codec (gorder_tpu/native/xdr.cpp).
 
+The reference reads trajectories through groan_rs's vendored C `xdrfile`
+(SURVEY.md §2.6.1, "reads only the necessary atoms from XTC"); this is the
+TPU-era equivalent with subset/early-stop reads and fixed-point wire
+formats.
+
 The shared library is compiled on first use with g++ -O3 and cached next to
 the source (keyed by a source hash), so no build step is needed at install
 time and stale binaries never survive a source change.

@@ -1,4 +1,8 @@
-"""Shared presentation helpers: float formatting, file backup, headers."""
+"""Shared presentation helpers: float formatting, file backup, headers.
+
+Behavioral reference: src/presentation/mod.rs:285-446 (4-dp rounding,
+`#name.N#` backups unless --overwrite, per-file write-status logging via
+the `backitup` crate)."""
 
 from __future__ import annotations
 
