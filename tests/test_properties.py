@@ -35,7 +35,11 @@ def test_xtc_roundtrip_property(tmp_path_factory, n_atoms, n_frames,
         # plain (uncompressed) frames keep full f32 fidelity
         np.testing.assert_allclose(dec, coords, atol=1e-6)
     else:
-        grid = np.round(coords * precision) / precision
+        # XTC/GROMACS rounds half away from zero (xdr.cpp:737), unlike
+        # numpy's banker's rounding — a hypothesis-found .5 boundary case
+        scaled = coords * np.float32(precision)
+        grid = np.trunc(scaled + np.copysign(np.float32(0.5), scaled))
+        grid = grid / precision
         np.testing.assert_allclose(dec, grid, atol=0.51 / precision)
     np.testing.assert_array_equal(dsteps, steps)
 
