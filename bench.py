@@ -237,12 +237,13 @@ def main():
         overwrite=True,
     )
 
-    # warm the jit cache on a single batch so compile time is not measured
-    # (the reference's hyperfine runs also exclude compilation — Rust is AOT)
+    # warm the jit cache AND the remote execution path on two real batches
+    # so neither compile time nor the tunnel's first-execution stall is
+    # measured (the reference's hyperfine runs also exclude compilation)
     warm = Analysis(
         structure=gro_path, bonds=bnd_path, trajectory=xtc_path,
         analysis_type=analysis.analysis_type,
-        begin=0.0, end=10.0, silent=True, overwrite=True,
+        begin=0.0, end=10_230.0, silent=True, overwrite=True,
     )
     warm.run()
 
