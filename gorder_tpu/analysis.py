@@ -27,7 +27,7 @@ from .errors import AnalysisError, ConfigError, SelectionError, TopologyError
 from .input.config import Analysis, Frequency
 from .io import read_bnd, read_gro, read_ndx, read_pdb, read_pqr
 from .io.tpr import read_tpr
-from .io.traj import Trajectory, check_box
+from .io.traj import AtomSubset, Trajectory, check_box
 from .results.model import (
     AnalysisResults,
     AtomDesc,
@@ -183,7 +183,6 @@ class LeafletRuntime:
     collect_frames: Optional[List[np.ndarray]] = None  # per assignment frame
     kinds: Optional[List[MoleculeKind]] = None
     flip: bool = False
-    max_atom: int = 0
     orienter = None   # SpectralOrienter: raw cluster labels → leaflets
     # clustering methods classify every atom matching the heads query (the
     # reference's ClusterHeads group spans the whole system, not just the
@@ -271,6 +270,56 @@ class LeafletRuntime:
         return classes.astype(np.int32)
 
 
+def _build_atom_space(system: System, analysis: Analysis, index_arrays):
+    """Union of every atom the device pipeline gathers → compact wire
+    subset + index remap.
+
+    The TPU equivalent of the reference's Master group ("only the necessary
+    atoms are read from XTC", src/analysis/common.rs:62-105, 283-304): the
+    decoder ships exactly these atoms, in compact slot order, and every
+    device-side index tensor is remapped into slot space."""
+    n = system.n_atoms
+    mask = np.zeros(n, bool)
+    for arr in index_arrays:
+        a = np.asarray(arr, np.int64).reshape(-1)
+        if len(a):
+            mask[a] = True
+    queries = []
+    lf = analysis.leaflets
+    if lf is not None:
+        if lf.kind in ("global", "local"):
+            queries += [lf.membrane, lf.heads]
+        elif lf.kind == "individual":
+            queries += [lf.heads, lf.methyls]
+        elif lf.kind in ("clustering", "spherical"):
+            queries.append(lf.heads)
+    mn = analysis.membrane_normal
+    if mn.kind == "dynamic":
+        queries.append(mn.heads)
+    g = analysis.geometry
+    if g is not None and isinstance(g.reference, str):
+        queries.append(g.reference)
+    for q in queries:
+        if q:
+            mask |= select_mask(system, q)
+    sel = np.nonzero(mask)[0]
+    # pad the wire width so near-identical configs share compiled shapes
+    n_out = min(n, ((len(sel) + 255) // 256) * 256)
+    subset = AtomSubset.from_indices(sel, n_out=max(n_out, len(sel)))
+    slots = np.full(n, -1, np.int64)
+    slots[sel] = np.arange(len(sel))
+
+    def remap(idx):
+        idx = np.asarray(idx)
+        out = slots[idx.reshape(-1)].reshape(idx.shape)
+        if (out < 0).any():  # pragma: no cover - internal invariant
+            raise AssertionError(
+                "internal error: device index outside the wire atom subset")
+        return out.astype(np.int32)
+
+    return subset, remap
+
+
 def _single_atom_per_molecule(system: System, kinds: List[MoleculeKind],
                               query: str, what: str) -> np.ndarray:
     """One atom index per molecule instance (e.g. leaflet head), ordered by
@@ -332,10 +381,13 @@ def _cluster_head_cloud(system: System, kinds: List[MoleculeKind],
 
 def build_leaflet_runtime(system: System, analysis: Analysis,
                           kinds: List[MoleculeKind], n_molecules: int,
-                          normal_axis: int) -> Optional[LeafletRuntime]:
+                          normal_axis: int,
+                          remap=None) -> Optional[LeafletRuntime]:
     params = analysis.leaflets
     if params is None:
         return None
+    if remap is None:
+        remap = lambda idx: idx  # noqa: E731 - identity for direct tests
     axis = normal_axis
     if params.membrane_normal is not None:
         axis = _AXIS_INDEX[params.membrane_normal]
@@ -358,36 +410,34 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
                                           "leaflet heads")
         if params.kind == "global":
             runtime.classify = make_global_classifier(
-                membrane_idx, heads, axis, analysis.handle_pbc)
+                remap(membrane_idx), remap(heads), axis, analysis.handle_pbc)
         else:
             runtime.classify = make_local_classifier(
-                membrane_idx, heads, axis, params.radius, analysis.handle_pbc)
-        runtime.max_atom = int(max(membrane_idx.max(), heads.max()))
+                remap(membrane_idx), remap(heads), axis, params.radius,
+                analysis.handle_pbc)
     elif params.kind == "individual":
         heads = _single_atom_per_molecule(system, kinds, params.heads,
                                           "leaflet heads")
         methyls, methyl_mols = _atoms_per_molecule(system, kinds,
                                                    params.methyls, "methyls")
         runtime.classify = make_individual_classifier(
-            heads, methyls, methyl_mols, n_molecules, axis,
+            remap(heads), remap(methyls), methyl_mols, n_molecules, axis,
             analysis.handle_pbc)
-        runtime.max_atom = int(max(heads.max(), methyls.max()))
     elif params.kind == "clustering":
         from .core.clustering import SpectralOrienter, make_spectral_labels
 
         cloud, mol_pos = _cluster_head_cloud(system, kinds, params.heads)
-        runtime.classify = make_spectral_labels(cloud, analysis.handle_pbc)
+        runtime.classify = make_spectral_labels(remap(cloud),
+                                                analysis.handle_pbc)
         runtime.orienter = SpectralOrienter(cloud)
         runtime.cloud_to_mol = mol_pos
-        runtime.max_atom = int(cloud.max())
     elif params.kind == "spherical":
         from .core.clustering import make_spherical_classifier
 
         cloud, mol_pos = _cluster_head_cloud(system, kinds, params.heads)
-        runtime.classify = make_spherical_classifier(cloud,
+        runtime.classify = make_spherical_classifier(remap(cloud),
                                                      analysis.handle_pbc)
         runtime.cloud_to_mol = mol_pos
-        runtime.max_atom = int(cloud.max())
     elif params.kind in ("from_file", "from_map"):
         if params.kind == "from_file":
             import yaml as _yaml
@@ -602,7 +652,6 @@ class NormalsRuntime:
     compute = None                # device fn (dynamic)
     table: Optional[np.ndarray] = None    # (F, M, 3) manual normals
     collected: Optional[List[np.ndarray]] = None
-    max_atom: int = 0
 
     def validate(self, n_analyzed: int) -> None:
         from .errors import ManualNormalError
@@ -637,10 +686,13 @@ class NormalsRuntime:
 
 
 def _build_normals(system: System, analysis: Analysis,
-                   kinds: List[MoleculeKind], n_molecules: int):
+                   kinds: List[MoleculeKind], n_molecules: int,
+                   remap=None):
     """→ (leaflet_axis, static_vec or None, NormalsRuntime or None)."""
     from .errors import ManualNormalError
 
+    if remap is None:
+        remap = lambda idx: idx  # noqa: E731 - identity for direct tests
     mn = analysis.membrane_normal
     if mn.kind == "static":
         axis = _AXIS_INDEX[mn.axis]
@@ -671,9 +723,8 @@ def _build_normals(system: System, analysis: Analysis,
                                           "dynamic membrane normal heads")
         cloud_mask = select_mask(system, mn.heads)
         cloud = np.nonzero(cloud_mask)[0]
-        runtime.compute = make_dynamic_normals(heads, cloud, mn.radius,
-                                               analysis.handle_pbc)
-        runtime.max_atom = int(max(heads.max(), cloud.max()))
+        runtime.compute = make_dynamic_normals(remap(heads), remap(cloud),
+                                               mn.radius, analysis.handle_pbc)
         return axis, None, runtime
 
     # manual normals (from file or inline map)
@@ -775,6 +826,31 @@ def _unpack12(packed_u8, first_n: int):
     return unpack(packed_u8, first_n)
 
 
+def _d8_to_f32(lo_i8, corr_idx, corr_hi, abs0, inv_prec):
+    """Device-side reconstruction of the temporal-delta wire format
+    (io/traj.py read_frames_delta8): scatter the sparse high-bit
+    corrections, cumulative-sum the deltas over the batch axis on top of
+    the absolute base frame, dequantize. Bit-identical to the host f32
+    decode for any XTC integer below 2^24 (both sides perform the same
+    f32(int) * inv_precision conversion)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reconstruct(lo, ci, ch, a0, ip):
+        b, n, _ = lo.shape
+        nv = n * 3
+        delta = lo.astype(jnp.int32).reshape(b, nv)
+        corr = jnp.zeros((b, nv + 1), jnp.int32)
+        corr = corr.at[jnp.arange(b)[:, None], ci].add(
+            ch.astype(jnp.int32) << 8, mode="drop")
+        delta = delta + corr[:, :nv]
+        absr = a0.reshape(1, nv).astype(jnp.int32) + jnp.cumsum(delta, axis=0)
+        return (absr.astype(jnp.float32) * ip[:, None]).reshape(b, n, 3)
+
+    return reconstruct(lo_i8, corr_idx, corr_hi, abs0, inv_prec)
+
+
 def _dequantize(coords_i16, inv_prec):
     """int16 XTC integers → f32 nm, bit-identical to the host conversion."""
     import jax
@@ -812,8 +888,62 @@ def _prepare_geometry(system: System, analysis: Analysis):
     return spec, "point", np.asarray(ref, np.float32)
 
 
+def _pick_wire_format(traj, frame_indices, space, n_threads):
+    """Probe the most compact coordinate transfer the trajectory supports:
+    8-bit temporal deltas (~3 B/atom) → 12-bit packed absolutes → int16 →
+    f32. Probes consecutive windows at the start/middle so the delta chain
+    is representative; returns ('d8', corr_cap) / ('i12', 0) / ('i16', 0) /
+    ('f32', 0)."""
+    n = len(frame_indices)
+    windows = [frame_indices[:min(8, n)]]
+    if n > 16:
+        mid = n // 2
+        windows.append(frame_indices[mid:mid + 8])
+
+    forced = os.environ.get("GORDER_TPU_WIRE", "")
+    if forced in ("i12", "i16", "f32"):
+        probe_idx = frame_indices[np.unique([0, n // 2, n - 1])]
+        if forced == "i12" and traj.read_frames_packed12(
+                probe_idx, space, n_threads=n_threads) is not None:
+            return "i12", 0
+        if forced != "f32" and traj.read_frames_quantized(
+                probe_idx, space, n_threads=n_threads) is not None:
+            return "i16", 0
+        return "f32", 0
+
+    corr_cap = 64
+    for attempt in range(2):
+        demand = 0
+        ok = True
+        for w in windows:
+            lo = np.zeros((len(w), space.n_out, 3), np.int8)
+            ci = np.zeros((len(w), corr_cap), np.int32)
+            ch = np.zeros((len(w), corr_cap), np.int16)
+            res, ncorr = traj.read_frames_delta8(w, space, lo, ci, ch,
+                                                 n_threads=n_threads)
+            demand = max(demand, ncorr)
+            if res is None:
+                ok = False
+        if ok:
+            # headroom for batches the probe did not see (box wraps vary)
+            corr_cap = max(64, min(4096, int(demand * 2) + 32))
+            return "d8", ((corr_cap + 63) // 64) * 64
+        if demand <= corr_cap or demand > 4096:
+            break  # unfit for reasons other than capacity
+        corr_cap = min(4096, ((int(demand * 2) + 63) // 64) * 64)
+
+    probe_idx = frame_indices[np.unique([0, n // 2, n - 1])]
+    if traj.read_frames_packed12(probe_idx, space,
+                                 n_threads=n_threads) is not None:
+        return "i12", 0
+    if traj.read_frames_quantized(probe_idx, space,
+                                  n_threads=n_threads) is not None:
+        return "i16", 0
+    return "f32", 0
+
+
 def _run_batches(analysis: Analysis, system: System, step, normal_vec,
-                 n_types: int, n_molecules: int, first_n: int,
+                 n_types: int, n_molecules: int, space: AtomSubset,
                  leaflets: Optional[LeafletRuntime], map_spec=None,
                  geom_mode=None, geom_payload=None,
                  normals: Optional[NormalsRuntime] = None):
@@ -821,9 +951,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     The decode of batch k+1 runs in a worker thread (the native codec
     releases the GIL) while batch k is transferred and dispatched —
-    the TPU-era replacement for the reference's frame-threading. XTC
-    coordinates travel as fixed-point int16 when they fit (half the
-    transfer, bit-identical after on-device dequantization).
+    the TPU-era replacement for the reference's frame-threading. Only the
+    atoms in `space` (the Master-group equivalent) are decoded and shipped,
+    in the most compact exact wire format the data admits: 8-bit temporal
+    deltas with sparse corrections (d8), 12-bit packed, int16, or f32 —
+    all bit-identical to the f32 decode after device-side reconstruction.
     """
     classes = ("total", "upper", "lower") if leaflets else ("total",)
     accum = OrderAccumulator(
@@ -831,15 +963,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         keep_timewise=analysis.estimate_error is not None,
     )
 
-    if leaflets is not None:
-        first_n = max(first_n, leaflets.max_atom + 1)
-    if normals is not None:
-        first_n = max(first_n, normals.max_atom + 1)
-    if geom_mode == "selection":
-        first_n = max(first_n, int(geom_payload.max()) + 1)
-    # round up so different configs on the same system share compiled shapes
-    first_n = min(system.n_atoms, ((first_n + 1023) // 1024) * 1024)
-
+    n_out = space.n_out
     traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
     frame_indices = traj.select_frames(
         analysis.begin if np.isfinite(analysis.begin) else None,
@@ -864,14 +988,13 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     batch_size = _effective_batch_size()
     normal_dev = put_const(normal_vec)
 
-    # probe the most compact coordinate transfer the trajectory supports:
-    # 12-bit packed (25% fewer bytes than int16) → int16 → f32. Probing
-    # first/middle/last frames keeps costly mid-run fallbacks rare.
-    probe_idx = frame_indices[
-        np.unique([0, len(frame_indices) // 2, len(frame_indices) - 1])]
-    use_i12 = traj.read_frames_packed12(probe_idx, first_n) is not None
-    use_i16 = (not use_i12 and
-               traj.read_frames_quantized(probe_idx, first_n) is not None)
+    # n_threads maps to decoder threads (frames decode independently); the
+    # reference's analysis threading is superseded by device parallelism
+    n_threads = max(1, analysis.n_threads)
+
+    wire, corr_cap = _pick_wire_format(traj, frame_indices, space, n_threads)
+    log.info("wire format: %s (%d atoms of %d on the wire)",
+             wire, space.n_sel, system.n_atoms)
 
     # per-batch zero map state: batch tile sums are fetched and accumulated
     # in int64 on the host every batch (exact like the order sums; carrying
@@ -899,17 +1022,24 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     n_batches = (len(frame_indices) + batch_size - 1) // batch_size
     from .io.native import i12_stride
 
-    if use_i12:
-        buf_shape, buf_dtype = (batch_size, i12_stride(first_n)), np.uint8
-    elif use_i16:
-        buf_shape, buf_dtype = (batch_size, first_n, 3), np.int16
+    # double-buffered wire arrays (the native decoder writes into buffer
+    # b%2 while the device consumes buffer (b-1)%2)
+    if wire == "d8":
+        buffers = [
+            (np.zeros((batch_size, n_out, 3), np.int8),
+             np.zeros((batch_size, corr_cap), np.int32),
+             np.zeros((batch_size, corr_cap), np.int16))
+            for _ in range(2)
+        ]
+    elif wire == "i12":
+        buffers = [np.zeros((batch_size, i12_stride(n_out)), np.uint8)
+                   for _ in range(2)]
+    elif wire == "i16":
+        buffers = [np.zeros((batch_size, n_out, 3), np.int16)
+                   for _ in range(2)]
     else:
-        buf_shape, buf_dtype = (batch_size, first_n, 3), np.float32
-    buffers = [np.zeros(buf_shape, buf_dtype) for _ in range(2)]
-
-    # n_threads maps to decoder threads (frames decode independently); the
-    # reference's analysis threading is superseded by device parallelism
-    n_threads = max(1, analysis.n_threads)
+        buffers = [np.zeros((batch_size, n_out, 3), np.float32)
+                   for _ in range(2)]
 
     from .utils.timers import timers
 
@@ -920,38 +1050,54 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         finally:
             timers.add("decode", _time.perf_counter() - t0)
 
+    def _fallback_f32(chunk):
+        """Mid-run fallback: decode as f32 into a fresh zero-padded
+        batch-size buffer (jitted shapes never change mid-run)."""
+        buf = np.zeros((batch_size, n_out, 3), np.float32)
+        _, boxes, times, steps = traj.read_frames(chunk, space,
+                                                  n_threads=n_threads,
+                                                  out=buf)
+        return ("f32", buf), None, boxes, len(chunk)
+
     def _decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % 2]
-        if use_i12:
-            res = traj.read_frames_packed12(chunk, first_n, out=buf,
-                                            n_threads=n_threads)
+        if wire == "d8":
+            lo, ci, ch = buf
+            if len(chunk) < batch_size:
+                # zero padding rows: stale deltas would otherwise flow
+                # through the on-device cumsum into (masked) frames
+                lo[len(chunk):] = 0
+            res, _ = traj.read_frames_delta8(chunk, space, lo, ci, ch,
+                                             n_threads=n_threads)
             if res is not None:
-                coords, inv_prec, boxes, times, steps = res
-                if len(chunk) < batch_size:
-                    coords = buf
-                return coords, inv_prec, boxes, len(chunk), b
-            # rare mid-trajectory fallback: decode as f32 into a new buffer
-            coords, boxes, times, steps = traj.read_frames(
-                chunk, first_n, n_threads=n_threads)
-            return coords.astype(np.float32), None, boxes, len(chunk), b
-        if use_i16:
-            res = traj.read_frames_quantized(chunk, first_n, out=buf,
+                abs0, inv_prec, boxes, times, steps = res
+                return ("d8", lo, ci, ch, abs0), inv_prec, boxes, len(chunk)
+            res = traj.read_frames_quantized(chunk, space,
                                              n_threads=n_threads)
             if res is not None:
                 coords, inv_prec, boxes, times, steps = res
-                if len(chunk) < batch_size:
-                    coords = buf
-                return coords, inv_prec, boxes, len(chunk), b
-            # rare mid-trajectory fallback: decode as f32 into a new buffer
-            coords, boxes, times, steps = traj.read_frames(
-                chunk, first_n, n_threads=n_threads)
-            return coords.astype(np.float32), None, boxes, len(chunk), b
+                out = np.zeros((batch_size, n_out, 3), np.int16)
+                out[:len(chunk)] = coords[:len(chunk)]
+                return ("i16", out), inv_prec, boxes, len(chunk)
+            return _fallback_f32(chunk)
+        if wire == "i12":
+            res = traj.read_frames_packed12(chunk, space, out=buf,
+                                            n_threads=n_threads)
+            if res is not None:
+                coords, inv_prec, boxes, times, steps = res
+                return ("i12", buf), inv_prec, boxes, len(chunk)
+            return _fallback_f32(chunk)
+        if wire == "i16":
+            res = traj.read_frames_quantized(chunk, space, out=buf,
+                                             n_threads=n_threads)
+            if res is not None:
+                coords, inv_prec, boxes, times, steps = res
+                return ("i16", buf), inv_prec, boxes, len(chunk)
+            return _fallback_f32(chunk)
         coords, boxes, times, steps = traj.read_frames(
-            chunk, first_n, n_threads=n_threads, out=buf)
-        if len(chunk) < batch_size:
-            coords = buf
-        return coords, None, boxes, len(chunk), b
+            chunk, space, n_threads=n_threads, out=buf)
+        return ("f32", buf), None, boxes, len(chunk)
 
     executor = cf.ThreadPoolExecutor(max_workers=1)
     in_flight = []  # (result handles, n_valid): fetched after the loop
@@ -965,20 +1111,46 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     try:
         pending = executor.submit(decode_batch, 0)
         for b in range(n_batches):
-            coords, inv_prec, boxes, n_valid, _ = pending.result()
+            payload, inv_prec, boxes, n_valid = pending.result()
 
             # overlap: decode batch b+1 (the other buffer) while batch b
             # uploads and runs
             if b + 1 < n_batches:
                 pending = executor.submit(decode_batch, b + 1)
 
-            coords_dev = put_frames(coords)
-            # accelerator transfers are asynchronous: the decode buffer must
-            # not be rewritten (decode b+2) until the copy has drained
-            jax.block_until_ready(coords_dev)
-            if use_i12 and inv_prec is not None:
-                # 12-bit packed wire format → int16 on device
-                coords_dev = _unpack12(coords_dev, first_n)
+            scale = None
+            if inv_prec is not None:
+                scale = np.ones(batch_size, np.float32)
+                scale[:n_valid] = inv_prec
+                if n_valid and n_valid < batch_size:
+                    # padding rows reuse the last real scale so d8's cumsum
+                    # tail dequantizes without overflow surprises
+                    scale[n_valid:] = inv_prec[n_valid - 1]
+
+            kind = payload[0]
+            coords_dev = None      # f32 coords (or None until reconstructed)
+            quant_dev = None       # int16 absolutes awaiting dequantization
+            scale_dev = put_frames(scale) if scale is not None else None
+            if kind == "d8":
+                _, lo, ci, ch, abs0 = payload
+                lo_dev = put_frames(lo)
+                ci_dev = put_frames(ci)
+                ch_dev = put_frames(ch)
+                abs0_dev = put_const(abs0)
+                jax.block_until_ready((lo_dev, ci_dev, ch_dev))
+                coords_dev = _d8_to_f32(lo_dev, ci_dev, ch_dev, abs0_dev,
+                                        scale_dev)
+            elif kind == "i12":
+                packed_dev = put_frames(payload[1])
+                jax.block_until_ready(packed_dev)
+                quant_dev = _unpack12(packed_dev, n_out)
+            elif kind == "i16":
+                quant_dev = put_frames(payload[1])
+                jax.block_until_ready(quant_dev)
+            else:
+                coords_dev = put_frames(payload[1])
+                jax.block_until_ready(coords_dev)
+                scale_dev = None
 
             if analysis.handle_pbc:
                 for i in range(n_valid):
@@ -989,12 +1161,6 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             frame_mask = np.zeros(batch_size, bool)
             frame_mask[:n_valid] = True
             box_dev = put_frames(box_arr)
-
-            scale_dev = None
-            if inv_prec is not None:
-                scale = np.ones(batch_size, np.float32)
-                scale[:n_valid] = inv_prec
-                scale_dev = put_frames(scale)
 
             if geom_mode == "selection":
                 geom_ref = geom_sel_dev
@@ -1011,10 +1177,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if leaflets is not None or normals is not None:
                 # these subsystems consume f32 coordinates, and their
                 # carried/collected state needs host values per batch
-                if scale_dev is not None:
-                    coords_f32 = _dequantize(coords_dev, scale_dev)
-                else:
+                if coords_dev is not None:
                     coords_f32 = coords_dev
+                else:
+                    coords_f32 = _dequantize(quant_dev, scale_dev)
                 if normals is not None:
                     normal_arg = normals.normals_for_batch(
                         coords_f32, box_dev, analyzed, batch_size)
@@ -1040,10 +1206,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                        classes_dev,
                                        map_state=map_zero,
                                        geom_ref=geom_ref)
+            elif coords_dev is not None:
+                result, map_out = step(coords_dev, box_dev, normal_dev,
+                                       put_frames(frame_mask),
+                                       map_state=map_zero,
+                                       geom_ref=geom_ref)
             else:
                 # fully async: dispatch and defer the (tiny) result fetch —
-                # the device and link work on batch b while b+1 decodes
-                result, map_out = step(coords_dev, box_dev, normal_dev,
+                # the device and link work on batch b while b+1 decodes;
+                # dequantization fuses into the kernel
+                result, map_out = step(quant_dev, box_dev, normal_dev,
                                        put_frames(frame_mask),
                                        inv_scale=scale_dev,
                                        map_state=map_zero,
@@ -1085,29 +1257,32 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
         kinds, compiled = _prepare_bond_kinds(system, analysis)
     if not kinds:
         return _empty_results(analysis, system)
+    space, remap = _build_atom_space(system, analysis,
+                                     [compiled.atom_a, compiled.atom_b])
     axis, normal_vec, normals_rt = _build_normals(system, analysis, kinds,
-                                                  compiled.n_molecules)
+                                                  compiled.n_molecules,
+                                                  remap)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
-                                     compiled.n_molecules, axis)
+                                     compiled.n_molecules, axis, remap)
     map_spec = (build_map_spec(analysis.map, system.box)
                 if analysis.map is not None else None)
     geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
+    if geom_mode == "selection":
+        geom_payload = remap(geom_payload)
 
     step = make_order_step(
-        compiled.atom_a, compiled.atom_b, compiled.bond_type,
+        remap(compiled.atom_a), remap(compiled.atom_b), compiled.bond_type,
         compiled.molecule, compiled.n_types, compiled.n_molecules,
         handle_pbc=analysis.handle_pbc,
         with_leaflets=leaflets is not None,
         normal_mode="per_molecule" if normals_rt is not None else "static",
         map_spec=map_spec, geom_spec=geom_spec,
     )
-    first_n = int(max(compiled.atom_a.max(initial=0),
-                      compiled.atom_b.max(initial=0))) + 1
     with timers.phase("trajectory"):
         accum, traj, frame_indices, map_state = _run_batches(
             analysis, system, step,
             normal_vec if normal_vec is not None else np.zeros(3, np.float32),
-            compiled.n_types, compiled.n_molecules, first_n, leaflets,
+            compiled.n_types, compiled.n_molecules, space, leaflets,
             map_spec, geom_mode, geom_payload, normals_rt)
     with timers.phase("convert"):
         results = convert_results(analysis, system, kinds, compiled, accum,
@@ -1186,17 +1361,28 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         log.info("molecule type %s: %d molecules, %d analyzable atoms",
                  kind.name, kind.n_molecules, len(compiled.atom_specs[k]))
 
+    ua_atom_arrays = [d[k] for d in compiled.categories.values()
+                      for k in ("target", "h1", "h2", "h3") if k in d]
+    space, remap = _build_atom_space(system, analysis, ua_atom_arrays)
     axis, normal_vec, normals_rt = _build_normals(system, analysis, kinds,
-                                                  compiled.n_molecules)
+                                                  compiled.n_molecules,
+                                                  remap)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
-                                     compiled.n_molecules, axis)
+                                     compiled.n_molecules, axis, remap)
     from .core.ordermap import build_map_spec
 
     map_spec = (build_map_spec(analysis.map, system.box)
                 if analysis.map is not None else None)
     geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
+    if geom_mode == "selection":
+        geom_payload = remap(geom_payload)
+    categories = {
+        cat: {k: (remap(v) if k in ("target", "h1", "h2", "h3") else v)
+              for k, v in d.items()}
+        for cat, d in compiled.categories.items()
+    }
     step = make_ua_step(
-        compiled.categories, compiled.bond_type, compiled.bond_mol,
+        categories, compiled.bond_type, compiled.bond_mol,
         compiled.n_types,
         handle_pbc=analysis.handle_pbc,
         with_leaflets=leaflets is not None,
@@ -1207,8 +1393,7 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         accum, traj, frame_indices, map_state = _run_batches(
             analysis, system, step,
             normal_vec if normal_vec is not None else np.zeros(3, np.float32),
-            compiled.n_types, compiled.n_molecules,
-            compiled.max_atom_index + 1, leaflets,
+            compiled.n_types, compiled.n_molecules, space, leaflets,
             map_spec, geom_mode, geom_payload, normals_rt)
     with timers.phase("convert"):
         results = convert_results_ua(analysis, system, kinds, compiled,

@@ -76,6 +76,7 @@ def get_lib() -> ctypes.CDLL:
             lib.xtc_decode.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
@@ -84,6 +85,7 @@ def get_lib() -> ctypes.CDLL:
             lib.xtc_decode_i16.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
@@ -92,9 +94,23 @@ def get_lib() -> ctypes.CDLL:
             lib.xtc_decode_i12.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            lib.xtc_decode_d8.restype = ctypes.c_int32
+            lib.xtc_decode_d8.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
             ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
@@ -159,18 +175,36 @@ def xtc_scan(path: str):
     return {"offsets": offsets, "natoms": natoms, "steps": steps, "times": times}
 
 
-def xtc_decode(path: str, offsets: np.ndarray, first_n: int, n_threads: int = 1):
-    """Decode frames at `offsets` → (coords (n, first_n, 3), boxes (n, 3, 3),
-    times (n,), steps (n,))."""
+def _slot_args(first_n: int, slot_of: np.ndarray, n_out: int = None):
+    """(slot_of array-or-None, ptr or NULL, n_out) for subset-gather decode
+    calls. n_out defaults to first_n (prefix reads) or max(slot)+1; callers
+    may pass a larger n_out to pad output columns to a fixed width."""
+    if slot_of is None:
+        return None, ctypes.POINTER(ctypes.c_int32)(), (n_out or first_n)
+    slot_of = np.ascontiguousarray(slot_of, np.int32)
+    assert len(slot_of) >= first_n
+    if n_out is None:
+        n_out = int(slot_of.max()) + 1
+    return slot_of, _i32p(slot_of), n_out
+
+
+def xtc_decode(path: str, offsets: np.ndarray, first_n: int,
+               slot_of: np.ndarray = None, n_out: int = None,
+               n_threads: int = 1):
+    """Decode frames at `offsets` → (coords (n, n_out, 3), boxes (n, 3, 3),
+    times (n,), steps (n,)). `slot_of` (len ≥ first_n, −1 = skip) gathers a
+    sparse atom subset into compact output slots."""
     lib = get_lib()
     offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
     n = len(offsets)
-    coords = np.empty((n, first_n, 3), np.float32)
+    coords = np.empty((n, n_out, 3), np.float32)
     boxes = np.empty((n, 3, 3), np.float32)
     times = np.empty(n, np.float32)
     steps = np.empty(n, np.int32)
     if n:
         rc = lib.xtc_decode(path.encode(), _i64p(offsets), n, first_n,
+                            slot_p, n_out,
                             _f32p(coords), _f32p(boxes), _f32p(times),
                             _i32p(steps), n_threads)
         if rc != 0:
@@ -179,27 +213,29 @@ def xtc_decode(path: str, offsets: np.ndarray, first_n: int, n_threads: int = 1)
 
 
 def xtc_decode_i16(path: str, offsets: np.ndarray, first_n: int,
+                   slot_of: np.ndarray = None, n_out: int = None,
                    out: np.ndarray = None, n_threads: int = 1):
     """Decode frames as raw XTC fixed-point int16 integers.
 
-    Returns (coords_i16 (n, first_n, 3), inv_precision (n,), boxes, times,
+    Returns (coords_i16 (n, n_out, 3), inv_precision (n,), boxes, times,
     steps) or None when any coordinate exceeds int16 range (caller falls
     back to the f32 path). `float(i16) * inv_precision` reproduces the f32
     coordinates bit-for-bit."""
     lib = get_lib()
     offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
     n = len(offsets)
-    if out is not None and out.shape[0] >= n and out.shape[1] == first_n:
+    if out is not None and out.shape[0] >= n and out.shape[1] == n_out:
         coords = out[:n]
     else:
-        coords = np.empty((n, first_n, 3), np.int16)
+        coords = np.empty((n, n_out, 3), np.int16)
     inv_prec = np.empty(n, np.float32)
     boxes = np.empty((n, 3, 3), np.float32)
     times = np.empty(n, np.float32)
     steps = np.empty(n, np.int32)
     if n:
         rc = lib.xtc_decode_i16(
-            path.encode(), _i64p(offsets), n, first_n,
+            path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
             coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             _f32p(inv_prec), _f32p(boxes), _f32p(times), _i32p(steps),
             n_threads)
@@ -211,12 +247,13 @@ def xtc_decode_i16(path: str, offsets: np.ndarray, first_n: int,
     return coords, inv_prec, boxes, times, steps
 
 
-def i12_stride(first_n: int) -> int:
+def i12_stride(n_out: int) -> int:
     """Bytes per frame for the 12-bit packed layout."""
-    return ((first_n * 3 + 1) // 2) * 3
+    return ((n_out * 3 + 1) // 2) * 3
 
 
 def xtc_decode_i12(path: str, offsets: np.ndarray, first_n: int,
+                   slot_of: np.ndarray = None, n_out: int = None,
                    out: np.ndarray = None, n_threads: int = 1):
     """Decode frames as 12-bit-packed XTC fixed-point integers (two values
     per 3 bytes — 25% fewer wire bytes than int16).
@@ -227,8 +264,9 @@ def xtc_decode_i12(path: str, offsets: np.ndarray, first_n: int,
     reproduces the f32 coordinates bit-for-bit."""
     lib = get_lib()
     offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
     n = len(offsets)
-    stride = i12_stride(first_n)
+    stride = i12_stride(n_out)
     if out is not None and out.shape[0] >= n and out.shape[1] == stride:
         coords = out[:n]
     else:
@@ -239,7 +277,7 @@ def xtc_decode_i12(path: str, offsets: np.ndarray, first_n: int,
     steps = np.empty(n, np.int32)
     if n:
         rc = lib.xtc_decode_i12(
-            path.encode(), _i64p(offsets), n, first_n,
+            path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
             coords.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             _f32p(inv_prec), _f32p(boxes), _f32p(times), _i32p(steps),
             n_threads)
@@ -249,6 +287,43 @@ def xtc_decode_i12(path: str, offsets: np.ndarray, first_n: int,
             raise TrajectoryError(
                 f"could not decode xtc file '{path}': {_err(lib)}")
     return coords, inv_prec, boxes, times, steps
+
+
+def xtc_decode_d8(path: str, offsets: np.ndarray, first_n: int,
+                  base_io: np.ndarray, has_base: bool,
+                  abs0: np.ndarray, lo_out: np.ndarray,
+                  corr_idx_out: np.ndarray, corr_hi_out: np.ndarray,
+                  inv_prec_out: np.ndarray, boxes_out: np.ndarray,
+                  times_out: np.ndarray, steps_out: np.ndarray,
+                  slot_of: np.ndarray = None, n_out: int = None,
+                  n_threads: int = 1) -> int:
+    """Temporal-delta decode (8-bit deltas + sparse corrections; see
+    native/xdr.cpp xtc_decode_d8). Caller owns all output buffers, sliced
+    to this call's rows; `base_io` chains multi-segment batches. Returns
+    (rc, max_ncorr): rc 0 ok / 1 unfit (caller falls back or re-sizes the
+    correction capacity to max_ncorr)."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
+    n = len(offsets)
+    if n == 0:
+        return 0, 0
+    assert lo_out.shape[0] >= n and lo_out.shape[1] == n_out
+    corr_cap = corr_idx_out.shape[1]
+    max_ncorr = np.zeros(1, np.int32)
+    rc = lib.xtc_decode_d8(
+        path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
+        _i32p(base_io), int(has_base), _i32p(abs0),
+        lo_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        _i32p(corr_idx_out),
+        corr_hi_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        corr_cap, _i32p(max_ncorr),
+        _f32p(inv_prec_out), _f32p(boxes_out), _f32p(times_out),
+        _i32p(steps_out), n_threads)
+    if rc == -1:
+        raise TrajectoryError(
+            f"could not decode xtc file '{path}': {_err(lib)}")
+    return rc, int(max_ncorr[0])
 
 
 def xtc_write(path: str, coords: np.ndarray, boxes: np.ndarray,

@@ -128,6 +128,58 @@ def _index_gro(path: str) -> _FileIndex:
     )
 
 
+@dataclass
+class AtomSubset:
+    """Which atoms to extract from each frame, and the output layout.
+
+    The reference reads only Master-group atoms from XTC
+    (src/analysis/common.rs:283-304); this is the TPU-era equivalent: the
+    decoder early-stops after `first_n` atoms and gathers the selected ones
+    into compact output slots, so the wire carries exactly the analyzed
+    subset."""
+
+    first_n: int                          # decode bound: max(sel) + 1
+    n_out: int                            # output columns (≥ n_sel; padded)
+    sel: Optional[np.ndarray] = None      # (n_sel,) sorted global indices
+    slot_of: Optional[np.ndarray] = None  # (first_n,) int32; -1 = skip
+
+    @staticmethod
+    def prefix(first_n: int, n_out: Optional[int] = None) -> "AtomSubset":
+        return AtomSubset(first_n=first_n, n_out=n_out or first_n)
+
+    @staticmethod
+    def from_indices(sel: np.ndarray, n_out: Optional[int] = None
+                     ) -> "AtomSubset":
+        sel = np.asarray(sel, np.int64)
+        first_n = int(sel[-1]) + 1
+        if len(sel) == first_n:           # contiguous prefix: no slot map
+            return AtomSubset.prefix(first_n, n_out)
+        slot_of = np.full(first_n, -1, np.int32)
+        slot_of[sel] = np.arange(len(sel), dtype=np.int32)
+        return AtomSubset(first_n=first_n, n_out=n_out or len(sel),
+                          sel=sel, slot_of=slot_of)
+
+    @property
+    def n_sel(self) -> int:
+        return len(self.sel) if self.sel is not None else self.first_n
+
+    def gather_host(self, coords: np.ndarray) -> np.ndarray:
+        """Apply the subset to host-decoded (n, A, 3) coords (gro/trr
+        fallback paths), padding columns to n_out."""
+        part = coords[:, self.sel] if self.sel is not None \
+            else coords[:, :self.first_n]
+        if part.shape[1] == self.n_out:
+            return part
+        out = np.zeros((part.shape[0], self.n_out, 3), part.dtype)
+        out[:, :part.shape[1]] = part
+        return out
+
+
+def _as_subset(subset) -> AtomSubset:
+    return subset if isinstance(subset, AtomSubset) \
+        else AtomSubset.prefix(int(subset))
+
+
 class Trajectory:
     """Concatenated multi-file trajectory with a global frame table."""
 
@@ -194,127 +246,182 @@ class Trajectory:
         return idx[::step]
 
     # --------------------------------------------------------------- reading
-    def read_frames(self, frame_indices: Sequence[int], first_n: int,
+    def _segments(self, frame_indices: np.ndarray):
+        """Contiguous same-file runs of the batch, in row order."""
+        fids = self.frame_file[frame_indices]
+        bounds = np.flatnonzero(np.diff(fids)) + 1
+        for rows in np.split(np.arange(len(frame_indices)), bounds):
+            fid = fids[rows[0]]
+            yield (slice(rows[0], rows[-1] + 1), self.files[fid],
+                   self.frame_local[frame_indices[rows]])
+
+    def _all_xtc(self, frame_indices: np.ndarray) -> bool:
+        if len(frame_indices) == 0:
+            return False
+        fids = self.frame_file[frame_indices]
+        return all(self.files[f].fmt == "xtc" for f in np.unique(fids))
+
+    def read_frames(self, frame_indices: Sequence[int], subset,
                     n_threads: int = 1, out: Optional[np.ndarray] = None):
         """Decode the given global frames → (coords, boxes, times, steps).
 
-        `out` may supply a reusable (≥n, first_n, 3) f32 buffer; page-faulting
-        a fresh buffer per batch costs more than the decode itself.
+        `subset` is an AtomSubset (or a plain int = prefix length). `out`
+        may supply a reusable (≥n, n_out, 3) f32 buffer; page-faulting a
+        fresh buffer per batch costs more than the decode itself.
         """
+        sub = _as_subset(subset)
         frame_indices = np.asarray(frame_indices, np.int64)
         n = len(frame_indices)
-        if out is not None and out.shape[0] >= n and out.shape[1] == first_n:
+        if out is not None and out.shape[0] >= n and out.shape[1] == sub.n_out:
             coords = out[:n]
         else:
-            coords = np.empty((n, first_n, 3), np.float32)
+            coords = np.empty((n, sub.n_out, 3), np.float32)
         boxes = np.empty((n, 3, 3), np.float32)
         times = np.empty(n, np.float32)
         steps = np.empty(n, np.int64)
 
-        fids = self.frame_file[frame_indices]
-        for fid in np.unique(fids):
-            sel = np.nonzero(fids == fid)[0]
-            f = self.files[fid]
-            local = self.frame_local[frame_indices[sel]]
+        for sl, f, local in self._segments(frame_indices):
             if f.fmt == "xtc":
                 c, b, t, s = native.xtc_decode(
-                    f.path, f.offsets[local], first_n, n_threads
-                )
+                    f.path, f.offsets[local], sub.first_n,
+                    slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads)
             elif f.fmt == "trr":
-                c, b, t, s = native.trr_decode(f.path, f.offsets[local], first_n)
+                c, b, t, s = native.trr_decode(f.path, f.offsets[local],
+                                               sub.first_n)
+                c = sub.gather_host(c)
             else:  # gro
-                c = f.gro_coords[local, :first_n]
+                c = sub.gather_host(f.gro_coords[local])
                 b = f.gro_boxes[local]
                 t = f.times[local]
                 s = f.steps[local]
-            coords[sel] = c
-            boxes[sel] = b
-            times[sel] = t
-            steps[sel] = s
+            coords[sl] = c
+            boxes[sl] = b
+            times[sl] = t
+            steps[sl] = s
         return coords, boxes, times, steps
 
     def read_frames_quantized(self, frame_indices: Sequence[int],
-                              first_n: int, n_threads: int = 1,
+                              subset, n_threads: int = 1,
                               out: Optional[np.ndarray] = None):
         """Decode XTC frames as fixed-point int16 (halves the host→device
         transfer; `float(i16) * inv_precision` is bit-identical to the f32
         decode). Returns (coords_i16, inv_precision, boxes, times, steps) or
         None when unsupported (non-XTC files or coordinates out of range)."""
+        sub = _as_subset(subset)
         frame_indices = np.asarray(frame_indices, np.int64)
-        fids = self.frame_file[frame_indices]
-        if len(frame_indices) == 0:
-            return None
-        unique = np.unique(fids)
-        if any(self.files[f].fmt != "xtc" for f in unique):
+        if not self._all_xtc(frame_indices):
             return None
         n = len(frame_indices)
-        if out is not None and out.shape[0] >= n and out.shape[1] == first_n \
-                and out.dtype == np.int16:
+        if out is not None and out.shape[0] >= n \
+                and out.shape[1] == sub.n_out and out.dtype == np.int16:
             coords = out[:n]
         else:
-            coords = np.empty((n, first_n, 3), np.int16)
+            coords = np.zeros((n, sub.n_out, 3), np.int16)
         inv_prec = np.empty(n, np.float32)
         boxes = np.empty((n, 3, 3), np.float32)
         times = np.empty(n, np.float32)
         steps = np.empty(n, np.int64)
-        for fid in unique:
-            sel = np.nonzero(fids == fid)[0]
-            f = self.files[fid]
-            local = self.frame_local[frame_indices[sel]]
-            res = native.xtc_decode_i16(f.path, f.offsets[local], first_n,
-                                        n_threads=n_threads)
+        for sl, f, local in self._segments(frame_indices):
+            res = native.xtc_decode_i16(f.path, f.offsets[local], sub.first_n,
+                                        slot_of=sub.slot_of, n_out=sub.n_out,
+                                        out=coords[sl], n_threads=n_threads)
             if res is None:
                 return None
             c, ip, b, t, s = res
-            coords[sel] = c
-            inv_prec[sel] = ip
-            boxes[sel] = b
-            times[sel] = t
-            steps[sel] = s
+            inv_prec[sl] = ip
+            boxes[sl] = b
+            times[sl] = t
+            steps[sl] = s
         return coords, inv_prec, boxes, times, steps
 
     def read_frames_packed12(self, frame_indices: Sequence[int],
-                             first_n: int, n_threads: int = 1,
+                             subset, n_threads: int = 1,
                              out: Optional[np.ndarray] = None):
         """Decode XTC frames as 12-bit packed fixed-point integers (25%
         fewer host→device bytes than int16; device unpack + dequantize is
         bit-identical to the f32 decode). Returns (packed_u8 (n, stride),
         inv_precision, boxes, times, steps) or None when unsupported."""
+        sub = _as_subset(subset)
         frame_indices = np.asarray(frame_indices, np.int64)
-        fids = self.frame_file[frame_indices]
-        if len(frame_indices) == 0:
-            return None
-        unique = np.unique(fids)
-        if any(self.files[f].fmt != "xtc" for f in unique):
+        if not self._all_xtc(frame_indices):
             return None
         n = len(frame_indices)
-        stride = native.i12_stride(first_n)
+        stride = native.i12_stride(sub.n_out)
         if out is not None and out.shape[0] >= n and out.shape[1] == stride \
                 and out.dtype == np.uint8:
             coords = out[:n]
         else:
-            coords = np.empty((n, stride), np.uint8)
+            coords = np.zeros((n, stride), np.uint8)
         inv_prec = np.empty(n, np.float32)
         boxes = np.empty((n, 3, 3), np.float32)
         times = np.empty(n, np.float32)
         steps = np.empty(n, np.int64)
-        for fid in unique:
-            sel = np.nonzero(fids == fid)[0]
-            f = self.files[fid]
-            local = self.frame_local[frame_indices[sel]]
-            res = native.xtc_decode_i12(f.path, f.offsets[local], first_n,
-                                        n_threads=n_threads)
+        for sl, f, local in self._segments(frame_indices):
+            res = native.xtc_decode_i12(f.path, f.offsets[local], sub.first_n,
+                                        slot_of=sub.slot_of, n_out=sub.n_out,
+                                        out=coords[sl], n_threads=n_threads)
             if res is None:
                 return None
             c, ip, b, t, s = res
-            coords[sel] = c
-            inv_prec[sel] = ip
-            boxes[sel] = b
-            times[sel] = t
-            steps[sel] = s
+            inv_prec[sl] = ip
+            boxes[sl] = b
+            times[sl] = t
+            steps[sl] = s
         return coords, inv_prec, boxes, times, steps
 
-    def iter_batches(self, frame_indices: Sequence[int], first_n: int,
+    def read_frames_delta8(self, frame_indices: Sequence[int], subset,
+                           lo_out: np.ndarray, corr_idx_out: np.ndarray,
+                           corr_hi_out: np.ndarray, n_threads: int = 1):
+        """Decode XTC frames in the temporal-delta wire format: int8
+        per-value deltas vs the previous frame plus sparse int16 corrections,
+        anchored on an int32 absolute first frame. ~3 bytes/atom on the wire;
+        on-device cumsum reconstruction is bit-identical to the f32 decode
+        (native/xdr.cpp xtc_decode_d8).
+
+        Fills the caller's (n, n_out, 3) int8 / (n, K) int32 / (n, K) int16
+        buffers and returns ((abs0 (n_out, 3) int32, inv_precision, boxes,
+        times, steps), max_ncorr). The payload is None when unsupported
+        (non-XTC input, mixed compression precision, correction overflow) —
+        max_ncorr still reports the observed per-frame correction demand so
+        the caller can re-size the capacity and retry."""
+        sub = _as_subset(subset)
+        frame_indices = np.asarray(frame_indices, np.int64)
+        if not self._all_xtc(frame_indices):
+            return None, 0
+        n = len(frame_indices)
+        abs0 = np.zeros((sub.n_out, 3), np.int32)
+        base = np.zeros(sub.n_out * 3, np.int32)
+        inv_prec = np.empty(n, np.float32)
+        boxes = np.empty((n, 3, 3), np.float32)
+        times = np.empty(n, np.float32)
+        steps = np.empty(n, np.int64)
+        has_base = False
+        prev_inv = None
+        worst_ncorr = 0
+        failed = False
+        for sl, f, local in self._segments(frame_indices):
+            st32 = np.empty(sl.stop - sl.start, np.int32)
+            rc, max_ncorr = native.xtc_decode_d8(
+                f.path, f.offsets[local], sub.first_n, base, has_base,
+                abs0.reshape(-1), lo_out[sl], corr_idx_out[sl],
+                corr_hi_out[sl], inv_prec[sl], boxes[sl], times[sl], st32,
+                slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads)
+            worst_ncorr = max(worst_ncorr, max_ncorr)
+            if rc != 0:
+                failed = True
+                continue  # keep scanning to report full correction demand
+            # the integer delta chain requires one compression precision
+            # across file boundaries too
+            if prev_inv is not None and inv_prec[sl.start] != prev_inv:
+                return None, worst_ncorr
+            prev_inv = inv_prec[sl.stop - 1]
+            steps[sl] = st32
+            has_base = True
+        if failed:
+            return None, worst_ncorr
+        return (abs0, inv_prec, boxes, times, steps), worst_ncorr
+
+    def iter_batches(self, frame_indices: Sequence[int], subset,
                      batch_size: int, n_threads: int = 1
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,
                                          np.ndarray, np.ndarray]]:
@@ -324,12 +431,13 @@ class Trajectory:
         overwritten by the next iteration — consumers must copy it to the
         device (jax.device_put does) before advancing.
         """
+        sub = _as_subset(subset)
         frame_indices = np.asarray(frame_indices, np.int64)
-        buffer = np.zeros((batch_size, first_n, 3), np.float32)  # pre-faulted
+        buffer = np.zeros((batch_size, sub.n_out, 3), np.float32)
         for lo in range(0, len(frame_indices), batch_size):
             chunk = frame_indices[lo:lo + batch_size]
             coords, boxes, times, steps = self.read_frames(
-                chunk, first_n, n_threads, out=buffer
+                chunk, sub, n_threads, out=buffer
             )
             analyzed = np.arange(lo, lo + len(chunk), dtype=np.int64)
             if len(chunk) < batch_size:

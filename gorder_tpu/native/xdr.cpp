@@ -482,6 +482,11 @@ struct F32Sink {
     out[slot * 3 + 1] = (float)c[1] * inv_precision;
     out[slot * 3 + 2] = (float)c[2] * inv_precision;
   }
+  inline void emit_plain(int slot, const float *xyz, const int32_t *) {
+    out[slot * 3 + 0] = xyz[0];
+    out[slot * 3 + 1] = xyz[1];
+    out[slot * 3 + 2] = xyz[2];
+  }
 };
 
 struct I16Sink {
@@ -494,6 +499,42 @@ struct I16Sink {
       if (v < INT16_MIN || v > INT16_MAX) ok = false;
       out[slot * 3 + k] = (int16_t)v;
     }
+  }
+  inline void emit_plain(int slot, const float *, const int32_t *c) {
+    emit(slot, c);
+  }
+};
+
+// Raw XTC integers, for the temporal-delta wire format (the packer runs on
+// the scratch absolutes after the frame decodes).
+struct I32Sink {
+  int32_t *out;
+  float inv_precision;  // unused, kept for interface symmetry
+  bool ok = true;
+  inline void emit(int slot, const int32_t *c) {
+    out[slot * 3 + 0] = c[0];
+    out[slot * 3 + 1] = c[1];
+    out[slot * 3 + 2] = c[2];
+  }
+  inline void emit_plain(int slot, const float *, const int32_t *c) {
+    emit(slot, c);
+  }
+};
+
+// Subset gather: routes file atom ordinals through a slot map (compact
+// selected-atom output — the TPU ships only the Master-group atoms, like
+// the reference's group XTC reads, src/analysis/common.rs:283-304).
+template <typename Sink>
+struct SlotSink {
+  Sink &inner;
+  const int32_t *slot_of;  // length >= first_n; -1 = atom not selected
+  inline void emit(int atom, const int32_t *c) {
+    int32_t s = slot_of[atom];
+    if (s >= 0) inner.emit(s, c);
+  }
+  inline void emit_plain(int atom, const float *xyz, const int32_t *c) {
+    int32_t s = slot_of[atom];
+    if (s >= 0) inner.emit_plain(s, xyz, c);
   }
 };
 
@@ -522,6 +563,9 @@ struct I12Sink {
     put(base + 1, c[1]);
     put(base + 2, c[2]);
   }
+  inline void emit_plain(int slot, const float *, const int32_t *c) {
+    emit(slot, c);
+  }
 };
 
 // Decode the compressed coordinates of one frame through `sink`.
@@ -541,13 +585,7 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
       int32_t c[3];
       for (int k = 0; k < 3; k++)
         c[k] = (int32_t)(xyz[k] * (h.precision > 0 ? h.precision : 1000.0f));
-      if constexpr (std::is_same_v<Sink, F32Sink>) {
-        sink.out[i * 3 + 0] = xyz[0];
-        sink.out[i * 3 + 1] = xyz[1];
-        sink.out[i * 3 + 2] = xyz[2];
-      } else {
-        sink.emit(i, c);
-      }
+      sink.emit_plain(i, xyz, c);
     }
     return true;
   }
@@ -689,6 +727,67 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
 bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
   F32Sink sink{out, h.plain ? 1.0f : 1.0f / h.precision};
   return decode_xtc_coords_t(h, first_n, sink);
+}
+
+// Shared frame fan-out: parse header, fill metadata, run `make_sink(f, h)`
+// through the (optionally slot-mapped) coordinate decoder; frames are
+// independent so they split across threads. Returns 0 / 1 (sink range
+// overflow: caller falls back to a wider wire format) / -1 (corruption).
+template <typename MakeSink>
+int32_t decode_frames_common(const char *path, const int64_t *frame_offsets,
+                             int64_t n, int32_t first_n,
+                             const int32_t *slot_of, float *out_inv_precision,
+                             float *out_boxes, float *out_times,
+                             int32_t *out_steps, int32_t n_threads,
+                             MakeSink make_sink) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+
+  std::atomic<int32_t> status{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t f = lo; f < hi; f++) {
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
+        status.store(-1);
+        return;
+      }
+      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h.time;
+      if (out_steps) out_steps[f] = h.step;
+      if (out_inv_precision)
+        out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
+      auto sink = make_sink(f, h);
+      bool ok;
+      if (slot_of) {
+        SlotSink<decltype(sink)> ss{sink, slot_of};
+        ok = decode_xtc_coords_t(h, first_n, ss);
+      } else {
+        ok = decode_xtc_coords_t(h, first_n, sink);
+      }
+      if (!ok) {
+        status.store(-1);
+        return;
+      }
+      if (!sink.ok) {
+        int32_t expected = 0;
+        status.compare_exchange_strong(expected, 1);
+      }
+    }
+  };
+
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return status.load();
 }
 
 // ----------------------------------------------------------------- XTC write
@@ -1029,138 +1128,231 @@ int64_t xtc_scan(const char *path, int64_t cap, int64_t *offsets,
   return count;
 }
 
-// Decode `n` frames (by file offset) into out_coords[n][first_n][3].
+// Decode `n` frames (by file offset) into out_coords[n][n_out][3], where
+// n_out = first_n for prefix reads or the number of selected slots when
+// slot_of (length first_n, -1 = skip) routes a sparse atom subset.
 // out_boxes: n*9 floats (row-major 3x3). Returns 0 on success.
 int32_t xtc_decode(const char *path, const int64_t *frame_offsets, int64_t n,
-                   int32_t first_n, float *out_coords, float *out_boxes,
-                   float *out_times, int32_t *out_steps, int32_t n_threads) {
-  MappedFile mf;
-  if (!mf.open(path)) return -1;
-
-  std::atomic<int32_t> status{0};
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t f = lo; f < hi; f++) {
-      XtcHeader h;
-      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
-        status.store(-1);
-        return;
-      }
-      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
-      if (out_times) out_times[f] = h.time;
-      if (out_steps) out_steps[f] = h.step;
-      if (!decode_xtc_coords(h, first_n, out_coords + (size_t)f * first_n * 3)) {
-        status.store(-1);
-        return;
-      }
-    }
-  };
-
-  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
-  if (nt == 1) {
-    work(0, n);
-  } else {
-    std::vector<std::thread> threads;
-    int64_t chunk = (n + nt - 1) / nt;
-    for (int t = 0; t < nt; t++) {
-      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
-      if (lo < hi) threads.emplace_back(work, lo, hi);
-    }
-    for (auto &th : threads) th.join();
-  }
-  return status.load();
+                   int32_t first_n, const int32_t *slot_of, int32_t n_out,
+                   float *out_coords, float *out_boxes, float *out_times,
+                   int32_t *out_steps, int32_t n_threads) {
+  return decode_frames_common(
+      path, frame_offsets, n, first_n, slot_of, nullptr, out_boxes, out_times,
+      out_steps, n_threads, [&](int64_t f, const XtcHeader &h) {
+        return F32Sink{out_coords + (size_t)f * n_out * 3,
+                       h.plain ? 1.0f : 1.0f / h.precision};
+      });
 }
 
 // Decode frames as raw fixed-point int16 XTC integers (out_coords:
-// n*first_n*3 i16; out_inv_precision: n f32 scales so that
+// n*n_out*3 i16; out_inv_precision: n f32 scales so that
 // float(coord_i16) * inv_precision == the f32 coordinate bit-for-bit).
 // Returns 0 on success, 1 if any coordinate does not fit int16 (caller
 // falls back to the f32 path), -1 on error.
 int32_t xtc_decode_i16(const char *path, const int64_t *frame_offsets,
-                       int64_t n, int32_t first_n, int16_t *out_coords,
+                       int64_t n, int32_t first_n, const int32_t *slot_of,
+                       int32_t n_out, int16_t *out_coords,
                        float *out_inv_precision, float *out_boxes,
                        float *out_times, int32_t *out_steps,
                        int32_t n_threads) {
-  MappedFile mf;
-  if (!mf.open(path)) return -1;
-
-  std::atomic<int32_t> status{0};
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t f = lo; f < hi; f++) {
-      XtcHeader h;
-      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
-        status.store(-1);
-        return;
-      }
-      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
-      if (out_times) out_times[f] = h.time;
-      if (out_steps) out_steps[f] = h.step;
-      // plain (natoms<=9) frames carry floats; the template converts them
-      // through a 1e-3 grid, so the matching scale is 1/1000
-      out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
-      I16Sink sink{out_coords + (size_t)f * first_n * 3, 0.0f};
-      if (!decode_xtc_coords_t(h, first_n, sink)) {
-        status.store(-1);
-        return;
-      }
-      if (!sink.ok) {
-        int32_t expected = 0;
-        status.compare_exchange_strong(expected, 1);
-      }
-    }
-  };
-
-  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
-  if (nt == 1) {
-    work(0, n);
-  } else {
-    std::vector<std::thread> threads;
-    int64_t chunk = (n + nt - 1) / nt;
-    for (int t = 0; t < nt; t++) {
-      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
-      if (lo < hi) threads.emplace_back(work, lo, hi);
-    }
-    for (auto &th : threads) th.join();
-  }
-  return status.load();
+  return decode_frames_common(
+      path, frame_offsets, n, first_n, slot_of, out_inv_precision, out_boxes,
+      out_times, out_steps, n_threads, [&](int64_t f, const XtcHeader &) {
+        return I16Sink{out_coords + (size_t)f * n_out * 3, 0.0f};
+      });
 }
 
 // Like xtc_decode_i16 but packs each coordinate into 12 bits (two values
 // per 3 bytes) — 25% fewer bytes on the wire than int16. Frame stride is
-// ((first_n*3 + 1) / 2) * 3 bytes. Returns 1 when any value exceeds the
+// ((n_out*3 + 1) / 2) * 3 bytes. Returns 1 when any value exceeds the
 // 12-bit range (caller falls back to int16), 0 on success, -1 on error.
 int32_t xtc_decode_i12(const char *path, const int64_t *frame_offsets,
-                       int64_t n, int32_t first_n, uint8_t *out_coords,
+                       int64_t n, int32_t first_n, const int32_t *slot_of,
+                       int32_t n_out, uint8_t *out_coords,
                        float *out_inv_precision, float *out_boxes,
                        float *out_times, int32_t *out_steps,
                        int32_t n_threads) {
+  const size_t stride = (((size_t)n_out * 3 + 1) / 2) * 3;
+  return decode_frames_common(
+      path, frame_offsets, n, first_n, slot_of, out_inv_precision, out_boxes,
+      out_times, out_steps, n_threads, [&](int64_t f, const XtcHeader &) {
+        return I12Sink{out_coords + (size_t)f * stride, 0.0f};
+      });
+}
+
+// Temporal-delta wire format ("d8"): per batch, an int32 absolute base
+// frame plus int8 per-value deltas vs the previous frame, with sparse
+// (index, high-bits) corrections for the values whose delta does not fit
+// int8. The device reconstructs absolutes with a cumulative sum over the
+// batch axis — bit-identical to the f32 decode for any XTC integer < 2^24
+// — at ~3 bytes/atom on the wire instead of int16's 6.
+//
+// Layout per frame row r (0-based within this call):
+//   out_lo      + r*n_out*3 : int8 low bytes of delta (row 0 of a fresh
+//                             batch is all-zero; its absolutes go to
+//                             out_abs0)
+//   out_corr_idx + r*corr_cap : int32 flat value indices (n_out*3 = pad)
+//   out_corr_hi  + r*corr_cap : int16 delta high bits (delta = lo + hi<<8)
+//
+// `base_io` (int32 n_out*3) chains multi-segment batches: when has_base=1,
+// row 0 is a delta vs base_io (a previous call's last frame); on success
+// base_io holds this call's last frame. When has_base=0, out_abs0 receives
+// the first frame's absolutes. All frames in one chained batch must share
+// the compression precision (checked here per call; the caller checks
+// continuity across segments via out_inv_precision).
+//
+// Returns 0 ok; 1 unfit (correction overflow / mixed precision — caller
+// falls back to int16/f32); -1 error.
+int32_t xtc_decode_d8(const char *path, const int64_t *frame_offsets,
+                      int64_t n, int32_t first_n, const int32_t *slot_of,
+                      int32_t n_out, int32_t *base_io, int32_t has_base,
+                      int32_t *out_abs0, int8_t *out_lo,
+                      int32_t *out_corr_idx, int16_t *out_corr_hi,
+                      int32_t corr_cap, int32_t *out_max_ncorr,
+                      float *out_inv_precision, float *out_boxes,
+                      float *out_times, int32_t *out_steps,
+                      int32_t n_threads) {
   MappedFile mf;
   if (!mf.open(path)) return -1;
-
-  const size_t n_vals = (size_t)first_n * 3;
-  const size_t stride = ((n_vals + 1) / 2) * 3;
+  const size_t nv = (size_t)n_out * 3;
 
   std::atomic<int32_t> status{0};
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t f = lo; f < hi; f++) {
-      XtcHeader h;
-      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
-        status.store(-1);
-        return;
-      }
-      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
-      if (out_times) out_times[f] = h.time;
-      if (out_steps) out_steps[f] = h.step;
-      out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
-      I12Sink sink{out_coords + (size_t)f * stride, 0.0f};
-      if (!decode_xtc_coords_t(h, first_n, sink)) {
-        status.store(-1);
-        return;
-      }
-      if (!sink.ok) {
-        int32_t expected = 0;
-        status.compare_exchange_strong(expected, 1);
+  std::atomic<int32_t> max_ncorr{0};
+
+  auto decode_ints = [&](int64_t f, int32_t *dst, float *eff_prec) -> bool {
+    XtcHeader h;
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h))
+      return false;
+    if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+    if (out_times) out_times[f] = h.time;
+    if (out_steps) out_steps[f] = h.step;
+    *eff_prec = h.plain ? 1000.0f : h.precision;
+    if (out_inv_precision) out_inv_precision[f] = 1.0f / *eff_prec;
+    I32Sink sink{dst, 0.0f};
+    if (slot_of) {
+      SlotSink<I32Sink> ss{sink, slot_of};
+      return decode_xtc_coords_t(h, first_n, ss);
+    }
+    return decode_xtc_coords_t(h, first_n, sink);
+  };
+
+  auto bump_max = [&](int32_t v) {
+    int32_t cur = max_ncorr.load(std::memory_order_relaxed);
+    while (v > cur &&
+           !max_ncorr.compare_exchange_weak(cur, v,
+                                            std::memory_order_relaxed)) {
+    }
+  };
+
+  // pack `cur - prev` into row r; false when corrections overflow (the
+  // demand is still tallied into max_ncorr so callers can size corr_cap)
+  auto pack_row = [&](int64_t r, const int32_t *cur, const int32_t *prev) {
+    int8_t *lo = out_lo + (size_t)r * nv;
+    int32_t *ci = out_corr_idx + (size_t)r * corr_cap;
+    int16_t *ch = out_corr_hi + (size_t)r * corr_cap;
+    int32_t ncorr = 0;
+    bool fits = true;
+    for (size_t j = 0; j < nv; j++) {
+      int32_t d = cur[j] - prev[j];
+      int32_t l = ((d & 0xFF) ^ 0x80) - 0x80;  // sign-extended low byte
+      lo[j] = (int8_t)l;
+      int32_t hi = d - l;  // exact multiple of 256
+      if (hi != 0) {
+        hi >>= 8;
+        if (hi < INT16_MIN || hi > INT16_MAX) return false;
+        if (ncorr < corr_cap) {
+          ci[ncorr] = (int32_t)j;
+          ch[ncorr] = (int16_t)hi;
+        } else {
+          fits = false;
+        }
+        ncorr++;
       }
     }
+    bump_max(ncorr);
+    for (int32_t k = ncorr < corr_cap ? ncorr : corr_cap; k < corr_cap; k++) {
+      ci[k] = (int32_t)nv;  // out-of-range: dropped by the device scatter
+      ch[k] = 0;
+    }
+    return fits;
+  };
+
+  auto work = [&](int64_t lo_f, int64_t hi_f) {
+    std::vector<int32_t> bufs(2 * nv, 0);
+    int32_t *prev = bufs.data();
+    int32_t *cur = bufs.data() + nv;
+    float chunk_prec = 0.0f;
+
+    if (lo_f == 0) {
+      float p0;
+      if (!decode_ints(0, cur, &p0)) {
+        status.store(-1);
+        return;
+      }
+      chunk_prec = p0;
+      if (has_base) {
+        if (!pack_row(0, cur, base_io)) {
+          // keep decoding to tally the full correction demand (max_ncorr)
+          // so the caller can re-size corr_cap
+          int32_t e = 0;
+          status.compare_exchange_strong(e, 1);
+        }
+      } else {
+        memcpy(out_abs0, cur, nv * sizeof(int32_t));
+        memset(out_lo, 0, nv);
+        int32_t *ci = out_corr_idx;
+        int16_t *ch = out_corr_hi;
+        for (int32_t k = 0; k < corr_cap; k++) {
+          ci[k] = (int32_t)nv;
+          ch[k] = 0;
+        }
+      }
+      std::swap(prev, cur);
+    } else {
+      // base = the frame before this chunk (redundant decode; cheap
+      // relative to the chunk and keeps chunks independent). Boxes etc. of
+      // that frame belong to the previous chunk — don't overwrite them.
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size,
+                            (size_t)frame_offsets[lo_f - 1], &h)) {
+        status.store(-1);
+        return;
+      }
+      chunk_prec = h.plain ? 1000.0f : h.precision;
+      I32Sink sink{prev, 0.0f};
+      bool ok;
+      if (slot_of) {
+        SlotSink<I32Sink> ss{sink, slot_of};
+        ok = decode_xtc_coords_t(h, first_n, ss);
+      } else {
+        ok = decode_xtc_coords_t(h, first_n, sink);
+      }
+      if (!ok) {
+        status.store(-1);
+        return;
+      }
+    }
+
+    for (int64_t f = (lo_f == 0 ? 1 : lo_f); f < hi_f; f++) {
+      if (status.load() == -1) return;
+      float p;
+      if (!decode_ints(f, cur, &p)) {
+        status.store(-1);
+        return;
+      }
+      if (p != chunk_prec) {  // mixed precision breaks the integer chain
+        int32_t e = 0;
+        status.compare_exchange_strong(e, 1);
+        return;
+      }
+      if (!pack_row(f, cur, prev)) {
+        int32_t e = 0;
+        status.compare_exchange_strong(e, 1);
+        // fall through: keep tallying demand for corr_cap re-sizing
+      }
+      std::swap(prev, cur);
+    }
+    if (hi_f == n) memcpy(base_io, prev, nv * sizeof(int32_t));
   };
 
   int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
@@ -1175,6 +1367,7 @@ int32_t xtc_decode_i12(const char *path, const int64_t *frame_offsets,
     }
     for (auto &th : threads) th.join();
   }
+  if (out_max_ncorr) *out_max_ncorr = max_ncorr.load();
   return status.load();
 }
 

@@ -167,3 +167,141 @@ def test_packed12_out_of_range_falls_back():
     offs = np.asarray(info["offsets"])
     assert native.xtc_decode_i12(path, offs, 4) is None
     assert native.xtc_decode_i16(path, offs, 4) is not None
+
+
+def test_delta8_bit_identical_to_f32(fixtures):
+    """The temporal-delta wire format reconstructs the exact f32 coords
+    after the on-device scatter + cumsum (native/xdr.cpp xtc_decode_d8)."""
+    from gorder_tpu.analysis import _d8_to_f32
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    idx = traj.select_frames(None, None, 2)
+    sub = AtomSubset.prefix(1200)
+    f32, fb, ft, fs = traj.read_frames(idx, sub)
+
+    K = 256
+    lo = np.zeros((len(idx), sub.n_out, 3), np.int8)
+    ci = np.zeros((len(idx), K), np.int32)
+    ch = np.zeros((len(idx), K), np.int16)
+    res, worst = traj.read_frames_delta8(idx, sub, lo, ci, ch)
+    assert res is not None, f"d8 unfit (demand {worst})"
+    abs0, ip, bx, tm, st = res
+    np.testing.assert_array_equal(bx, fb)
+    rec = np.asarray(_d8_to_f32(lo, ci, ch, abs0, ip))
+    np.testing.assert_array_equal(rec, f32)
+
+
+def test_delta8_multi_file_chain(fixtures):
+    """The delta chain continues across concatenated file boundaries."""
+    from gorder_tpu.analysis import _d8_to_f32
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    # a window straddling several of the 5 split files
+    idx = traj.select_frames(None, None, 1)[15:65]
+    sub = AtomSubset.prefix(800)
+    f32, *_ = traj.read_frames(idx, sub)
+    K = 256
+    lo = np.zeros((len(idx), sub.n_out, 3), np.int8)
+    ci = np.zeros((len(idx), K), np.int32)
+    ch = np.zeros((len(idx), K), np.int16)
+    res, _ = traj.read_frames_delta8(idx, sub, lo, ci, ch)
+    assert res is not None
+    abs0, ip, bx, tm, st = res
+    rec = np.asarray(_d8_to_f32(lo, ci, ch, abs0, ip))
+    np.testing.assert_array_equal(rec, f32)
+
+
+def test_delta8_correction_overflow_reports_demand(tmp_path):
+    """Too-small correction capacity → payload None + true demand, so the
+    runner can re-size and retry."""
+    rng = np.random.default_rng(3)
+    n = 64
+    coords = np.zeros((4, n, 3), np.float32)
+    coords[0] = rng.random((n, 3)).astype(np.float32) * 5
+    for f in range(1, 4):
+        coords[f] = coords[f - 1] + rng.normal(
+            0, 0.01, (n, 3)).astype(np.float32)
+    coords[2, :10] += 3.0  # 10 atoms jump 3 nm -> 30 corrections in frame 2
+    boxes = np.tile(np.diag([6.0, 6.0, 6.0]).astype(np.float32), (4, 1, 1))
+    path = str(tmp_path / "jump.xtc")
+    native.xtc_write(path, coords, boxes, np.arange(4, dtype=np.float32),
+                     np.arange(4, dtype=np.int32), precision=1000.0)
+    traj = Trajectory(path)
+    idx = np.arange(4)
+    lo = np.zeros((4, 64, 3), np.int8)
+    ci = np.zeros((4, 8), np.int32)
+    ch = np.zeros((4, 8), np.int16)
+    res, demand = traj.read_frames_delta8(idx, 64, lo, ci, ch)
+    assert res is None
+    assert demand >= 30
+    ci = np.zeros((4, demand), np.int32)
+    ch = np.zeros((4, demand), np.int16)
+    res, _ = traj.read_frames_delta8(idx, 64, lo, ci, ch)
+    assert res is not None
+
+
+def test_subset_gather_all_formats(fixtures):
+    """Sparse atom selections decode identically through every wire format."""
+    from gorder_tpu.analysis import _d8_to_f32, _unpack12
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg1.xtc"))
+    idx = np.arange(traj.n_frames)
+    sel = np.unique(np.concatenate([
+        np.arange(7, 900, 13), np.arange(1000, 1600, 3), [0, 16768]]))
+    sub = AtomSubset.from_indices(sel)
+    assert sub.slot_of is not None  # genuinely sparse
+    full, *_ = traj.read_frames(idx, 16769)
+    expected = full[:, sel]
+
+    got_f32, *_ = traj.read_frames(idx, sub)
+    np.testing.assert_array_equal(got_f32[:, :len(sel)], expected)
+
+    c16, ip16, *_ = traj.read_frames_quantized(idx, sub)
+    np.testing.assert_array_equal(
+        c16[:, :len(sel)].astype(np.float32) * ip16[:, None, None], expected)
+
+    p12, ip12, *_ = traj.read_frames_packed12(idx, sub)
+    unpacked = np.asarray(_unpack12(p12, sub.n_out))[:, :len(sel)]
+    np.testing.assert_array_equal(
+        unpacked.astype(np.float32) * ip12[:, None, None], expected)
+
+    K = 64
+    lo = np.zeros((len(idx), sub.n_out, 3), np.int8)
+    ci = np.zeros((len(idx), K), np.int32)
+    ch = np.zeros((len(idx), K), np.int16)
+    res, _ = traj.read_frames_delta8(idx, sub, lo, ci, ch)
+    assert res is not None
+    abs0, ip8, *_ = res
+    rec = np.asarray(_d8_to_f32(lo, ci, ch, abs0, ip8))[:, :len(sel)]
+    np.testing.assert_array_equal(rec, expected)
+
+
+def test_pipeline_wire_equivalence(fixtures, tmp_path, monkeypatch):
+    """The analysis result is invariant to the wire format (d8 picked by
+    the probe vs forced f32) — the exactness contract behind every
+    transfer optimization."""
+    from gorder_tpu.input import Analysis, AnalysisType
+
+    def run(wire):
+        if wire:
+            monkeypatch.setenv("GORDER_TPU_WIRE", wire)
+        else:
+            monkeypatch.delenv("GORDER_TPU_WIRE", raising=False)
+        analysis = Analysis(
+            structure=str(fixtures / "cg.tpr"),
+            trajectory=str(fixtures / "split" / "cg1.xtc"),
+            analysis_type=AnalysisType.cgorder("@membrane"),
+            silent=True,
+        )
+        results = analysis.run()
+        return [
+            (bond.order.total.value, bond.order.total.error)
+            for mol in results.molecules for bond in mol.bonds
+        ]
+
+    auto = run(None)
+    f32 = run("f32")
+    assert auto == f32
