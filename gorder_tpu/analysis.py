@@ -1006,7 +1006,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
         map_zero = init_map_state(classes, n_types, map_spec)
         n_seg = n_types * map_spec.ncells + 1
-        map_accum = {cls: np.zeros((3, n_seg), np.int64) for cls in classes}
+        map_accum = {cls: np.zeros((4, n_seg), np.int64)
+                     for cls in classes}
 
     def drain_map_state(state_out):
         for cls, arr in state_out.items():

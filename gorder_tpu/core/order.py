@@ -12,12 +12,14 @@ re-architected for TPU:
   (N × T) membership matrix — a single MXU matmul instead of 10⁴ scattered
   accumulator updates;
 - reference parity: each sample is quantized to 1e-6 fixed point exactly like
-  the reference's `OrderValue` (src/analysis/order.rs:13-26, i64 = v·10⁶
-  truncated toward zero). The quantized integers are split into 12-bit
-  halves so the reduction runs as two exact f32 matmuls on the MXU; sums are
-  recombined into int64 on the host. Results are then invariant to batch
-  size, device count and frame order — the TPU analogue of the reference's
-  thread-count invariance (SURVEY.md §4 tier 3).
+  the reference's `OrderValue` (src/analysis/order.rs:21-26: `(v as f64 *
+  1e6).round()` — round half away from zero). The quantized integers are
+  split into three 7-bit limbs so the reduction runs as exact f32 matmuls
+  on the MXU (each limb < 128, so per-frame per-type sums stay below 2^24
+  for up to ~131,000 bond instances per type — far beyond any membrane);
+  limbs are recombined into int64 on the host. Results are then invariant
+  to batch size, device count and frame order — the TPU analogue of the
+  reference's thread-count invariance (SURVEY.md §4 tier 3).
 """
 
 from __future__ import annotations
@@ -33,7 +35,37 @@ from ..parallel.context import put_const
 from .pbc import min_image
 
 _SCALE = 1.0e6
-_SPLIT = 4096.0  # 2^12: |hi| ≤ 367, lo < 4096 → exact f32 dot products
+_LIMB = 128.0            # 7-bit limbs → exact f32 dot products
+_LIMB2 = _LIMB * _LIMB   # 16384
+# exactness ceiling: limbs < 128 summed in f32 stay integer-exact below
+# 2^24 → at most 2^24/128 samples per bond type per frame
+MAX_EXACT_SAMPLES = int(2 ** 24 / _LIMB)
+
+
+def quantize_split(sch):
+    """Reference-exact per-sample quantization (order.rs:21-26, round half
+    away from zero to the 1e-6 grid) split into three small-integer f32
+    limbs: q = l2·16384 + l1·128 + l0, each |limb| < 128.
+
+    The quantization happens in f32 on device where the reference rounds
+    the f64 product; values within ~1e-4 of a .5 quantum boundary may land
+    one 1e-6 quantum apart — documented, inside every parity tolerance."""
+    q = jnp.trunc(sch * _SCALE + jnp.where(sch >= 0, 0.5, -0.5))
+    l2 = jnp.trunc(q / _LIMB2)
+    r = q - l2 * _LIMB2
+    l1 = jnp.trunc(r / _LIMB)
+    l0 = r - l1 * _LIMB
+    return l2, l1, l0
+
+
+def recombine_limbs(rows: np.ndarray) -> np.ndarray:
+    """(…, 4, T) f32 kernel output rows [l2, l1, l0, count] → int64
+    (sums, counts)."""
+    rows = np.asarray(rows, np.float64)
+    sums = (rows[..., 0, :] * _LIMB2 + rows[..., 1, :] * _LIMB
+            + rows[..., 2, :]).astype(np.int64)
+    counts = rows[..., 3, :].astype(np.int64)
+    return sums, counts
 
 
 def _one_hot(ids: np.ndarray, n: int) -> np.ndarray:
@@ -97,9 +129,7 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     sch = 1.5 * cos2 - 0.5                            # (B, N)
 
     # reference-exact per-sample fixed-point quantization
-    q = jnp.trunc(sch * _SCALE)
-    hi = jnp.trunc(q / _SPLIT)
-    lo = q - hi * _SPLIT
+    l2, l1, l0 = quantize_split(sch)
 
     valid = frame_mask[:, None].astype(jnp.float32)   # (B, 1)
     ones = jnp.broadcast_to(valid, sch.shape)
@@ -113,7 +143,8 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
         ones = ones * geo
 
     def reduce(mask):
-        stacked = jnp.stack([hi * mask, lo * mask, mask], axis=1)  # (B,3,N)
+        stacked = jnp.stack(
+            [l2 * mask, l1 * mask, l0 * mask, mask], axis=1)  # (B,4,N)
         return jnp.einsum(
             "bcn,nt->bct", stacked, onehot,
             preferred_element_type=jnp.float32,
@@ -158,8 +189,9 @@ def make_order_step(
       normal:          (3,) f32 for 'static', (B, M, 3) for 'per_molecule'
       frame_mask:      (B,) bool — padding frames contribute nothing
       leaflet_classes: (B, M) int32 (0=upper, 1=lower) or None
-    and yielding a dict of (B, 3, T) f32 arrays per class
-    ([sum_hi, sum_lo, count]; sum = hi·4096 + lo exactly, ×1e-6 → order).
+    and yielding a dict of (B, 4, T) f32 arrays per class
+    ([l2, l1, l0, count]; sum = l2·16384 + l1·128 + l0 exactly,
+    ×1e-6 → order).
     """
     atom_a_d = put_const(np.asarray(atom_a, np.int32))
     atom_b_d = put_const(np.asarray(atom_b, np.int32))
@@ -222,9 +254,8 @@ class OrderAccumulator:
 
     def add_batch(self, result: dict, n_valid: int) -> None:
         for c in self.classes:
-            res = np.asarray(result[c][:n_valid], np.float64)  # (b, 3, T)
-            frame_sums = (res[:, 0] * _SPLIT + res[:, 1]).astype(np.int64)
-            frame_counts = res[:, 2].astype(np.int64)
+            res = np.asarray(result[c][:n_valid])              # (b, 4, T)
+            frame_sums, frame_counts = recombine_limbs(res)
             self.sums[c] += frame_sums.sum(axis=0)
             self.counts[c] += frame_counts.sum(axis=0)
             if self.keep_timewise:

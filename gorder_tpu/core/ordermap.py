@@ -82,32 +82,33 @@ def map_cells(mid, spec: MapSpec, bond_type, n_types):
 def update_maps(state, sch, cells, masks):
     """Scatter per-sample order values into the per-class grids.
 
-    state: {cls: (3, n_types*ncells + 1) f32 [hi_sums, lo_sums, counts]};
+    state: {cls: (4, n_types*ncells + 1) f32 [l2, l1, l0, counts]};
     sch: (B, N) f32; cells: (B, N) int32; masks: {cls: (B, N) f32}.
 
     Samples are quantized to the same 1e-6 fixed point as the main order
-    accumulation (core/order.py) and split into exact 12-bit f32 halves, so
-    tile sums are bit-identical regardless of batch size, device count, or
-    GSPMD reduction order — the reference accumulates map tiles in its i64
-    `OrderValue` for the same reason (src/analysis/ordermap.rs)."""
+    accumulation (core/order.py quantize_split: round half away from zero,
+    three exact 7-bit f32 limbs), so tile sums are bit-identical regardless
+    of batch size, device count, or GSPMD reduction order — the reference
+    accumulates map tiles in its i64 `OrderValue` for the same reason
+    (src/analysis/ordermap.rs). Limbs < 128 keep the per-batch per-tile
+    f32 sums exact up to 2^24/128 ≈ 131k samples."""
     import jax
     import jax.numpy as jnp
 
+    from .order import quantize_split
+
     n_seg = state[next(iter(state))].shape[1]
     flat_cells = cells.reshape(-1)
-    q = jnp.trunc(sch * 1.0e6)
-    hi = jnp.trunc(q / 4096.0).reshape(-1)
-    lo = (q - jnp.trunc(q / 4096.0) * 4096.0).reshape(-1)
+    l2, l1, l0 = quantize_split(sch)
+    rows = (l2.reshape(-1), l1.reshape(-1), l0.reshape(-1))
     out = {}
     for cls, mask in masks.items():
         flat_mask = mask.reshape(-1)
-        hi_sums = jax.ops.segment_sum(hi * flat_mask, flat_cells,
-                                      num_segments=n_seg)
-        lo_sums = jax.ops.segment_sum(lo * flat_mask, flat_cells,
-                                      num_segments=n_seg)
-        counts = jax.ops.segment_sum(flat_mask, flat_cells,
-                                     num_segments=n_seg)
-        out[cls] = state[cls] + jnp.stack([hi_sums, lo_sums, counts])
+        sums = [jax.ops.segment_sum(r * flat_mask, flat_cells,
+                                    num_segments=n_seg) for r in rows]
+        sums.append(jax.ops.segment_sum(flat_mask, flat_cells,
+                                        num_segments=n_seg))
+        out[cls] = state[cls] + jnp.stack(sums)
     return out
 
 
@@ -115,7 +116,7 @@ def init_map_state(classes, n_types: int, spec: MapSpec):
     import jax.numpy as jnp
 
     return {
-        cls: jnp.zeros((3, n_types * spec.ncells + 1), jnp.float32)
+        cls: jnp.zeros((4, n_types * spec.ncells + 1), jnp.float32)
         for cls in classes
     }
 
@@ -128,13 +129,15 @@ def finalize_maps(state_host, n_types: int, spec: MapSpec, min_samples: int,
     raw = {}
     for cls, arr in state_host.items():
         arr = np.asarray(arr)[:, :-1]  # drop the dump cell
-        # exact int64 recombination of the 12-bit halves, then back to the
-        # 1e-6 scale (matches core/order.py OrderAccumulator)
-        hi = arr[0].astype(np.int64)
-        lo = arr[1].astype(np.int64)
-        sums = ((hi * 4096 + lo).reshape(n_types, spec.n0, spec.n1)
+        # exact int64 recombination of the 7-bit limbs, then back to the
+        # 1e-6 scale (matches core/order.py recombine_limbs)
+        l2 = arr[0].astype(np.int64)
+        l1 = arr[1].astype(np.int64)
+        l0 = arr[2].astype(np.int64)
+        sums = ((l2 * 16384 + l1 * 128 + l0)
+                .reshape(n_types, spec.n0, spec.n1)
                 .astype(np.float64) * 1e-6)
-        counts = arr[2].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
+        counts = arr[3].reshape(n_types, spec.n0, spec.n1).astype(np.float64)
         raw[cls] = (sums, counts)
         with np.errstate(invalid="ignore", divide="ignore"):
             values = sign * sums / counts

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..parallel.context import put_const
 
-from .order import _SCALE, _SPLIT
+from .order import quantize_split
 from .pbc import min_image, wrap
 
 TETRAHEDRAL_ANGLE = np.float32(1.910633)
@@ -187,9 +187,7 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
 
     sch = jnp.concatenate(sch_parts, axis=1)          # (B, Nv)
 
-    q = jnp.trunc(sch * _SCALE)
-    hi = jnp.trunc(q / _SPLIT)
-    lo = q - hi * _SPLIT
+    l2, l1, l0 = quantize_split(sch)
     valid = frame_mask[:, None].astype(jnp.float32)
     ones = jnp.broadcast_to(valid, sch.shape)
 
@@ -203,7 +201,8 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
         ones = ones * geo
 
     def reduce(mask):
-        stacked = jnp.stack([hi * mask, lo * mask, mask], axis=1)
+        stacked = jnp.stack(
+            [l2 * mask, l1 * mask, l0 * mask, mask], axis=1)
         return jnp.einsum("bcn,nt->bct", stacked, onehot,
                           preferred_element_type=jnp.float32)
 

@@ -11,7 +11,8 @@ and the per-bond-type MXU reduction into ONE Pallas kernel: per grid step a
 VMEM/registers, and three (Bt × T) partial matmuls accumulate in place.
 
 Exactness: the reductions are exact — the matmuls sum integer-valued f32
-(|hi| ≤ 367, lo < 4096, counts ≤ N) whose totals stay below 2^24, so any
+(7-bit limbs < 128, counts ≤ N) whose totals stay below 2^24 for up to
+~131k bond instances per type per frame, so any
 summation order yields the same integers, and the path is deterministic
 and batch-size/device-count invariant like the einsum path. The
 *per-sample* elementwise chain can differ from the XLA path by one 1e-6
@@ -37,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 _SCALE = 1.0e6
-_SPLIT = 4096.0
+_LIMB = 128.0
+_LIMB2 = _LIMB * _LIMB
 _BT = 8        # frame tile (f32 sublane)
 _NT = 512      # bond tile (lanes)
 _TP = 128      # padded bond-type count (lane width of the output)
@@ -61,7 +63,8 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
 
 
 def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
-               mask_ref, oh_ref, hi_ref, lo_ref, ct_ref, *, handle_pbc):
+               mask_ref, oh_ref, s2_ref, s1_ref, s0_ref, ct_ref, *,
+               handle_pbc):
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
@@ -79,28 +82,34 @@ def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
     d2 = dx * dx + dy * dy + dz * dz
     cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
     sch = 1.5 * cos2 - 0.5
-    q = jnp.trunc(sch * _SCALE)
-    hi = jnp.trunc(q / _SPLIT)
-    lo = q - hi * _SPLIT
+    # reference-exact quantization (core/order.py quantize_split)
+    q = jnp.trunc(sch * _SCALE + jnp.where(sch >= 0, 0.5, -0.5))
+    l2 = jnp.trunc(q / _LIMB2)
+    r = q - l2 * _LIMB2
+    l1 = jnp.trunc(r / _LIMB)
+    l0 = r - l1 * _LIMB
 
-    m = jnp.broadcast_to(mask_ref[:], hi.shape)        # (Bt, Nt)
+    m = jnp.broadcast_to(mask_ref[:], q.shape)         # (Bt, Nt)
     oh = oh_ref[:]                                     # (Nt, TP)
-    hi_part = jnp.dot(hi * m, oh, preferred_element_type=jnp.float32)
-    lo_part = jnp.dot(lo * m, oh, preferred_element_type=jnp.float32)
+    s2_part = jnp.dot(l2 * m, oh, preferred_element_type=jnp.float32)
+    s1_part = jnp.dot(l1 * m, oh, preferred_element_type=jnp.float32)
+    s0_part = jnp.dot(l0 * m, oh, preferred_element_type=jnp.float32)
     ct_part = jnp.dot(m, oh, preferred_element_type=jnp.float32)
 
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        hi_ref[:] = hi_part
-        lo_ref[:] = lo_part
+        s2_ref[:] = s2_part
+        s1_ref[:] = s1_part
+        s0_ref[:] = s0_part
         ct_ref[:] = ct_part
 
     @pl.when(pl.program_id(1) != 0)
     def _():
-        hi_ref[:] = hi_ref[:] + hi_part
-        lo_ref[:] = lo_ref[:] + lo_part
+        s2_ref[:] = s2_ref[:] + s2_part
+        s1_ref[:] = s1_ref[:] + s1_part
+        s0_ref[:] = s0_ref[:] + s0_part
         ct_ref[:] = ct_ref[:] + ct_part
 
 
@@ -136,9 +145,9 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
             return pl.BlockSpec(shape, index_map)
         return pl.BlockSpec(shape, index_map, memory_space=mem)
 
-    out_shape = [jax.ShapeDtypeStruct((B, _TP), jnp.float32)] * 3
+    out_shape = [jax.ShapeDtypeStruct((B, _TP), jnp.float32)] * 4
     out_spec = vspec((_BT, _TP), col)
-    hi_s, lo_s, ct_s = pl.pallas_call(
+    s2_s, s1_s, s0_s, ct_s = pl.pallas_call(
         functools.partial(_p2_kernel, handle_pbc=handle_pbc),
         grid=grid,
         in_specs=[
@@ -152,13 +161,14 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
             vspec((_BT, 1), col),                      # frame mask
             vspec((_NT, _TP), lambda i, j: (j, 0)),    # one-hot types
         ],
-        out_specs=[out_spec, out_spec, out_spec],
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
         out_shape=out_shape,
         interpret=interpret,
     )(normal[None, :], dx, dy, dz, bx, by, bz, mask, onehot_pad)
 
-    out = jnp.stack([hi_s[:, :n_types], lo_s[:, :n_types],
-                     ct_s[:, :n_types]], axis=1)       # (B, 3, T)
+    out = jnp.stack([s2_s[:, :n_types], s1_s[:, :n_types],
+                     s0_s[:, :n_types], ct_s[:, :n_types]],
+                    axis=1)                            # (B, 4, T)
     return {"total": out}, None
 
 

@@ -20,35 +20,35 @@ def _run_single_bond(pa, pb, box, normal):
                            1, 1)
     out, _ = step(coords, boxes, np.asarray(normal, np.float32), mask)
     arr = np.asarray(out["total"])
-    hi = arr[:, 0].astype(np.int64).sum()
-    lo = arr[:, 1].astype(np.int64).sum()
-    count = arr[:, 2].sum()
-    assert count == 1
-    return float(hi * 4096 + lo) * 1e-6
+    from gorder_tpu.core.order import recombine_limbs
+
+    sums, counts = recombine_limbs(arr)
+    assert counts.sum() == 1
+    return int(sums.sum())  # 1e-6 quanta
 
 
 def test_calc_sch_hand_value():
     """mod.rs test_calc_sch: P2 of the min-image vector (1.7,2.1,9.7)→
     (1.9,2.4,0.8) in a 10 nm box against +z is 0.8544775."""
-    s = _run_single_bond([1.7, 2.1, 9.7], [1.9, 2.4, 0.8],
+    q = _run_single_bond([1.7, 2.1, 9.7], [1.9, 2.4, 0.8],
                          [10.0, 10.0, 10.0], [0.0, 0.0, 1.0])
-    # production kernel truncates to the 1e-6 fixed-point grid
-    assert abs(s - 0.8544775) < 1e-6
+    # production kernel rounds to the 1e-6 fixed-point grid
+    assert abs(q - 854477.5) <= 1.0
 
 
 def test_calc_sch_axis_aligned():
     """A bond parallel to the normal → S = 1; perpendicular → S = -0.5."""
-    s = _run_single_bond([1, 1, 1], [1, 1, 2], [10, 10, 10], [0, 0, 1])
-    assert abs(s - 1.0) < 1e-6
-    s = _run_single_bond([1, 1, 1], [2, 1, 1], [10, 10, 10], [0, 0, 1])
-    assert abs(s - (-0.5)) < 1e-6
+    q = _run_single_bond([1, 1, 1], [1, 1, 2], [10, 10, 10], [0, 0, 1])
+    assert q == 1_000_000
+    q = _run_single_bond([1, 1, 1], [2, 1, 1], [10, 10, 10], [0, 0, 1])
+    assert q == -500_000
 
 
 def test_magic_angle():
     """At the magic angle (cos² = 1/3) the order parameter vanishes."""
     d = np.array([1.0, 1.0, 1.0], np.float32)  # cos²(z) = 1/3
-    s = _run_single_bond([0, 0, 0], d, [50, 50, 50], [0, 0, 1])
-    assert abs(s) < 1e-5
+    q = _run_single_bond([0, 0, 0], d, [50, 50, 50], [0, 0, 1])
+    assert abs(q) <= 10
 
 
 def test_pca_normal_from_synthetic_plane():
@@ -79,12 +79,13 @@ def test_pca_normal_from_synthetic_plane():
     assert np.all(cos > 0.9999), cos.min()
 
 
-def test_fixed_point_truncation_matches_reference_rule():
-    """order.rs:21-26: each sample is trunc(s·10⁶) toward zero."""
-    s = _run_single_bond([0, 0, 0], [3.0, 0.0, 4.0], [50, 50, 50],
+def test_fixed_point_rounding_matches_reference_rule():
+    """order.rs:21-26: OrderValue::from is `(v * 1e6).round()` — round half
+    away from zero, NOT truncation."""
+    q = _run_single_bond([0, 0, 0], [3.0, 0.0, 4.0], [50, 50, 50],
                          [0, 0, 1])
-    # cos² = 16/25 → s = 1.5·0.64 − 0.5 = 0.46, but 0.64 is not exactly
-    # representable in f32: the product lands a hair below and truncation
-    # toward zero keeps 459999 — NOT rounded up to 460000. This pins the
-    # trunc (not round) semantics of the reference's OrderValue.
-    assert s == 0.459999
+    # cos² = 16/25 → s = 1.5·0.64 − 0.5 = 0.46; 0.64 is not exactly
+    # representable in f32 and the product lands a hair below 460000 —
+    # rounding (the reference rule) recovers exactly 460000, where
+    # truncation toward zero would have kept 459999.
+    assert q == 460_000

@@ -12,11 +12,11 @@ from gorder_tpu.core.order import make_order_step
 
 
 def _decode(out):
-    """(B,3,T) [hi, lo, count] → (sum_int, count) per type."""
-    hi = out[:, 0].astype(np.int64)
-    lo = out[:, 1].astype(np.int64)
-    ct = out[:, 2].astype(np.int64)
-    return (hi * 4096 + lo).sum(0), ct.sum(0)
+    """(B,4,T) [l2, l1, l0, count] → (sum_int, count) per type."""
+    from gorder_tpu.core.order import recombine_limbs
+
+    sums, counts = recombine_limbs(np.asarray(out))
+    return sums.sum(0), counts.sum(0)
 
 
 def _random_problem(seed=0, B=16, A=64, N=700, T=5):

@@ -70,9 +70,10 @@ def test_batch_split_invariance_property(n_bonds, n_types, split, seed):
         mask = np.ones(len(c), bool)
         out, _ = step(c, bx, normal, mask)
         arr = np.asarray(out["total"])
-        s = (arr[:, 0].astype(np.int64) * 4096
-             + arr[:, 1].astype(np.int64)).sum(0)
-        return s, arr[:, 2].astype(np.int64).sum(0)
+        from gorder_tpu.core.order import recombine_limbs
+
+        sums, counts = recombine_limbs(arr)
+        return sums.sum(0), counts.sum(0)
 
     s_full, c_full = run(coords, box)
     k = max(8, min(split, B - 8))
