@@ -36,8 +36,13 @@ def Sphere(radius: float,
 
 
 def _ref(reference):
-    if reference is None or isinstance(reference, str):
-        return reference
+    if reference is None:
+        return None
+    if isinstance(reference, str):
+        # pygorder: the literal string "center" (any case) means the box
+        # center (pygorder/src/geometry.rs:224-225); anything else is a
+        # selection query
+        return None if reference.lower() == "center" else reference
     return tuple(float(v) for v in reference)
 
 

@@ -29,6 +29,10 @@ class MapSpec:
     bin1: float
     n0: int
     n1: int
+    # requested span ends (before snapping to the bin grid) — surfaced by
+    # the Python API's Map.span_x/span_y (pygorder results.pyi:333-350)
+    end0: float = 0.0
+    end1: float = 0.0
 
     @property
     def ncells(self) -> int:
@@ -61,7 +65,7 @@ def build_map_spec(params, structure_box: Optional[np.ndarray]) -> MapSpec:
     b0, b1 = params.bin_size
     n0 = int(np.floor((e0 - s0) / b0 + 0.5)) + 1
     n1 = int(np.floor((e1 - s1) / b1 + 0.5)) + 1
-    return MapSpec(ax0, ax1, s0, s1, b0, b1, n0, n1)
+    return MapSpec(ax0, ax1, s0, s1, b0, b1, n0, n1, e0, e1)
 
 
 def map_cells(mid, spec: MapSpec, bond_type, n_types):
