@@ -27,6 +27,56 @@ _XTC_EXT = (".xtc",)
 _TRR_EXT = (".trr",)
 _GRO_EXT = (".gro",)
 
+# trajectory formats the reference dropped in v0.7 with a dedicated
+# deprecation message (src/input/analysis.rs:358-360)
+_DEPRECATED_EXT = (".pdb", ".nc", ".dcd", ".lammpstrj")
+
+
+def _traj_format(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _XTC_EXT:
+        return "xtc"
+    if ext in _TRR_EXT:
+        return "trr"
+    if ext in _GRO_EXT:
+        return "gro"
+    if ext in _DEPRECATED_EXT:
+        return "deprecated"
+    return "unknown"
+
+
+def validate_trajectory_formats(paths: List[str]) -> None:
+    """Reference-parity trajectory format validation
+    (src/input/analysis.rs:342-378): XTC/TRR freely concatenable, GRO only
+    alone, PDB/NC/DCD/LAMMPSTRJ deprecated since v0.7, mixed formats
+    rejected."""
+    from ..errors import ConfigError
+
+    if not paths:
+        raise ConfigError("no trajectory file has been provided")
+    last = None
+    for path in paths:
+        fmt = _traj_format(path)
+        if fmt == "gro":
+            if len(paths) > 1:
+                raise ConfigError(
+                    "trajectory concatenation is only supported for XTC and "
+                    "TRR files; please provide only one trajectory file")
+        elif fmt == "deprecated":
+            raise ConfigError(
+                "since 'gorder' v0.7, PDB, NC, DCD, and LAMPPSTR "
+                "trajectories are not supported; if you want to use them, "
+                "switch to version 0.6")
+        elif fmt == "unknown":
+            raise ConfigError(
+                f"the provided trajectory file '{path}' has an unknown, "
+                f"invalid, or unsupported format")
+        if last is not None and fmt != last[0]:
+            raise ConfigError(
+                f"the provided trajectory files '{path}' and '{last[1]}' "
+                f"have inconsistent file format")
+        last = (fmt, path)
+
 
 def expand_trajectory_paths(spec) -> List[str]:
     """Expand a path / glob / list-of-paths into an ordered file list."""
@@ -185,8 +235,7 @@ class Trajectory:
 
     def __init__(self, paths, expected_atoms: Optional[int] = None):
         self.paths = expand_trajectory_paths(paths)
-        if not self.paths:
-            raise TrajectoryError("no trajectory files given")
+        validate_trajectory_formats(self.paths)
         self.files = [_index_file(p) for p in self.paths]
 
         for f in self.files:

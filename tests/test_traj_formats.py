@@ -91,3 +91,72 @@ def test_gro_trajectory(fixtures, tmp_path):
     # gro stores 3 decimals (same as xtc precision 100 data here → tiny diff)
     assert abs(gro_run.average_order.total.value
                - xtc_ref.average_order.total.value) < 2e-3
+
+
+def test_gro_concatenation_rejected(fixtures, tmp_path):
+    """GRO trajectory concatenation is rejected
+    (analysis.rs:352-356 TrajCatNotSupported)."""
+    import shutil
+
+    import pytest
+
+    from gorder_tpu.errors import ConfigError
+    from gorder_tpu.io.traj import Trajectory
+
+    g1 = tmp_path / "a.gro"
+    g2 = tmp_path / "b.gro"
+    src = fixtures / "cg.gro" if (fixtures / "cg.gro").exists() else None
+    for g in (g1, g2):
+        if src:
+            shutil.copy(src, g)
+        else:
+            g.write_text("t\n1\n    1W      W    1   0.0   0.0   0.0\n"
+                         "10 10 10\n")
+    with pytest.raises(ConfigError) as e:
+        Trajectory([str(g1), str(g2)])
+    assert "trajectory concatenation is only supported for XTC and TRR" \
+        in str(e.value)
+
+
+def test_mixed_trajectory_formats_rejected(fixtures):
+    """Mixing XTC and TRR is rejected
+    (analysis.rs:364-372 InconsistentTrajectoryFormat)."""
+    import pytest
+
+    from gorder_tpu.errors import ConfigError
+    from gorder_tpu.io.traj import Trajectory
+
+    with pytest.raises(ConfigError) as e:
+        Trajectory([str(fixtures / "split" / "cg1.xtc"),
+                    str(fixtures / "split" / "cg3.trr")])
+    assert "inconsistent file format" in str(e.value)
+
+
+def test_deprecated_trajectory_formats_rejected(tmp_path):
+    """PDB/NC/DCD/LAMMPSTRJ trajectories get the v0.7 deprecation message
+    (analysis.rs:358-360)."""
+    import pytest
+
+    from gorder_tpu.errors import ConfigError
+    from gorder_tpu.io.traj import Trajectory
+
+    for ext in (".pdb", ".nc", ".dcd", ".lammpstrj"):
+        p = tmp_path / f"traj{ext}"
+        p.write_text("")
+        with pytest.raises(ConfigError) as e:
+            Trajectory([str(p)])
+        assert "since 'gorder' v0.7" in str(e.value)
+        assert "switch to version 0.6" in str(e.value)
+
+
+def test_unknown_trajectory_format_rejected(tmp_path):
+    import pytest
+
+    from gorder_tpu.errors import ConfigError
+    from gorder_tpu.io.traj import Trajectory
+
+    p = tmp_path / "traj.foo"
+    p.write_text("")
+    with pytest.raises(ConfigError) as e:
+        Trajectory([str(p)])
+    assert "unknown, invalid, or unsupported format" in str(e.value)
