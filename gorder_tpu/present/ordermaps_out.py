@@ -102,7 +102,7 @@ def _write_map(path: str, comment: str, grid: np.ndarray, spec, mode: str):
         for i, x in enumerate(ticks0):
             for j, y in enumerate(ticks1):
                 v = grid[i, j]
-                value = "nan" if math.isnan(v) else f"{v:.4f}"
+                value = "NaN" if math.isnan(v) else f"{v:.4f}"
                 fh.write(f"{x:.4f} {y:.4f} {value}\n")
 
 

@@ -34,14 +34,16 @@ def test_cg_asymmetric(fixtures, tmp_path):
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
     assert_eq_order(str(out),
-                    str(fixtures / "asymmetric" / "cg_order_asymmetric.yaml"))
+                    str(fixtures / "asymmetric" / "cg_order_asymmetric.yaml"),
+                    exact=True)
     write_tab(results, str(tmp_path / "order.tab"))
     assert_eq_order(str(tmp_path / "order.tab"),
-                    str(fixtures / "asymmetric" / "cg_order_asymmetric.tab"))
+                    str(fixtures / "asymmetric" / "cg_order_asymmetric.tab"),
+                    exact=True)
     write_csv(results, str(tmp_path / "order.csv"))
     assert_eq_order(str(tmp_path / "order.csv"),
                     str(fixtures / "asymmetric" / "cg_order_asymmetric.csv"),
-                    skip=0, csv=True)
+                    skip=0, csv=True, exact=True)
 
 
 def test_cg_asymmetric_errors(fixtures, tmp_path):

@@ -37,17 +37,20 @@ def test_ua_order_basic(fixtures, tmp_path):
     assert results.molecule_names() == ["POPC", "POPS"]
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
-    assert_eq_order(str(out), str(fixtures / "ua_order_basic.yaml"))
+    assert_eq_order(str(out), str(fixtures / "ua_order_basic.yaml"),
+                    exact=True)
     write_tab(results, str(tmp_path / "order.tab"))
     assert_eq_order(str(tmp_path / "order.tab"),
-                    str(fixtures / "ua_order_basic.tab"))
+                    str(fixtures / "ua_order_basic.tab"), exact=True)
     write_csv(results, str(tmp_path / "order.csv"))
     assert_eq_order(str(tmp_path / "order.csv"),
-                    str(fixtures / "ua_order_basic.csv"), skip=0, csv=True)
+                    str(fixtures / "ua_order_basic.csv"), skip=0, csv=True,
+                    exact=True)
     write_xvg(results, str(tmp_path / "order.xvg"))
     for mol in ("POPC", "POPS"):
         assert_eq_order(str(tmp_path / f"order_{mol}.xvg"),
-                        str(fixtures / f"ua_order_basic_{mol}.xvg"))
+                        str(fixtures / f"ua_order_basic_{mol}.xvg"),
+                        exact=True)
 
 
 def test_ua_order_saturated_only(fixtures, tmp_path):
@@ -60,7 +63,8 @@ def test_ua_order_saturated_only(fixtures, tmp_path):
     results = analysis.run()
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
-    assert_eq_order(str(out), str(fixtures / "ua_order_basic_saturated.yaml"))
+    assert_eq_order(str(out), str(fixtures / "ua_order_basic_saturated.yaml"),
+                    exact=True)
 
 
 def test_ua_order_unsaturated_only(fixtures, tmp_path):
@@ -74,7 +78,8 @@ def test_ua_order_unsaturated_only(fixtures, tmp_path):
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
     assert_eq_order(str(out),
-                    str(fixtures / "ua_order_basic_unsaturated.yaml"))
+                    str(fixtures / "ua_order_basic_unsaturated.yaml"),
+                    exact=True)
 
 
 @pytest.mark.parametrize("method", ["global", "local", "individual"])

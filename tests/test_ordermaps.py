@@ -19,10 +19,10 @@ from gorder_tpu.present.ordermaps_out import write_ordermaps
 from .golden import assert_eq_order
 
 
-def assert_eq_maps(path_a, path_b, skip=2, tol=None):
+def assert_eq_maps(path_a, path_b, skip=2, tol=None, exact=False):
     """Token-wise dat comparison, NaN == NaN (assert_eq_maps equivalent)."""
     if tol is None:
-        assert_eq_order(path_a, path_b, skip=skip)
+        assert_eq_order(path_a, path_b, skip=skip, exact=exact)
         return
     def load(path):
         rows = [l.split() for l in open(path).read().splitlines()[skip:]
@@ -161,9 +161,10 @@ def test_ua_order_maps_basic(fixtures, tmp_path):
         "ordermap_average_full.dat",
     ):
         assert_eq_maps(str(out_dir / "POPC" / name),
-                       str(fixtures / "ordermaps_ua" / name))
+                       str(fixtures / "ordermaps_ua" / name), exact=True)
     assert_eq_maps(str(out_dir / "ordermap_average_full.dat"),
-                   str(fixtures / "ordermaps_ua" / "ordermap_average_full.dat"))
+                   str(fixtures / "ordermaps_ua" / "ordermap_average_full.dat"),
+                   exact=True)
 
 
 def test_ua_order_maps_leaflets(fixtures, tmp_path):
