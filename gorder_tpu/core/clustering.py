@@ -86,7 +86,21 @@ def _spectral_labels(coords, box_diag, head_idx, *, handle_pbc):
         n = heads.shape[0]
         laplacian = jnp.eye(n) - w * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
         _, vecs = jnp.linalg.eigh(laplacian)   # ascending eigenvalues
-        embedding = vecs[:, 1:3]               # skip the trivial eigenvector
+        # The reference skips "the first eigenvector since it is zero"
+        # (clustering.rs:457, 483-487) — but when the two leaflets are
+        # spectrally near-disconnected the null space is nearly 2-D and an
+        # f32 eigensolver may return ANY rotation of it (XLA's does),
+        # leaving the inter-leaflet indicator inside the skipped vector.
+        # Deflate the ANALYTIC null vector v0 = D^{1/2}·1 from the span of
+        # the three smallest eigenvectors instead, and take the two
+        # principal directions of the remainder — the same 2-D embedding
+        # space the reference intends, independent of eigenbasis rotation.
+        v0 = jnp.sqrt(jnp.maximum(degree, 0.0))
+        v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
+        span = vecs[:, :3]
+        span = span - v0[:, None] * (v0 @ span)[None, :]
+        u, _, _ = jnp.linalg.svd(span, full_matrices=False)
+        embedding = u[:, :2]
         norm = jnp.sqrt(jnp.sum(embedding ** 2, axis=1, keepdims=True))
         embedding = jnp.where(norm > 1e-10, embedding / norm, embedding)
         return _kmeans2(embedding)

@@ -1,0 +1,349 @@
+"""End-to-end pipeline tests for the fixture classes whose reference
+trajectories are absent from the checkout (VERDICT r1 Missing #6):
+vesicles (spherical + spectral clustering), scrambling bilayers
+(Once-vs-Every leaflet frequency semantics), buckled membranes (dynamic
+normals vs the constructed surface) and switched-axis systems (x/y
+membrane normals, xz/yz ordermap planes). Systems are synthesized with
+the in-repo bit-identical XTC encoder (tests/synthetic.py) and run
+through the production `Analysis.run()` under the 8-virtual-device mesh.
+"""
+
+import numpy as np
+import pytest
+
+from gorder_tpu.input import (
+    Analysis,
+    AnalysisType,
+    Collect,
+    Frequency,
+    LeafletClassification,
+    MembraneNormal,
+    OrderMapParams,
+)
+from gorder_tpu.present import write_yaml
+
+from . import synthetic
+
+
+# ------------------------------------------------------------------ vesicle
+
+
+@pytest.fixture(scope="module")
+def vesicle(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vesicle")
+    return synthetic.make_vesicle(tmp)
+
+
+def _run_vesicle(vesicle, leaflets, membrane_normal=None):
+    gro, bnd, xtc, n_outer, n_inner, center, radial = vesicle
+    kw = {}
+    if membrane_normal is not None:
+        kw["membrane_normal"] = membrane_normal
+    analysis = Analysis(
+        structure=gro, bonds=bnd,
+        trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        leaflets=leaflets,
+        silent=True, overwrite=True, **kw)
+    return analysis.run()
+
+
+def test_vesicle_spherical_clustering(vesicle):
+    """GMM spherical clustering recovers the constructed leaflets on every
+    frame: outer = upper (spherical_clustering.rs: outer means larger
+    distance from the vesicle COG)."""
+    gro, bnd, xtc, n_outer, n_inner, center, radial = vesicle
+    leaflets = LeafletClassification.spherical("name PO4")
+    leaflets.with_collect(Collect(True, None))
+    leaflets.with_membrane_normal("z")
+    results = _run_vesicle(vesicle, leaflets,
+                           MembraneNormal.dynamic("name PO4", 2.0))
+    data = results.leaflets_for_molecule("POPC")
+    assert data.shape[1] == n_outer + n_inner
+    # 1 = upper = outer leaflet (construction order: outer first)
+    expected = np.concatenate([np.ones(n_outer, np.uint8),
+                               np.zeros(n_inner, np.uint8)])
+    for frame in data:
+        np.testing.assert_array_equal(frame, expected)
+    # with radial (dynamic) normals the tails lie along the normal: S ≈ 1
+    assert results.average_order.total.value > 0.97
+
+
+def test_vesicle_spherical_flip(vesicle):
+    """`flip` inverts the spherical-clustering assignment (the reference's
+    vesicle flip test, tests_cg.rs:3456)."""
+    gro, bnd, xtc, n_outer, n_inner, center, radial = vesicle
+    leaflets = LeafletClassification.spherical("name PO4")
+    leaflets.with_collect(Collect(True, None))
+    leaflets.with_membrane_normal("z")
+    leaflets.with_flip(True)
+    results = _run_vesicle(vesicle, leaflets,
+                           MembraneNormal.dynamic("name PO4", 2.0))
+    data = results.leaflets_for_molecule("POPC")
+    expected = np.concatenate([np.zeros(n_outer, np.uint8),
+                               np.ones(n_inner, np.uint8)])
+    for frame in data:
+        np.testing.assert_array_equal(frame, expected)
+
+
+def test_vesicle_dynamic_normals_radial(vesicle):
+    """Per-molecule dynamic normals recover the radial directions of the
+    constructed sphere (normal.rs membrane_normal_from_cloud on curved
+    systems)."""
+    gro, bnd, xtc, n_outer, n_inner, center, radial = vesicle
+    analysis = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        membrane_normal=MembraneNormal.dynamic("name PO4", 2.0,
+                                               Collect(True, None)),
+        silent=True, overwrite=True)
+    results = analysis.run()
+    normals = results.normals_for_molecule("POPC")  # (F, M, 3)
+    assert normals.shape[1] == n_outer + n_inner
+    # PCA normals are sign-ambiguous: compare |cos| to the radial direction
+    cos = np.abs(np.einsum("fmc,mc->fm", normals.astype(np.float64), radial))
+    assert np.isfinite(cos).all()
+    assert cos.min() > 0.9, float(cos.min())
+
+
+# --------------------------------------------------------------- scrambling
+
+
+@pytest.fixture(scope="module")
+def scrambling(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("scrambling")
+    return synthetic.make_scrambling(tmp)
+
+
+def _run_scrambling(scrambling, leaflets, out=None):
+    gro, bnd, xtc, upper_before, upper_after, n_lipids = scrambling
+    analysis = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        leaflets=leaflets,
+        output_yaml=out,
+        silent=True, overwrite=True)
+    return analysis.run()
+
+
+def test_scrambling_every_follows_flips(scrambling):
+    """Frequency::every(1): the assignment tracks the teleported lipids
+    frame by frame (scrambling/*.yaml semantics)."""
+    gro, bnd, xtc, upper_before, upper_after, n_lipids = scrambling
+    leaflets = LeafletClassification.global_("resname POPC", "name PO4")
+    leaflets.with_collect(Collect(True, None))
+    results = _run_scrambling(scrambling, leaflets)
+    data = results.leaflets_for_molecule("POPC")
+    assert data.shape == (10, n_lipids)
+    before = np.zeros(n_lipids, np.uint8)
+    before[upper_before] = 1
+    after = np.zeros(n_lipids, np.uint8)
+    after[upper_after] = 1
+    for f in range(5):
+        np.testing.assert_array_equal(data[f], before)
+    for f in range(5, 10):
+        np.testing.assert_array_equal(data[f], after)
+
+
+def test_scrambling_once_keeps_first_frame(scrambling):
+    """Frequency::once(): the frame-0 assignment persists across the flip
+    (leaflets.rs Once semantics)."""
+    leaflets = LeafletClassification.global_("resname POPC", "name PO4")
+    leaflets.with_frequency(Frequency.once())
+    leaflets.with_collect(Collect(True, None))
+    gro, bnd, xtc, upper_before, upper_after, n_lipids = scrambling
+    results = _run_scrambling(scrambling, leaflets)
+    data = results.leaflets_for_molecule("POPC")
+    before = np.zeros(n_lipids, np.uint8)
+    before[upper_before] = 1
+    for frame in data:
+        np.testing.assert_array_equal(frame, before)
+
+
+def test_scrambling_matches_manual_assignment(scrambling, tmp_path):
+    """Once and Every(1) runs are byte-identical to runs driven by manual
+    FromMap tables that spell out the expected assignments — pinning the
+    frequency gating exactly (tests_aa.rs scrambling golden methodology)."""
+    gro, bnd, xtc, upper_before, upper_after, n_lipids = scrambling
+
+    def classes(upper_ids):
+        row = [0] * n_lipids
+        for m in upper_ids:
+            row[m] = 1
+        return row
+
+    # Every(1): 10 per-frame rows tracking the flip at frame 5
+    every_rows = [classes(upper_before)] * 5 + [classes(upper_after)] * 5
+    once_rows = [classes(upper_before)]
+
+    cases = [
+        (LeafletClassification.global_("resname POPC", "name PO4"),
+         LeafletClassification.from_map({"POPC": every_rows}), "every"),
+        (LeafletClassification.global_(
+            "resname POPC", "name PO4").with_frequency(Frequency.once()),
+         LeafletClassification.from_map(
+             {"POPC": once_rows}).with_frequency(Frequency.once()), "once"),
+    ]
+    for auto, manual, tag in cases:
+        auto_out = str(tmp_path / f"auto_{tag}.yaml")
+        manual_out = str(tmp_path / f"manual_{tag}.yaml")
+        write_yaml(_run_scrambling(scrambling, auto), auto_out)
+        write_yaml(_run_scrambling(scrambling, manual), manual_out)
+        with open(auto_out) as fa, open(manual_out) as fb:
+            assert fa.read() == fb.read(), f"{tag}: auto != manual"
+
+
+def test_scrambling_spectral_matches_global(scrambling):
+    """Spectral clustering on a flat bilayer agrees with the global method
+    across a scrambling event — 12.5% of lipids flip, inside the
+    classify_by_match 20% tolerance (clustering.rs:769-800; the reference
+    exercises ClusteringClassification on exactly this kind of scrambling
+    system in its Python flip tests)."""
+    gro, bnd, xtc, upper_before, upper_after, n_lipids = scrambling
+    spectral = LeafletClassification.clustering("name PO4")
+    spectral.with_collect(Collect(True, None))
+    results = _run_scrambling(scrambling, spectral)
+    data = results.leaflets_for_molecule("POPC")
+    before = np.zeros(n_lipids, np.uint8)
+    before[upper_before] = 1
+    after = np.zeros(n_lipids, np.uint8)
+    after[upper_after] = 1
+    for f in range(5):
+        np.testing.assert_array_equal(data[f], before)
+    for f in range(5, 10):
+        np.testing.assert_array_equal(data[f], after)
+
+
+def test_scrambling_once_vs_every_diverge(scrambling, tmp_path):
+    """Once and Every(1) produce different upper/lower orders once lipids
+    flip — the divergence the reference's scrambling goldens pin."""
+    auto = LeafletClassification.global_("resname POPC", "name PO4")
+    once = LeafletClassification.global_(
+        "resname POPC", "name PO4").with_frequency(Frequency.once())
+    r_every = _run_scrambling(scrambling, auto)
+    r_once = _run_scrambling(scrambling, once)
+    # totals agree exactly (leaflet-independent)
+    assert r_every.average_order.total.value \
+        == r_once.average_order.total.value
+    assert r_every.average_order.upper.value \
+        != r_once.average_order.upper.value
+
+
+# ------------------------------------------------------------------ buckled
+
+
+@pytest.fixture(scope="module")
+def buckled(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("buckled")
+    return synthetic.make_buckled(tmp)
+
+
+def test_buckled_dynamic_normals_match_surface(buckled):
+    """Dynamic normals on a buckled membrane recover the constructed
+    sinusoidal surface normals (the reference's buckled fixtures,
+    tests_aa.rs test_aa_order_buckled*)."""
+    gro, bnd, xtc, surface_normals = buckled
+    analysis = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        membrane_normal=MembraneNormal.dynamic("name PO4", 1.6,
+                                               Collect(True, None)),
+        silent=True, overwrite=True)
+    results = analysis.run()
+    normals = results.normals_for_molecule("POPC")
+    cos = np.abs(np.einsum("fmc,mc->fm", normals.astype(np.float64),
+                           surface_normals))
+    assert cos.min() > 0.95, float(cos.min())
+    # tails built along the local normal → dynamic-normal order ≈ 1
+    assert results.average_order.total.value > 0.97
+
+
+def test_buckled_static_vs_dynamic_normals(buckled):
+    """With a static z normal the buckling depresses the apparent order;
+    dynamic normals recover it — the physical effect the reference's
+    buckled goldens demonstrate."""
+    gro, bnd, xtc, surface_normals = buckled
+    static = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        silent=True, overwrite=True).run()
+    dynamic = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        membrane_normal=MembraneNormal.dynamic("name PO4", 1.6),
+        silent=True, overwrite=True).run()
+    assert dynamic.average_order.total.value > 0.97
+    assert static.average_order.total.value \
+        < dynamic.average_order.total.value - 0.1
+
+
+# ------------------------------------------------------------ switched axes
+
+
+@pytest.fixture(scope="module")
+def flat_axes(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("axes")
+    return {axis: synthetic.make_flat_bilayer(tmp, tag=f"flat_{axis}",
+                                              axis=axis)
+            for axis in (2, 0, 1)}
+
+
+def _run_axis(paths, axis_name, map_dir):
+    gro, bnd, xtc = paths
+    analysis = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        membrane_normal=axis_name,
+        leaflets=LeafletClassification.global_("resname POPC", "name PO4"),
+        map=OrderMapParams.parse({
+            "output_directory": str(map_dir),
+            "bin_size": [0.5, 0.5],
+            "min_samples": 1,
+        }),
+        silent=True, overwrite=True)
+    return analysis.run()
+
+
+def test_switched_axis_normals_and_planes(flat_axes, tmp_path):
+    """x/y membrane normals with yz/xz ordermap planes: the same physical
+    system built by exact coordinate-axis permutation yields token-equal
+    order parameters and permuted ordermap grids (tests_aa.rs:884-890,
+    1783-1791 switched-axis coverage)."""
+    results = {
+        2: _run_axis(flat_axes[2], "z", tmp_path / "maps_z"),
+        0: _run_axis(flat_axes[0], "x", tmp_path / "maps_x"),
+        1: _run_axis(flat_axes[1], "y", tmp_path / "maps_y"),
+    }
+
+    # ordermap planes follow the normal (mod.rs init_ordermap)
+    assert results[2].map_params[1].ax0 == 0  # plane xy
+    assert results[2].map_params[1].ax1 == 1
+    assert results[0].map_params[1].ax0 == 1  # plane yz
+    assert results[0].map_params[1].ax1 == 2
+    assert results[1].map_params[1].ax0 == 0  # plane xz
+    assert results[1].map_params[1].ax1 == 2
+
+    # coordinate-axis permutation changes only the f32 summation ORDER of
+    # |d|² (x+y+z vs z+x+y), shifting a handful of samples across the 1e-6
+    # quantization boundary — per-bond orders must agree to a few quanta
+    def orders(res):
+        out = []
+        for mol in res.molecules:
+            for bond in mol.bonds:
+                out.append((bond.order.total.value, bond.order.upper.value,
+                            bond.order.lower.value))
+        return np.asarray(out)
+
+    np.testing.assert_allclose(orders(results[0]), orders(results[2]),
+                               atol=5e-6)
+    np.testing.assert_allclose(orders(results[1]), orders(results[2]),
+                               atol=5e-6)
+
+    # ordermap grids are permutations of the z-run's grid:
+    #   axis 0: new coords (z,x,y) → plane yz (axes y',z') = old (x,y) grid
+    #   axis 1: new coords (y,z,x) → plane xz (axes x',z') = old (y,x) grid
+    grid_z = results[2].average_maps["total"]
+    grid_x = results[0].average_maps["total"]
+    grid_y = results[1].average_maps["total"]
+    np.testing.assert_allclose(grid_x, grid_z, atol=1e-5)
+    np.testing.assert_allclose(grid_y, grid_z.T, atol=1e-5)
