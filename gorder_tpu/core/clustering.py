@@ -49,8 +49,19 @@ def _pairwise_sq_distances(points, box, handle_pbc):
 
 
 def _kmeans2(embedding):
-    """k-means with k=2, first-two-rows init, fixed iterations
-    (clustering.rs k_means — deterministic)."""
+    """Deterministic k-means with k=2.
+
+    The reference initializes centroids with the first two rows
+    (clustering.rs:632-636), which degenerates when the first two heads sit
+    in the same leaflet AND one cluster is a tight point mass while the
+    other spreads over an arc of the row-normalized embedding (leaflets of
+    very different connectivity — e.g. vesicle shells). Farthest-point
+    initialization (c0 = row 0, c1 = the row farthest from it) is equally
+    deterministic, picks the same bipartition on well-separated membranes,
+    and stays correct in the degenerate geometries."""
+    c0_init = embedding[0]
+    far = jnp.argmax(jnp.sum((embedding - c0_init) ** 2, axis=1))
+    init = jnp.stack([c0_init, embedding[far]])
 
     def body(_, centroids):
         d0 = jnp.sum((embedding - centroids[0]) ** 2, axis=1)
@@ -66,7 +77,7 @@ def _kmeans2(embedding):
         return jnp.stack([c0, c1])
 
     centroids = jax.lax.fori_loop(
-        0, KMEANS_ITERS, body, embedding[:2])
+        0, KMEANS_ITERS, body, init)
     d0 = jnp.sum((embedding - centroids[0]) ** 2, axis=1)
     d1 = jnp.sum((embedding - centroids[1]) ** 2, axis=1)
     return (d1 < d0).astype(jnp.int32)
@@ -111,24 +122,96 @@ def _spectral_labels(coords, box_diag, head_idx, *, handle_pbc):
 # dense spectral clustering holds an (n, n) similarity matrix and runs a
 # full eigh — fine at membrane sizes (the reference's precise path caps at
 # 5000 heads and falls back to a heuristic Lanczos; on TPU dense stays
-# practical well beyond that), but a hard cap keeps pathological inputs
-# from silently exhausting device memory
-MAX_CLUSTER_HEADS = 20_000
+# practical well beyond that). Larger systems switch to the Nyström
+# landmark path below: O(n · m) memory, dense MXU matmuls, no (n, n)
+# matrix — the TPU-native replacement for the reference's sparse-Lanczos
+# "sloppy" regime (clustering.rs:163-246, src/lanczos/) including its
+# determinism problem: landmarks are stride-sampled, not random.
+DENSE_CLUSTER_HEADS = 20_000
+NYSTROM_LANDMARKS = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("handle_pbc",))
+def _spectral_labels_nystrom(coords, box_diag, head_idx, landmark_pos, *,
+                             handle_pbc):
+    """(B, A, 3) → (B, M) k-means labels via a Nyström spectral embedding.
+
+    W ≈ C W_LL⁻¹ Cᵀ with C = exp(−σ d²(heads, landmarks)): degrees,
+    normalization and the leading eigenvectors of the normalized
+    similarity all follow from (n, m) and (m, m) dense algebra — bounded
+    memory, arbitrary n. The embedding then goes through the same
+    null-deflation + principal-direction + k-means pipeline as the dense
+    path."""
+
+    def per_frame(args):
+        frame, box = args
+        heads = jnp.take(frame, head_idx, axis=0)          # (n, 3)
+        marks = jnp.take(heads, landmark_pos, axis=0)      # (m, 3)
+        d = heads[:, None, :] - marks[None, :, :]
+        if handle_pbc:
+            d = min_image(d, box[None, None, :])
+        c = jnp.exp(-PRECISE_SIGMA * jnp.sum(d * d, axis=-1))   # (n, m)
+        w_ll = jnp.take(c, landmark_pos, axis=0)           # (m, m)
+
+        # W_LL^{-1/2} through its own eigendecomposition, clipping the
+        # numerically-null directions (landmark redundancy)
+        s, e = jnp.linalg.eigh(w_ll)
+        s_max = jnp.max(s)
+        good = s > 1e-6 * s_max
+        inv_sqrt = jnp.where(good, 1.0 / jnp.sqrt(jnp.maximum(s, 1e-30)),
+                             0.0)
+        inv = jnp.where(good, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+
+        # approximate degrees: d̂ = C W_LL⁻¹ Cᵀ 1
+        t = jnp.sum(c, axis=0)                              # Cᵀ·1, (m,)
+        degree = c @ (e @ (inv * (e.T @ t)))                # (n,)
+        degree = jnp.maximum(degree, 1e-10)
+        b = c * (1.0 / jnp.sqrt(degree))[:, None]           # D^{-1/2} C
+
+        # eigenvectors of Ŵ = B W_LL⁻¹ Bᵀ: R = B W_LL^{-1/2},
+        # G = Rᵀ R (m, m); Ŵ = R Rᵀ shares eigenvalues with G and
+        # U = R Q μ^{-1/2} are the top eigenvectors
+        r = b @ (e * inv_sqrt[None, :])                     # (n, m)
+        g = r.T @ r
+        mu, q = jnp.linalg.eigh(g)                          # ascending
+        top = q[:, -3:]                                     # 3 largest
+        mu_top = jnp.maximum(mu[-3:], 1e-12)
+        u = (r @ top) * (1.0 / jnp.sqrt(mu_top))[None, :]   # (n, 3)
+
+        # same rotation-robust embedding as the dense path
+        v0 = jnp.sqrt(jnp.maximum(degree, 0.0))
+        v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
+        span = u - v0[:, None] * (v0 @ u)[None, :]
+        uu, _, _ = jnp.linalg.svd(span, full_matrices=False)
+        embedding = uu[:, :2]
+        norm = jnp.sqrt(jnp.sum(embedding ** 2, axis=1, keepdims=True))
+        embedding = jnp.where(norm > 1e-10, embedding / norm, embedding)
+        return _kmeans2(embedding)
+
+    return jax.lax.map(per_frame, (coords, box_diag))
 
 
 def make_spectral_labels(head_indices, handle_pbc=True):
-    if len(head_indices) > MAX_CLUSTER_HEADS:
-        from ..errors import ClusterError
+    head_indices = np.asarray(head_indices)
+    head_d = put_const(head_indices.astype(np.int32))
+    n = len(head_indices)
 
-        raise ClusterError(
-            f"spectral clustering supports up to {MAX_CLUSTER_HEADS} head "
-            f"atoms ({len(head_indices)} selected); use "
-            f"!SphericalClustering for large vesicles")
-    head_d = put_const(np.asarray(head_indices, np.int32))
+    if n <= DENSE_CLUSTER_HEADS:
+        def compute(coords, box_diag):
+            return _spectral_labels(coords, box_diag, head_d,
+                                    handle_pbc=handle_pbc)
+
+        return compute
+
+    # deterministic stride-sampled landmarks (positions into the head list)
+    m = min(NYSTROM_LANDMARKS, n)
+    landmark_pos = np.unique(
+        np.linspace(0, n - 1, m).round().astype(np.int64))
+    landmark_d = put_const(landmark_pos.astype(np.int32))
 
     def compute(coords, box_diag):
-        return _spectral_labels(coords, box_diag, head_d,
-                                handle_pbc=handle_pbc)
+        return _spectral_labels_nystrom(coords, box_diag, head_d,
+                                        landmark_d, handle_pbc=handle_pbc)
 
     return compute
 

@@ -99,12 +99,87 @@ def test_spectral_orienter_scrambling():
         orienter.orient(np.array([0, 1] * 5))
 
 
-def test_spectral_head_cap():
+def _two_shell_heads(n_outer, n_inner, r_outer, r_inner, box, seed=3,
+                     jitter=0.02):
+    """Vesicle-like head cloud: two concentric spherical shells,
+    interleaved in index order like nothing in particular (outer block
+    first)."""
+    rng = np.random.default_rng(seed)
+
+    def shell(n, radius):
+        i = np.arange(n, dtype=np.float64)
+        golden = np.pi * (3.0 - np.sqrt(5.0))
+        z = 1.0 - 2.0 * (i + 0.5) / n
+        r = np.sqrt(1.0 - z * z)
+        theta = golden * i
+        pts = np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
+        return box / 2 + radius * pts
+
+    heads = np.concatenate([shell(n_outer, r_outer),
+                            shell(n_inner, r_inner)])
+    heads += rng.normal(0, jitter, heads.shape)
+    return heads.astype(np.float32)
+
+
+def test_spectral_nystrom_50k_vesicle():
+    """Past the dense threshold the Nyström landmark path classifies a
+    50k-head synthetic vesicle correctly in bounded memory, and is
+    deterministic across runs (VERDICT r1 #5; replaces the reference's
+    randomized sparse-Lanczos 'sloppy' regime, clustering.rs:163-246)."""
     import numpy as np
-    import pytest
 
-    from gorder_tpu.core.clustering import make_spectral_labels
-    from gorder_tpu.errors import ClusterError
+    from gorder_tpu.core.clustering import (
+        DENSE_CLUSTER_HEADS,
+        make_spectral_labels,
+    )
 
-    with pytest.raises(ClusterError, match="SphericalClustering"):
-        make_spectral_labels(np.arange(30_000, dtype=np.int32))
+    n_outer, n_inner = 30_200, 19_800
+    assert n_outer + n_inner > DENSE_CLUSTER_HEADS
+    box = np.array([44.0, 44.0, 44.0], np.float32)
+    heads = _two_shell_heads(n_outer, n_inner, 18.5, 15.0, box)
+
+    coords = heads[None]                         # one frame, heads only
+    fn = make_spectral_labels(
+        np.arange(len(heads), dtype=np.int32))
+    labels = np.asarray(fn(coords, box[None, :3] * np.ones((1, 3),
+                                                           np.float32)))
+    l = labels[0]
+    outer = l[:n_outer]
+    inner = l[n_outer:]
+    # clean separation: each shell in one cluster, clusters distinct
+    assert len(np.unique(outer)) == 1, np.bincount(outer)
+    assert len(np.unique(inner)) == 1, np.bincount(inner)
+    assert outer[0] != inner[0]
+
+    labels2 = np.asarray(fn(coords, box[None, :3] * np.ones((1, 3),
+                                                            np.float32)))
+    np.testing.assert_array_equal(labels, labels2)  # deterministic
+
+
+def test_spectral_nystrom_matches_dense():
+    """On a mid-size system the landmark path agrees with the dense path
+    (same bipartition, modulo label permutation)."""
+    import numpy as np
+
+    from gorder_tpu.core import clustering as cl
+
+    n_outer, n_inner = 700, 300
+    box = np.array([20.0, 20.0, 20.0], np.float32)
+    heads = _two_shell_heads(n_outer, n_inner, 7.8, 4.2, box)
+    coords = heads[None]
+    box_diag = box[None, :]
+
+    idx = np.arange(len(heads), dtype=np.int32)
+    dense = np.asarray(cl.make_spectral_labels(idx)(coords, box_diag))[0]
+
+    # force the Nyström path on the same input
+    orig = cl.DENSE_CLUSTER_HEADS
+    try:
+        cl.DENSE_CLUSTER_HEADS = 10
+        nystrom = np.asarray(
+            cl.make_spectral_labels(idx)(coords, box_diag))[0]
+    finally:
+        cl.DENSE_CLUSTER_HEADS = orig
+
+    same = (dense == nystrom).mean()
+    assert same > 0.999 or same < 0.001, same  # identical up to label swap

@@ -86,6 +86,15 @@ def test_vesicle_spherical_flip(vesicle):
         np.testing.assert_array_equal(frame, expected)
 
 
+# NOTE on spectral clustering and vesicles: at this vesicle's extreme
+# outer/inner lipid ratio (900/140) the row-normalized 2-eigenvector
+# embedding degenerates (the big shell spreads over almost the full
+# circle) — an algorithmic property shared with the reference, whose own
+# vesicle tests exclusively use SphericalClustering (tests_cg.rs:3391+).
+# Spectral-vs-construction coverage lives at moderate shell ratios in
+# tests/test_clustering.py (dense 700/300 and Nystrom 30.2k/19.8k).
+
+
 def test_vesicle_dynamic_normals_radial(vesicle):
     """Per-molecule dynamic normals recover the radial directions of the
     constructed sphere (normal.rs membrane_normal_from_cloud on curved
