@@ -208,8 +208,8 @@ def make_order_step(
                         n_types=n_types):
         fast_step = make_pallas_order_step(
             np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
-            np.asarray(bond_type, np.int32), n_types,
-            handle_pbc=handle_pbc)
+            np.asarray(bond_type, np.int32), np.asarray(bond_mol, np.int32),
+            n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets)
 
     def _single_device(x):
         s = getattr(x, "sharding", None)
@@ -217,10 +217,12 @@ def make_order_step(
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
-        if (fast_step is not None and leaflet_classes is None
+        if (fast_step is not None
+                and (leaflet_classes is not None) == with_leaflets
                 and map_state is None and geom_ref is None
                 and coords.shape[0] % 8 == 0 and _single_device(coords)):
             return fast_step(coords, box_diag, normal, frame_mask,
+                             leaflet_classes=leaflet_classes,
                              inv_scale=inv_scale)
         return _order_step(
             coords, box_diag, normal, frame_mask,

@@ -4,11 +4,12 @@ The reference's innermost loop (BondType::analyze_frame,
 src/analysis/topology/bond.rs:396-446) costs one pass over every bond
 instance per frame. The XLA path (core/order.py) expresses it as gather →
 elementwise → one-hot einsum; XLA fuses the elementwise chain but still
-materializes the (B, 3, N) stacked operand in HBM before the reduction.
-This module fuses min-image, P2, fixed-point quantization, frame masking
-and the per-bond-type MXU reduction into ONE Pallas kernel: per grid step a
-(Bt × Nt) displacement tile is read from HBM once, everything else lives in
-VMEM/registers, and three (Bt × T) partial matmuls accumulate in place.
+materializes the (B, 4, N) stacked operand in HBM before the reduction.
+This module fuses min-image, P2, fixed-point quantization, frame/leaflet
+masking and the per-bond-type MXU reduction into ONE Pallas kernel: per
+grid step a (Bt × Nt) displacement tile is read from HBM once, everything
+else lives in VMEM/registers, and the (Bt × T) partial matmuls accumulate
+in place.
 
 Exactness: the reductions are exact — the matmuls sum integer-valued f32
 (7-bit limbs < 128, counts ≤ N) whose totals stay below 2^24 for up to
@@ -22,10 +23,12 @@ the two paths agree per bond type to |Δsum| ≤ n_samples quanta — orders
 of magnitude inside the 1e-5 reference-parity bar. Asserted by
 tests/test_pallas.py in interpret mode.
 
-Scope: the common configuration (bond-based analysis, static membrane
-normal, no leaflets / ordermaps / geometry). Everything else uses the XLA
-path. Selection: GORDER_TPU_PALLAS=1 forces on (interpreted off-TPU),
-=0 forces off, unset → enabled exactly on real TPU backends.
+Scope: bond-based analysis with a static membrane normal, with or
+without leaflet classification (the two most common real configurations,
+leaflets.rs Global/Local/Individual/manual → per-molecule classes).
+Ordermaps, geometry selection and per-molecule normals use the XLA path.
+Selection: GORDER_TPU_PALLAS=1 forces on (interpreted off-TPU), =0
+forces off, unset → enabled exactly on real TPU backends.
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
     flag = os.environ.get("GORDER_TPU_PALLAS")
     if flag == "0":
         return False
-    if with_leaflets or normal_mode != "static":
+    if normal_mode != "static":
         return False
     if map_spec is not None or geom_spec is not None:
         return False
@@ -62,9 +65,9 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
     return jax.default_backend() == "tpu"
 
 
-def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
-               mask_ref, oh_ref, s2_ref, s1_ref, s0_ref, ct_ref, *,
-               handle_pbc):
+def _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, *,
+              handle_pbc):
+    """Shared tile math: displacements → exact 7-bit quantization limbs."""
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
@@ -88,37 +91,64 @@ def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
     r = q - l2 * _LIMB2
     l1 = jnp.trunc(r / _LIMB)
     l0 = r - l1 * _LIMB
+    return l2, l1, l0
 
-    m = jnp.broadcast_to(mask_ref[:], q.shape)         # (Bt, Nt)
-    oh = oh_ref[:]                                     # (Nt, TP)
-    s2_part = jnp.dot(l2 * m, oh, preferred_element_type=jnp.float32)
-    s1_part = jnp.dot(l1 * m, oh, preferred_element_type=jnp.float32)
-    s0_part = jnp.dot(l0 * m, oh, preferred_element_type=jnp.float32)
-    ct_part = jnp.dot(m, oh, preferred_element_type=jnp.float32)
 
+def _accumulate(out_refs, parts):
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        s2_ref[:] = s2_part
-        s1_ref[:] = s1_part
-        s0_ref[:] = s0_part
-        ct_ref[:] = ct_part
+        for ref, part in zip(out_refs, parts):
+            ref[:] = part
 
     @pl.when(pl.program_id(1) != 0)
     def _():
-        s2_ref[:] = s2_ref[:] + s2_part
-        s1_ref[:] = s1_ref[:] + s1_part
-        s0_ref[:] = s0_ref[:] + s0_part
-        ct_ref[:] = ct_ref[:] + ct_part
+        for ref, part in zip(out_refs, parts):
+            ref[:] = ref[:] + part
+
+
+def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
+               mask_ref, oh_ref, *out_refs, handle_pbc):
+    l2, l1, l0 = _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref,
+                           bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc)
+    m = jnp.broadcast_to(mask_ref[:], l0.shape)        # (Bt, Nt)
+    oh = oh_ref[:]                                     # (Nt, TP)
+    parts = [
+        jnp.dot(row * m, oh, preferred_element_type=jnp.float32)
+        for row in (l2, l1, l0)
+    ] + [jnp.dot(m, oh, preferred_element_type=jnp.float32)]
+    _accumulate(out_refs, parts)
+
+
+def _p2_kernel_leaflets(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref,
+                        bz_ref, mask_ref, cls_ref, oh_ref, *out_refs,
+                        handle_pbc):
+    """Leaflet-wise variant: 12 accumulators — [l2, l1, l0, count] for the
+    total membrane and each leaflet, masked by the per-bond class plane
+    (0 = upper, 1 = lower; bond.rs add_order's three-way accumulation)."""
+    l2, l1, l0 = _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref,
+                           bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc)
+    m = jnp.broadcast_to(mask_ref[:], l0.shape)        # (Bt, Nt)
+    cls = cls_ref[:]
+    masks = (m, m * (cls == 0.0), m * (cls == 1.0))
+    oh = oh_ref[:]
+    parts = []
+    for mk in masks:
+        for row in (l2, l1, l0):
+            parts.append(jnp.dot(row * mk, oh,
+                                 preferred_element_type=jnp.float32))
+        parts.append(jnp.dot(mk, oh, preferred_element_type=jnp.float32))
+    _accumulate(out_refs, parts)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("handle_pbc", "quantized", "interpret",
-                                    "n_types"))
+                                    "n_types", "with_leaflets"))
 def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
-                       onehot_pad, inv_scale=None, *, handle_pbc, quantized,
-                       interpret, n_types):
+                       bond_mol, onehot_pad, leaflet_classes=None,
+                       inv_scale=None, *, handle_pbc, quantized, interpret,
+                       n_types, with_leaflets):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -145,35 +175,56 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
             return pl.BlockSpec(shape, index_map)
         return pl.BlockSpec(shape, index_map, memory_space=mem)
 
-    out_shape = [jax.ShapeDtypeStruct((B, _TP), jnp.float32)] * 4
+    in_specs = [
+        vspec((1, 3), lambda i, j: (0, 0)),        # normal
+        vspec((_BT, _NT), tile),                   # dx
+        vspec((_BT, _NT), tile),                   # dy
+        vspec((_BT, _NT), tile),                   # dz
+        vspec((_BT, 1), col),                      # box x
+        vspec((_BT, 1), col),                      # box y
+        vspec((_BT, 1), col),                      # box z
+        vspec((_BT, 1), col),                      # frame mask
+    ]
+    operands = [normal[None, :], dx, dy, dz, bx, by, bz, mask]
+
+    if with_leaflets:
+        # per-bond class plane, gathered outside the kernel (XLA) so the
+        # kernel consumes plain (Bt, Nt) tiles like the displacements
+        cls = jnp.take(leaflet_classes, bond_mol, axis=1).astype(jnp.float32)
+        in_specs.append(vspec((_BT, _NT), tile))
+        operands.append(cls)
+        kernel = functools.partial(_p2_kernel_leaflets,
+                                   handle_pbc=handle_pbc)
+        n_out = 12
+    else:
+        kernel = functools.partial(_p2_kernel, handle_pbc=handle_pbc)
+        n_out = 4
+
+    in_specs.append(vspec((_NT, _TP), lambda i, j: (j, 0)))  # one-hot types
+    operands.append(onehot_pad)
+
     out_spec = vspec((_BT, _TP), col)
-    s2_s, s1_s, s0_s, ct_s = pl.pallas_call(
-        functools.partial(_p2_kernel, handle_pbc=handle_pbc),
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[
-            vspec((1, 3), lambda i, j: (0, 0)),        # normal
-            vspec((_BT, _NT), tile),                   # dx
-            vspec((_BT, _NT), tile),                   # dy
-            vspec((_BT, _NT), tile),                   # dz
-            vspec((_BT, 1), col),                      # box x
-            vspec((_BT, 1), col),                      # box y
-            vspec((_BT, 1), col),                      # box z
-            vspec((_BT, 1), col),                      # frame mask
-            vspec((_NT, _TP), lambda i, j: (j, 0)),    # one-hot types
-        ],
-        out_specs=[out_spec, out_spec, out_spec, out_spec],
-        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=[out_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((B, _TP), jnp.float32)] * n_out,
         interpret=interpret,
-    )(normal[None, :], dx, dy, dz, bx, by, bz, mask, onehot_pad)
+    )(*operands)
 
-    out = jnp.stack([s2_s[:, :n_types], s1_s[:, :n_types],
-                     s0_s[:, :n_types], ct_s[:, :n_types]],
-                    axis=1)                            # (B, 4, T)
-    return {"total": out}, None
+    def pack(rows):
+        return jnp.stack([r[:, :n_types] for r in rows], axis=1)  # (B,4,T)
+
+    if with_leaflets:
+        return {"total": pack(outs[0:4]), "upper": pack(outs[4:8]),
+                "lower": pack(outs[8:12])}, None
+    return {"total": pack(outs)}, None
 
 
-def make_pallas_order_step(atom_a, atom_b, bond_type, n_types: int, *,
-                           handle_pbc: bool = True):
+def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
+                           n_types: int, *, handle_pbc: bool = True,
+                           with_leaflets: bool = False):
     """Fused fast-path variant of core.order.make_order_step (same call
     signature and output layout for the configurations it supports)."""
     n = len(atom_a)
@@ -182,23 +233,28 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, n_types: int, *,
     atom_b_p = np.zeros(n_pad, np.int32)
     atom_a_p[:n] = atom_a
     atom_b_p[:n] = atom_b
+    bond_mol_p = np.zeros(n_pad, np.int32)
+    bond_mol_p[:n] = bond_mol
     onehot = np.zeros((n_pad, _TP), np.float32)
     onehot[np.arange(n), np.asarray(bond_type)] = 1.0  # padded rows stay 0
 
     atom_a_d = jax.device_put(atom_a_p)
     atom_b_d = jax.device_put(atom_b_p)
+    bond_mol_d = jax.device_put(bond_mol_p)
     onehot_d = jax.device_put(onehot)
     interpret = jax.default_backend() != "tpu"
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
-        assert leaflet_classes is None and map_state is None \
-            and geom_ref is None, "pallas fast path: unsupported arguments"
+        assert map_state is None and geom_ref is None, \
+            "pallas fast path: unsupported arguments"
+        assert (leaflet_classes is not None) == with_leaflets
         return _pallas_order_step(
             coords, box_diag, normal, frame_mask, atom_a_d, atom_b_d,
-            onehot_d, inv_scale,
+            bond_mol_d, onehot_d, leaflet_classes, inv_scale,
             handle_pbc=handle_pbc, quantized=inv_scale is not None,
             interpret=interpret, n_types=n_types,
+            with_leaflets=with_leaflets,
         )
 
     return step

@@ -110,16 +110,76 @@ def test_pallas_end_to_end_golden(monkeypatch, fixtures, tmp_path):
     assert_eq_order(str(out), str(fixtures / "cg_order_basic.yaml"))
 
 
+def test_pallas_leaflet_variant_matches_einsum(monkeypatch):
+    """The leaflet-masked fused kernel reproduces the einsum path's
+    total/upper/lower sums and counts."""
+    rng = np.random.default_rng(7)
+    B, A, N, T, M = 16, 64, 700, 5, 10
+    coords = rng.uniform(0, 10, (B, A, 3)).astype(np.float32)
+    box = np.full((B, 3), 10.0, np.float32)
+    atom_a = rng.integers(0, A, N).astype(np.int32)
+    atom_b = rng.integers(0, A, N).astype(np.int32)
+    btype = rng.integers(0, T, N).astype(np.int32)
+    bmol = rng.integers(0, M, N).astype(np.int32)
+    mask = np.ones(B, bool)
+    mask[-2:] = False
+    classes = rng.integers(0, 2, (B, M)).astype(np.int32)
+    normal = np.array([0, 0, 1], np.float32)
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, M,
+                           with_leaflets=True)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, M,
+                          with_leaflets=True)
+
+    out_f, _ = fast(coords, box, normal, mask, classes)
+    out_r, _ = ref(coords, box, normal, mask, classes)
+    for cls in ("total", "upper", "lower"):
+        sum_f, ct_f = _decode(np.asarray(out_f[cls]))
+        sum_r, ct_r = _decode(np.asarray(out_r[cls]))
+        np.testing.assert_array_equal(ct_f, ct_r)
+        assert (np.abs(sum_f - sum_r) <= ct_r).all(), cls
+    # leaflet masks partition the totals exactly
+    sum_t, ct_t = _decode(np.asarray(out_f["total"]))
+    sum_u, ct_u = _decode(np.asarray(out_f["upper"]))
+    sum_l, ct_l = _decode(np.asarray(out_f["lower"]))
+    np.testing.assert_array_equal(ct_t, ct_u + ct_l)
+    np.testing.assert_array_equal(sum_t, sum_u + sum_l)
+
+
+def test_pallas_end_to_end_leaflets_golden(monkeypatch, fixtures, tmp_path):
+    """Full CG leaflet-wise analysis through the fused leaflet kernel
+    reproduces the golden."""
+    from gorder_tpu.input import Analysis, AnalysisType, LeafletClassification
+    from gorder_tpu.present import write_yaml
+
+    from .golden import assert_eq_order
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        leaflets=LeafletClassification.global_("@membrane", "name PO4"),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
+
+
 def test_pallas_unsupported_configs_fall_back(monkeypatch):
-    """Leaflet/map/geometry/dynamic-normal configs must not use the
-    fused kernel."""
+    """Map/geometry/dynamic-normal configs must not use the fused
+    kernel; leaflet-wise static-normal configs now do."""
     from gorder_tpu.ops.pallas_p2 import pallas_supported
 
     monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
     base = dict(with_leaflets=False, normal_mode="static", map_spec=None,
                 geom_spec=None, n_types=4)
     assert pallas_supported(**base)
-    assert not pallas_supported(**{**base, "with_leaflets": True})
+    assert pallas_supported(**{**base, "with_leaflets": True})
     assert not pallas_supported(**{**base, "normal_mode": "per_molecule"})
     assert not pallas_supported(**{**base, "map_spec": object()})
     assert not pallas_supported(**{**base, "geom_spec": object()})
