@@ -362,6 +362,16 @@ def _atoms_per_molecule(system: System, kinds: List[MoleculeKind],
     return np.asarray(atoms, np.int64), np.asarray(mols, np.int64)
 
 
+def _require_cluster_atoms(n_atoms: int) -> None:
+    """Clustering needs at least two head atoms
+    (leaflets.rs:103-113 NotEnoughAtomsToCluster)."""
+    if n_atoms < 2:
+        raise TopologyError(
+            f"clustering leaflet classification has been requested but "
+            f"only '{n_atoms}' headgroup atom has been provided; need at "
+            f"least '2' atoms")
+
+
 def _cluster_head_cloud(system: System, kinds: List[MoleculeKind],
                         query: str):
     """Clustering operates on EVERY atom matching the heads query — the
@@ -427,6 +437,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
         from .core.clustering import SpectralOrienter, make_spectral_labels
 
         cloud, mol_pos = _cluster_head_cloud(system, kinds, params.heads)
+        _require_cluster_atoms(len(cloud))
         runtime.classify = make_spectral_labels(remap(cloud),
                                                 analysis.handle_pbc)
         runtime.orienter = SpectralOrienter(cloud)
@@ -435,6 +446,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
         from .core.clustering import make_spherical_classifier
 
         cloud, mol_pos = _cluster_head_cloud(system, kinds, params.heads)
+        _require_cluster_atoms(len(cloud))
         runtime.classify = make_spherical_classifier(remap(cloud),
                                                      analysis.handle_pbc)
         runtime.cloud_to_mol = mol_pos
@@ -1436,6 +1448,12 @@ class _Collector:
                          if self.with_errors else 0)
         self.timewise = {}
         if self.with_errors:
+            if accum.n_frames < self.n_blocks:
+                from .errors import ErrorEstimationError
+
+                raise ErrorEstimationError(
+                    f"read '{accum.n_frames}' trajectory frame(s) which is "
+                    f"fewer than the number of blocks ('{self.n_blocks}')")
             for cls in self.classes:
                 self.timewise[cls] = accum.timewise(cls)
             log.info(

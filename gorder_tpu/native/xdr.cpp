@@ -163,6 +163,15 @@ struct BitReader {
   BitReader(const uint8_t *data, size_t len) : p(data), end(data + len) {}
 
   inline void fill() {
+    if (nbits <= 56 && (size_t)(end - p) >= 8) {
+      // bulk refill: one unaligned big-endian load replaces the byte loop
+      int take = (63 - nbits) >> 3;  // bytes that fit into the accumulator
+      uint64_t chunk = load_be64(p) >> (64 - 8 * take);
+      acc = (acc << (8 * take)) | chunk;
+      nbits += 8 * take;
+      p += take;
+      return;
+    }
     while (nbits <= 56) {
       uint8_t byte = 0;
       if (p < end) {
@@ -268,21 +277,19 @@ inline int sizeofints(int n, const uint32_t *sizes) {
 // it as a single integer value (valid while the product of sizes < 2^64).
 inline uint64_t read_group_value(BitReader &br, int nbits) {
   br.fill();
-  if (br.nbits >= nbits) {
-    // hot path: all groups extracted from the accumulator without refills
+  if (br.nbits >= nbits && nbits <= 56) {
+    // hot path: extract the whole field at once and byte-reverse it (the
+    // wire stores the group's bytes little-endian-first, MSB-first bits)
+    br.nbits -= nbits;
+    uint64_t field = (br.acc >> br.nbits) & ((uint64_t(1) << nbits) - 1);
+    int r = nbits & 7;          // trailing partial-byte bits
+    int k = nbits >> 3;         // full bytes
     uint64_t value = 0;
-    int shift = 0;
-    int remaining = nbits;
-    while (remaining >= 8) {
-      br.nbits -= 8;
-      value |= (uint64_t)((br.acc >> br.nbits) & 0xFF) << shift;
-      shift += 8;
-      remaining -= 8;
+    if (k > 0) {
+      value = __builtin_bswap64(field >> r) >> (64 - 8 * k);
     }
-    if (remaining > 0) {
-      br.nbits -= remaining;
-      value |= (uint64_t)((br.acc >> br.nbits) & ((1u << remaining) - 1))
-               << shift;
+    if (r > 0) {
+      value |= (field & ((uint64_t(1) << r) - 1)) << (8 * k);
     }
     return value;
   }
@@ -393,6 +400,25 @@ struct MagicInv {
   }
 };
 static const MagicInv MAGIC_INV;
+
+// Round-up fixed-point reciprocals: q = (v * m) >> 64 with
+// m = ceil(2^64 / d) is exact floor(v/d) for v < 2^40 when d < 2^24
+// (error term v·(m·d − 2^64)/(d·2^64) < v/2^64) — covers every
+// small-run group value (≤ 3·24 bits never occurs; runs use ≤ ~2^33).
+struct MagicMul {
+  uint64_t m[73];
+  MagicMul() {
+    for (int i = 0; i < 73; i++) {
+      uint64_t d = (uint64_t)MAGICINTS[i];
+      m[i] = d > 0 ? (~uint64_t(0)) / d + 1 : 0;  // ceil(2^64/d), d not 2^k
+    }
+  }
+};
+static const MagicMul MAGIC_MUL;
+
+inline uint64_t mulhi_div(uint64_t v, uint64_t magic) {
+  return (uint64_t)(((unsigned __int128)v * magic) >> 64);
+}
 
 inline void write_ints3(BitWriter &bw, int nbits, const uint32_t *sizes,
                         const int32_t *nums) {
@@ -663,17 +689,17 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
     }
     if (run > 0) {
       const uint32_t ss = sizesmall[0];
-      const double ss_inv = MAGIC_INV.inv[smallidx];
-      const bool ss_fast = smallidx <= 52;
+      const uint64_t ss_magic = MAGIC_MUL.m[smallidx];
+      // exact while the group value < 2^64/ss, i.e. nbits = smallidx ≤ 40
+      const bool ss_fast = smallidx <= 40;
       for (int k = 0; k < run; k += 3) {
         {
           uint64_t v = read_group_value(br, smallidx);
           if (ss_fast) {
-            int64_t r;
-            uint64_t q = _div_correct(v, ss, ss_inv, &r);
-            thiscoord[2] = (int32_t)r;
-            uint64_t q2 = _div_correct(q, ss, ss_inv, &r);
-            thiscoord[1] = (int32_t)r;
+            uint64_t q = mulhi_div(v, ss_magic);
+            thiscoord[2] = (int32_t)(v - q * ss);
+            uint64_t q2 = mulhi_div(q, ss_magic);
+            thiscoord[1] = (int32_t)(q - q2 * ss);
             thiscoord[0] = (int32_t)q2;
           } else {
             uint64_t q = v / ss;

@@ -55,8 +55,12 @@ def backup_file(path: str) -> None:
 
 def prepare_output_path(path: str, overwrite: bool) -> None:
     directory = os.path.dirname(path)
-    if directory:
-        os.makedirs(directory, exist_ok=True)
+    if directory and not os.path.isdir(directory):
+        # the reference does not create missing parent directories for
+        # output files (errors.rs CouldNotCreateFile)
+        from ..errors import WriteError
+
+        raise WriteError(f"could not create file '{path}'")
     if not overwrite:
         backup_file(path)
 

@@ -117,3 +117,38 @@ def test_cli_backup_and_overwrite(cg_config, tmp_path):
     backups = list(tmp_path.glob("#order.yaml*"))
     assert len(backups) == 1
     assert backups[0].read_text() == "previous content\n"
+
+
+def test_cli_nonexistent_trajectory(tmp_path, fixtures):
+    """Missing trajectory file → exit 1 with the error on stderr
+    (tests_bin.rs test_bin_cg_leaflets_fail_nonexistent_traj)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+structure: {fixtures}/cg.tpr
+trajectory: {fixtures}/no_such_file.xtc
+type: !CGOrder
+  atoms: "@membrane"
+output: order.yaml
+""")
+    proc = run_cli([str(cfg)], cwd=tmp_path)
+    assert proc.returncode == 1
+    assert "no_such_file" in proc.stderr
+    assert not (tmp_path / "order.yaml").exists()
+
+
+def test_cli_unwritable_output(tmp_path, fixtures):
+    """Output path in a nonexistent directory → exit 1; missing parent
+    directories are NOT auto-created (errors.rs CouldNotCreateFile,
+    tests_bin.rs test_bin_aa_order_writing_fail)."""
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")          # a file where a directory is expected
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+structure: {fixtures}/cg.tpr
+trajectory: {fixtures}/split/cg3.xtc
+type: !CGOrder
+  atoms: "@membrane"
+output: {blocker}/order.yaml
+""")
+    proc = run_cli([str(cfg)], cwd=tmp_path)
+    assert proc.returncode == 1

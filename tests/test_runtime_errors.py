@@ -92,3 +92,62 @@ def test_nothing_to_analyze_writes_no_output(fixtures, tmp_path):
     results.write()
     assert results.molecules == []
     assert not out2.exists()
+
+
+def test_heavy_hydrogen_overlap_fails(fixtures):
+    """Overlapping heavy/hydrogen selections are rejected
+    (common.rs check_groups_overlap, tests_aa.rs
+    test_aa_order_basic_fail_overlap)."""
+    import pytest
+
+    from gorder_tpu.errors import AnalysisError
+    from gorder_tpu.input import Analysis, AnalysisType
+
+    analysis = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=str(fixtures / "split" / "pcpepg1.xtc"),
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and (element name hydrogen or name C22)"),
+        silent=True, overwrite=True)
+    with pytest.raises(AnalysisError, match="share"):
+        analysis.run()
+
+
+def test_error_estimation_more_blocks_than_frames(fixtures):
+    """n_blocks beyond the analyzed frame count errors like the reference
+    (errors.rs NotEnoughData, tests_aa.rs
+    test_aa_order_error_blocks_too_many)."""
+    import pytest
+
+    from gorder_tpu.errors import ErrorEstimationError
+    from gorder_tpu.input import Analysis, AnalysisType, EstimateError
+
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),  # 21 frames
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        estimate_error=EstimateError(n_blocks=500),
+        silent=True, overwrite=True)
+    with pytest.raises(ErrorEstimationError,
+                       match="fewer than the number of blocks"):
+        analysis.run()
+
+
+def test_clustering_needs_two_heads(fixtures):
+    """Clustering with a single head atom errors
+    (leaflets.rs NotEnoughAtomsToCluster, tests_cg.rs
+    test_cg_order_leaflets_clustering_fail_not_enough_atoms)."""
+    import pytest
+
+    from gorder_tpu.errors import TopologyError
+    from gorder_tpu.input import Analysis, AnalysisType, LeafletClassification
+
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg1.xtc"),
+        analysis_type=AnalysisType.cgorder("resid 1"),
+        leaflets=LeafletClassification.clustering("resid 1 and name PO4"),
+        silent=True, overwrite=True)
+    with pytest.raises(TopologyError, match="need at least '2' atoms"):
+        analysis.run()

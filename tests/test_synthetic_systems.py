@@ -356,3 +356,27 @@ def test_switched_axis_normals_and_planes(flat_axes, tmp_path):
     grid_y = results[1].average_maps["total"]
     np.testing.assert_allclose(grid_x, grid_z, atol=1e-5)
     np.testing.assert_allclose(grid_y, grid_z.T, atol=1e-5)
+
+
+def test_scrambling_leaflet_export_and_reload(scrambling, tmp_path):
+    """Exported leaflet assignments re-loaded as a FromFile classification
+    reproduce the automatic run byte-for-byte (tests_cg.rs
+    test_cg_order_leaflets_scrambling_export_and_load)."""
+    from gorder_tpu.present import write_yaml
+    from gorder_tpu.present.leaflets_out import write_leaflets
+
+    export = str(tmp_path / "leaflets.yaml")
+    auto = LeafletClassification.global_("resname POPC", "name PO4")
+    auto.with_collect(Collect(True, export))
+    r_auto = _run_scrambling(scrambling, auto)
+    write_leaflets(r_auto, export)
+    auto_yaml = str(tmp_path / "auto.yaml")
+    write_yaml(r_auto, auto_yaml)
+
+    loaded = LeafletClassification.from_file(export)
+    r_loaded = _run_scrambling(scrambling, loaded)
+    loaded_yaml = str(tmp_path / "loaded.yaml")
+    write_yaml(r_loaded, loaded_yaml)
+
+    with open(auto_yaml) as fa, open(loaded_yaml) as fb:
+        assert fa.read() == fb.read()
