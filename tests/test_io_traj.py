@@ -268,7 +268,7 @@ def test_subset_gather_all_formats(fixtures):
     np.testing.assert_array_equal(
         unpacked.astype(np.float32) * ip12[:, None, None], expected)
 
-    K = 64
+    K = 256
     lo = np.zeros((len(idx), sub.n_out, 3), np.int8)
     ci = np.zeros((len(idx), K), np.int32)
     ch = np.zeros((len(idx), K), np.int16)
@@ -305,3 +305,39 @@ def test_pipeline_wire_equivalence(fixtures, tmp_path, monkeypatch):
     auto = run(None)
     f32 = run("f32")
     assert auto == f32
+
+
+def test_decoder_thread_fanout_invariance(fixtures):
+    """Every wire format decodes identically across decoder thread counts
+    (the reference's thread-invariance model applied to the native codec's
+    frame fan-out — including the d8 chunk-boundary base chaining)."""
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    idx = traj.select_frames(None, None, 1)[:40]
+    sub = AtomSubset.prefix(2000)
+
+    base_f32, *_ = traj.read_frames(idx, sub, n_threads=1)
+    for nt in (2, 3, 8):
+        c, *_ = traj.read_frames(idx, sub, n_threads=nt)
+        np.testing.assert_array_equal(c, base_f32)
+
+    base16 = traj.read_frames_quantized(idx, sub, n_threads=1)
+    for nt in (2, 5):
+        got = traj.read_frames_quantized(idx, sub, n_threads=nt)
+        np.testing.assert_array_equal(got[0], base16[0])
+
+    K = 256
+    def d8(nt):
+        lo = np.zeros((len(idx), sub.n_out, 3), np.int8)
+        ci = np.zeros((len(idx), K), np.int32)
+        ch = np.zeros((len(idx), K), np.int16)
+        res, _ = traj.read_frames_delta8(idx, sub, lo, ci, ch, n_threads=nt)
+        assert res is not None
+        return lo.copy(), ci.copy(), ch.copy(), res[0].copy()
+
+    ref = d8(1)
+    for nt in (2, 4, 7):
+        got = d8(nt)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
