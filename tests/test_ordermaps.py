@@ -200,3 +200,71 @@ def test_ua_order_maps_leaflets(fixtures, tmp_path):
     ):
         assert_eq_maps(str(out_dir / "POPC" / name),
                        str(fixtures / "ordermaps_ua" / name))
+
+
+def _aa_geom_maps(fixtures, tmp_path, geometry, min_samples):
+    from gorder_tpu.input.config import Geometry
+
+    out_dir = tmp_path / "maps"
+    analysis = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=AnalysisType.aaorder(
+            "resname POPC and name C22 C24 C218",
+            "@membrane and element name hydrogen"),
+        geometry=geometry,
+        map=OrderMapParams.parse({
+            "bin_size": [0.5, 0.5],
+            "output_directory": str(out_dir),
+            "min_samples": min_samples,
+        }),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    write_ordermaps(results, str(out_dir))
+    return out_dir
+
+
+_GEOM_MAP_FILES = (
+    "ordermap_POPC-C218-87--POPC-H18R-88_full.dat",
+    "ordermap_POPC-C218-87_full.dat",
+    "ordermap_POPC-C22-32--POPC-H2R-33_full.dat",
+    "ordermap_POPC-C22-32_full.dat",
+    "ordermap_POPC-C24-47--POPC-H4S-49_full.dat",
+    "ordermap_average_full.dat",
+)
+
+
+def test_aa_order_maps_cuboid(fixtures, tmp_path):
+    """Ordermaps restricted to a cuboid region
+    (tests_aa.rs test_aa_order_geometry_cuboid_static_square ordermaps,
+    goldens ordermaps_cuboid/). Geometry-masked maps on the re-encoded
+    split fixtures compare with the documented loose per-tile tolerance
+    (boundary-membership flips on top of bin flips)."""
+    from gorder_tpu.input.config import Geometry
+
+    out_dir = _aa_geom_maps(
+        fixtures, tmp_path,
+        Geometry("cuboid", reference=(8.0, 2.0, 0.0),
+                 xdim=(-2.0, 4.0), ydim=(-4.0, 1.0)),
+        min_samples=5)
+    for name in _GEOM_MAP_FILES:
+        assert_eq_maps(str(out_dir / "POPC" / name),
+                       str(fixtures / "ordermaps_cuboid" / name), tol=0.15)
+
+
+def test_aa_order_maps_cylinder(fixtures, tmp_path):
+    """Ordermaps restricted to a cylinder (tests_aa.rs
+    test_aa_order_geometry_cylinder ordermaps, goldens
+    ordermaps_cylinder/)."""
+    from gorder_tpu.input.config import Geometry
+
+    out_dir = _aa_geom_maps(
+        fixtures, tmp_path,
+        Geometry("cylinder", reference=(8.0, 2.0, 0.0), radius=2.5,
+                 orientation="z"),
+        min_samples=1)
+    for name in _GEOM_MAP_FILES:
+        assert_eq_maps(str(out_dir / "POPC" / name),
+                       str(fixtures / "ordermaps_cylinder" / name), tol=0.12)
