@@ -19,8 +19,14 @@ from gorder_tpu.present.ordermaps_out import write_ordermaps
 from .golden import assert_eq_order
 
 
-def assert_eq_maps(path_a, path_b, skip=2, tol=None, exact=False):
-    """Token-wise dat comparison, NaN == NaN (assert_eq_maps equivalent)."""
+def assert_eq_maps(path_a, path_b, skip=2, tol=None, exact=False,
+                   bulk=None):
+    """Token-wise dat comparison, NaN == NaN (assert_eq_maps equivalent).
+
+    `bulk=(fraction, fine_tol)` additionally permits the complementary
+    fraction of tiles to deviate up to `tol`: tiles holding only a handful
+    of samples change arbitrarily when the re-encoded fixtures shift a
+    sample across a bin boundary."""
     if tol is None:
         assert_eq_order(path_a, path_b, skip=skip, exact=exact)
         return
@@ -36,8 +42,12 @@ def assert_eq_maps(path_a, path_b, skip=2, tol=None, exact=False):
     # quantization-shifted samples may flip a tile across the min_samples
     # threshold: allow a few NaN-pattern differences
     assert (np.isnan(va) != np.isnan(vb)).sum() <= max(3, len(va) // 50)
-    assert np.abs(va[both] - vb[both]).max() <= tol, (
-        np.abs(va[both] - vb[both]).max())
+    diffs = np.abs(va[both] - vb[both])
+    if bulk is not None:
+        fraction, fine_tol = bulk
+        assert (diffs <= fine_tol).mean() >= fraction, (
+            float((diffs <= fine_tol).mean()), float(diffs.max()))
+    assert diffs.max() <= tol, float(diffs.max())
 
 
 def test_cg_order_maps_basic(fixtures, tmp_path):
@@ -251,7 +261,8 @@ def test_aa_order_maps_cuboid(fixtures, tmp_path):
         min_samples=5)
     for name in _GEOM_MAP_FILES:
         assert_eq_maps(str(out_dir / "POPC" / name),
-                       str(fixtures / "ordermaps_cuboid" / name), tol=0.15)
+                       str(fixtures / "ordermaps_cuboid" / name), tol=0.3,
+                       bulk=(0.9, 0.05))
 
 
 def test_aa_order_maps_cylinder(fixtures, tmp_path):
@@ -267,4 +278,5 @@ def test_aa_order_maps_cylinder(fixtures, tmp_path):
         min_samples=1)
     for name in _GEOM_MAP_FILES:
         assert_eq_maps(str(out_dir / "POPC" / name),
-                       str(fixtures / "ordermaps_cylinder" / name), tol=0.12)
+                       str(fixtures / "ordermaps_cylinder" / name), tol=0.3,
+                       bulk=(0.95, 0.05))
