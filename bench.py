@@ -256,10 +256,11 @@ def main():
 
     from gorder_tpu.utils.timers import timers
 
-    budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "390"))
     max_trials = int(os.environ.get("GORDER_BENCH_TRIALS", "4"))
     bench_t0 = time.perf_counter()
     elapsed = float("inf")
+    worst = 0.0
     results = None
     for trial in range(max_trials):
         t0 = time.perf_counter()
@@ -270,9 +271,13 @@ def main():
               f"({timers.summary()})", file=sys.stderr)
         if dt < elapsed:
             elapsed, results = dt, r
+        worst = max(worst, dt)
         spent = time.perf_counter() - bench_t0
-        if trial >= 1 and spent + elapsed * 1.2 > budget_s:
-            break  # no room for another full trial within the budget
+        # pessimistic stopping: assume the NEXT trial could be as slow as
+        # the worst one seen (tunnel slumps last minutes) — never risk the
+        # harness timeout just to improve an already-captured figure
+        if spent + worst * 1.15 > budget_s:
+            break
 
     frames_per_s = results.n_analyzed_frames / elapsed
     print(json.dumps({
