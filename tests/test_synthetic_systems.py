@@ -380,3 +380,61 @@ def test_scrambling_leaflet_export_and_reload(scrambling, tmp_path):
 
     with open(auto_yaml) as fa, open(loaded_yaml) as fb:
         assert fa.read() == fb.read()
+
+
+# ------------------------------------------- reference switched-axis TPRs
+
+
+@pytest.fixture(scope="module")
+def switched_trajs(tmp_path_factory, fixtures):
+    """The reference ships pcpepg_switched_xz/yz.tpr but not their
+    trajectories; synthesize them by axis-swapping the real split
+    trajectories with the in-repo encoder (lossless at the fixtures' own
+    precision-100 grid: swapped values stay on the grid)."""
+    from gorder_tpu.io import native
+
+    tmp = tmp_path_factory.mktemp("switched")
+    out = {}
+    for tag, perm in (("xz", [2, 1, 0]), ("yz", [0, 2, 1])):
+        paths = []
+        for i in range(1, 6):
+            src = str(fixtures / "split" / f"pcpepg{i}.xtc")
+            info = native.xtc_scan(src)
+            coords, boxes, times, steps = native.xtc_decode(
+                src, info["offsets"], int(info["natoms"][0]))
+            coords = coords[:, :, perm]
+            diag = boxes[:, [0, 1, 2], [0, 1, 2]][:, perm]
+            sw_boxes = np.zeros_like(boxes)
+            sw_boxes[:, [0, 1, 2], [0, 1, 2]] = diag
+            dst = str(tmp / f"pcpepg_{tag}_{i}.xtc")
+            native.xtc_write(dst, coords, sw_boxes, times,
+                             steps.astype(np.int32), precision=100.0)
+            paths.append(dst)
+        out[tag] = paths
+    return out
+
+
+@pytest.mark.parametrize("tag,axis", [("xz", "x"), ("yz", "y")])
+def test_switched_tpr_against_reference_golden(switched_trajs, fixtures,
+                                               tmp_path, tag, axis):
+    """The reference's switched-axis TPRs with x/y membrane normals
+    reproduce the standard aa_order_leaflets golden
+    (tests_aa.rs test_aa_order_leaflets_yaml_different_membrane_normals)."""
+    from gorder_tpu.present import write_yaml
+
+    from .golden import assert_eq_order
+
+    analysis = Analysis(
+        structure=str(fixtures / f"pcpepg_switched_{tag}.tpr"),
+        trajectory=switched_trajs[tag],
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        membrane_normal=axis,
+        leaflets=LeafletClassification.global_(
+            "@membrane", "name P").with_membrane_normal(axis),
+        silent=True, overwrite=True)
+    results = analysis.run()
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "aa_order_leaflets.yaml"))
