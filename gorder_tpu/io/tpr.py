@@ -617,6 +617,16 @@ def read_tpr_data(path: str) -> TprData:
         if nr_g != 0:
             r.uchar_vector(nr_g)
 
+    # intermolecular exclusion group (tpxio.cpp do_mtop,
+    # tpxv_StoreNonBondedInteractionExclusionGroup = 120): int64 count +
+    # that many i32 atom indices, between the topology and the state
+    if file_version >= 120:
+        n_excl = r.i64()
+        if n_excl < 0 or n_excl > natoms:
+            raise StructureError(
+                "corrupted tpr file: invalid intermolecular exclusion group")
+        r.ints(n_excl)
+
     positions = velocities = None
     if b_x:
         positions = r.reals(natoms * 3).reshape(natoms, 3).copy()

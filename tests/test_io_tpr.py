@@ -82,3 +82,18 @@ def test_selection_on_tpr(fixtures):
     assert all(n.startswith("C") for n in set(system.atom_names[carbons]))
     hydrogens = select(system, "@membrane and element name hydrogen")
     assert all(n.startswith("H") for n in set(system.atom_names[hydrogens]))
+
+
+def test_tpr_positions_match_gro(fixtures):
+    """The coordinate snapshot parses correctly (the intermolecular
+    exclusion group of tpx >= 120 sits between topology and state;
+    pcpepg.gro stores the same snapshot at 3 decimals)."""
+    import numpy as np
+
+    from gorder_tpu.io.gro import read_gro
+    from gorder_tpu.io.tpr import read_tpr
+
+    t = read_tpr(str(fixtures / "pcpepg.tpr"))
+    g = read_gro(str(fixtures / "pcpepg.gro"))
+    assert t.positions.shape == g.positions.shape
+    assert np.abs(t.positions - g.positions).max() < 6e-4
