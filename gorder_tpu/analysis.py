@@ -1005,8 +1005,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     n_threads = max(1, analysis.n_threads)
 
     wire, corr_cap = _pick_wire_format(traj, frame_indices, space, n_threads)
-    log.info("wire format: %s (%d atoms of %d on the wire)",
-             wire, space.n_sel, system.n_atoms)
+    from .io.native import i12_stride as _i12s
+
+    wire_bytes = {
+        "d8": n_out * 3 + corr_cap * 6,
+        "i12": _i12s(n_out),
+        "i16": n_out * 6,
+        "f32": n_out * 12,
+    }[wire]
+    log.info("wire format: %s — %d of %d atoms, %.1f KB/frame",
+             wire, space.n_sel, system.n_atoms, wire_bytes / 1024)
 
     # per-batch zero map state: batch tile sums are fetched and accumulated
     # in int64 on the host every batch (exact like the order sums; carrying

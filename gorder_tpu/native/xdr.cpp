@@ -391,16 +391,6 @@ inline void read_ints3(BitReader &br, int nbits, const uint32_t *sizes,
   nums[0] = (int32_t)q2;
 }
 
-// reciprocals of the magic-int table for the small-delta run path
-struct MagicInv {
-  double inv[73];
-  MagicInv() {
-    for (int i = 0; i < 73; i++)
-      inv[i] = MAGICINTS[i] > 0 ? 1.0 / (double)MAGICINTS[i] : 0.0;
-  }
-};
-static const MagicInv MAGIC_INV;
-
 // Round-up fixed-point reciprocals: q = (v * m) >> 64 with
 // m = ceil(2^64 / d) is exact floor(v/d) for v < 2^40 when d < 2^24
 // (error term v·(m·d − 2^64)/(d·2^64) < v/2^64) — covers every
