@@ -81,3 +81,86 @@ def test_batch_split_invariance_property(n_bonds, n_types, split, seed):
     s2, c2 = run(coords[k:], box[k:])
     np.testing.assert_array_equal(s_full, s1 + s2)
     np.testing.assert_array_equal(c_full, c1 + c2)
+
+
+def test_delta8_roundtrip_random_precisions(tmp_path):
+    """Property: for random trajectories at random XTC precisions, the d8
+    wire format either reconstructs the f32 decode bit-for-bit or reports
+    unfit (never silently wrong)."""
+    import numpy as np
+
+    from gorder_tpu.analysis import _d8_to_f32
+    from gorder_tpu.io import native
+    from gorder_tpu.io.traj import Trajectory
+
+    rng = np.random.default_rng(21)
+    for case in range(6):
+        precision = float(rng.choice([10.0, 100.0, 1000.0, 10000.0]))
+        n_atoms = int(rng.integers(20, 400))
+        n_frames = int(rng.integers(3, 30))
+        box_l = float(rng.uniform(3.0, 25.0))
+        scale = float(rng.uniform(0.002, 0.2))
+        coords = np.empty((n_frames, n_atoms, 3), np.float32)
+        cur = rng.random((n_atoms, 3)).astype(np.float32) * box_l
+        for f in range(n_frames):
+            cur = cur + rng.normal(0, scale, (n_atoms, 3)).astype(np.float32)
+            if rng.random() < 0.2:
+                cur[rng.integers(0, n_atoms)] += rng.uniform(-3, 3, 3)
+            coords[f] = cur % box_l
+        boxes = np.tile(np.diag([box_l] * 3).astype(np.float32),
+                        (n_frames, 1, 1))
+        path = str(tmp_path / f"p{case}.xtc")
+        native.xtc_write(path, coords, boxes,
+                         np.arange(n_frames, dtype=np.float32),
+                         np.arange(n_frames, dtype=np.int32),
+                         precision=precision)
+
+        traj = Trajectory(path)
+        idx = np.arange(n_frames)
+        f32, *_ = traj.read_frames(idx, n_atoms)
+        K = 64
+        lo = np.zeros((n_frames, n_atoms, 3), np.int8)
+        ci = np.zeros((n_frames, K), np.int32)
+        ch = np.zeros((n_frames, K), np.int16)
+        res, demand = traj.read_frames_delta8(idx, n_atoms, lo, ci, ch)
+        if res is None:
+            assert demand > K or precision >= 10000.0, (
+                case, precision, demand)
+            continue
+        abs0, ip, bx, tm, st = res
+        rec = np.asarray(_d8_to_f32(lo, ci, ch, abs0, ip))
+        np.testing.assert_array_equal(rec, f32, err_msg=str((case,
+                                                            precision)))
+
+
+def test_delta8_mixed_precision_file_falls_back(tmp_path):
+    """Frames with different compression precisions in one file break the
+    integer delta chain: d8 must refuse (the runner then uses i16/f32)."""
+    import numpy as np
+
+    from gorder_tpu.io import native
+    from gorder_tpu.io.traj import Trajectory
+
+    rng = np.random.default_rng(5)
+    coords = rng.random((4, 50, 3)).astype(np.float32) * 5
+    boxes = np.tile(np.diag([5.0] * 3).astype(np.float32), (4, 1, 1))
+    path = str(tmp_path / "mixed.xtc")
+    native.xtc_write(path, coords[:2], boxes[:2],
+                     np.arange(2, dtype=np.float32),
+                     np.arange(2, dtype=np.int32), precision=100.0)
+    native.xtc_write(path, coords[2:], boxes[2:],
+                     np.arange(2, 4, dtype=np.float32),
+                     np.arange(2, 4, dtype=np.int32), precision=1000.0,
+                     append=True)
+
+    traj = Trajectory(path)
+    idx = np.arange(4)
+    lo = np.zeros((4, 50, 3), np.int8)
+    ci = np.zeros((4, 64), np.int32)
+    ch = np.zeros((4, 64), np.int16)
+    res, _ = traj.read_frames_delta8(idx, 50, lo, ci, ch)
+    assert res is None
+    # the tolerant formats still decode it
+    assert traj.read_frames_quantized(idx, 50) is not None
+    f32, *_ = traj.read_frames(idx, 50)
+    assert np.isfinite(f32).all()
