@@ -954,11 +954,24 @@ def _pick_wire_format(traj, frame_indices, space, n_threads):
     return "f32", 0
 
 
+def _shard_block(n_frames: int, shard, align: int):
+    """Contiguous frame-ordinal block for shard (i, n), with the block
+    start aligned to the leaflet assignment frequency so every shard owns
+    the assignment frames its block consumes."""
+    i, n = shard
+    base = -(-n_frames // n)                 # ceil
+    base = -(-base // max(align, 1)) * max(align, 1)
+    start = min(i * base, n_frames)
+    end = min(start + base, n_frames)
+    return start, end
+
+
 def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  n_types: int, n_molecules: int, space: AtomSubset,
                  leaflets: Optional[LeafletRuntime], map_spec=None,
                  geom_mode=None, geom_payload=None,
-                 normals: Optional[NormalsRuntime] = None):
+                 normals: Optional[NormalsRuntime] = None,
+                 shard=None):
     """Shared frame-batch loop: decode → device → kernel → accumulate.
 
     The decode of batch k+1 runs in a worker thread (the native codec
@@ -968,6 +981,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     in the most compact exact wire format the data admits: 8-bit temporal
     deltas with sparse corrections (d8), 12-bit packed, int16, or f32 —
     all bit-identical to the f32 decode after device-side reconstruction.
+
+    `shard=(i, n)` restricts the loop to shard i's contiguous frame block
+    (docs/SCALING.md): per-frame state (timewise, collected leaflets and
+    normals) is indexed by GLOBAL analyzed-frame ordinals, so partial
+    results merge exactly.
     """
     classes = ("total", "upper", "lower") if leaflets else ("total",)
     accum = OrderAccumulator(
@@ -990,6 +1008,26 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     if normals is not None:
         normals.validate(len(frame_indices))
 
+    full_frame_indices = frame_indices
+    shard_start = 0
+    if shard is not None:
+        align = 1
+        if (leaflets is not None and leaflets.classify is not None
+                and leaflets.frequency.kind == "every"):
+            align = leaflets.frequency.n
+        shard_start, shard_end = _shard_block(len(frame_indices), shard,
+                                              align)
+        frame_indices = frame_indices[shard_start:shard_end]
+        log.info("shard %d/%d: frames %d..%d of %d", shard[0], shard[1],
+                 shard_start, shard_end, len(full_frame_indices))
+        if len(frame_indices) == 0:
+            empty_map = None
+            if map_spec is not None:
+                n_seg = n_types * map_spec.ncells + 1
+                empty_map = {cls: np.zeros((4, n_seg), np.int64)
+                             for cls in classes}
+            return accum, traj, full_frame_indices, empty_map, shard_start
+
     import concurrent.futures as cf
 
     import jax
@@ -1003,6 +1041,21 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # n_threads maps to decoder threads (frames decode independently); the
     # reference's analysis threading is superseded by device parallelism
     n_threads = max(1, analysis.n_threads)
+
+    if (shard_start > 0 and leaflets is not None
+            and leaflets.classify is not None):
+        # bootstrap from GLOBAL frame 0: Once-frequency shards inherit its
+        # assignment through the carried state, and clustering shards
+        # orient against its clusters — the reference's shared
+        # reference-clusters design (clustering.rs:66-68) without locks
+        c0, b0, _, _ = traj.read_frames(full_frame_indices[:1], space,
+                                        n_threads=n_threads)
+        box0 = b0[:, [0, 1, 2], [0, 1, 2]]
+        assigned0 = np.asarray(leaflets.classify(c0, box0))[0]
+        if leaflets.orienter is not None:
+            assigned0 = leaflets.orienter.orient(assigned0)
+        leaflets.carried = assigned0
+        leaflets._logged_stats = True   # frame-0 stats belong to shard 0
 
     wire, corr_cap = _pick_wire_format(traj, frame_indices, space, n_threads)
     from .io.native import i12_stride as _i12s
@@ -1193,8 +1246,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             else:
                 geom_ref = None
 
-            analyzed = np.arange(b * batch_size,
-                                 b * batch_size + n_valid, dtype=np.int64)
+            analyzed = np.arange(shard_start + b * batch_size,
+                                 shard_start + b * batch_size + n_valid,
+                                 dtype=np.int64)
             if leaflets is not None or normals is not None:
                 # these subsystems consume f32 coordinates, and their
                 # carried/collected state needs host values per batch
@@ -1265,10 +1319,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 drain_map_state(map_out)
 
     log.info("analyzed %d frames", accum.n_frames)
-    return accum, traj, frame_indices, map_accum
+    return accum, traj, full_frame_indices, map_accum, shard_start
 
 
-def _run_bond_based(analysis: Analysis) -> AnalysisResults:
+def _run_bond_based(analysis: Analysis, shard=None, as_partial=False):
     from .core.ordermap import build_map_spec
     from .utils.timers import timers
 
@@ -1300,11 +1354,15 @@ def _run_bond_based(analysis: Analysis) -> AnalysisResults:
         map_spec=map_spec, geom_spec=geom_spec,
     )
     with timers.phase("trajectory"):
-        accum, traj, frame_indices, map_state = _run_batches(
+        accum, traj, frame_indices, map_state, shard_start = _run_batches(
             analysis, system, step,
             normal_vec if normal_vec is not None else np.zeros(3, np.float32),
             compiled.n_types, compiled.n_molecules, space, leaflets,
-            map_spec, geom_mode, geom_payload, normals_rt)
+            map_spec, geom_mode, geom_payload, normals_rt, shard=shard)
+    if as_partial:
+        return _assemble_partial(analysis, kinds, compiled, accum,
+                                 map_state, leaflets, normals_rt,
+                                 shard_start, len(frame_indices))
     with timers.phase("convert"):
         results = convert_results(analysis, system, kinds, compiled, accum,
                                   traj, frame_indices, map_spec, map_state)
@@ -1348,13 +1406,12 @@ def _attach_leaflet_data(results, analysis, kinds, leaflets) -> None:
     }
 
 
-def _run_ua(analysis: Analysis) -> AnalysisResults:
-    from .core.ua import make_ua_step
+def _prepare_ua_kinds(system: System, analysis: Analysis):
+    """→ (kinds, CompiledUA or None): selections + classification +
+    virtual-bond compilation shared by the run and merge paths."""
     from .topology.ua import compile_ua
     from .utils.timers import timers
 
-    with timers.phase("structure"):
-        system = load_structure(analysis)
     at = analysis.analysis_type
     n = system.n_atoms
     sat = select_mask(system, at.saturated) if at.saturated \
@@ -1374,10 +1431,20 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
     with timers.phase("topology"):
         kinds = classify_molecules(system, satunsat, mode="atoms")
         if not kinds:
-            return _empty_results(analysis, system)
+            return [], None
         compiled = compile_ua(system, kinds, sat, unsat, ignore)
-        if compiled is None:
-            return _empty_results(analysis, system)
+    return kinds, compiled
+
+
+def _run_ua(analysis: Analysis, shard=None, as_partial=False):
+    from .core.ua import make_ua_step
+    from .utils.timers import timers
+
+    with timers.phase("structure"):
+        system = load_structure(analysis)
+    kinds, compiled = _prepare_ua_kinds(system, analysis)
+    if not kinds or compiled is None:
+        return _empty_results(analysis, system)
     for k, kind in enumerate(kinds):
         log.info("molecule type %s: %d molecules, %d analyzable atoms",
                  kind.name, kind.n_molecules, len(compiled.atom_specs[k]))
@@ -1411,17 +1478,206 @@ def _run_ua(analysis: Analysis) -> AnalysisResults:
         map_spec=map_spec, geom_spec=geom_spec,
     )
     with timers.phase("trajectory"):
-        accum, traj, frame_indices, map_state = _run_batches(
+        accum, traj, frame_indices, map_state, shard_start = _run_batches(
             analysis, system, step,
             normal_vec if normal_vec is not None else np.zeros(3, np.float32),
             compiled.n_types, compiled.n_molecules, space, leaflets,
-            map_spec, geom_mode, geom_payload, normals_rt)
+            map_spec, geom_mode, geom_payload, normals_rt, shard=shard)
+    if as_partial:
+        return _assemble_partial(analysis, kinds, compiled, accum,
+                                 map_state, leaflets, normals_rt,
+                                 shard_start, len(frame_indices))
     with timers.phase("convert"):
         results = convert_results_ua(analysis, system, kinds, compiled,
                                      accum, traj, frame_indices, map_spec,
                                      map_state)
     _attach_leaflet_data(results, analysis, kinds, leaflets)
     _attach_normals_data(results, analysis, kinds, normals_rt)
+    return results
+
+
+# ------------------------------------------------------- sharded map-reduce
+
+
+def _fingerprint(analysis: Analysis, kinds, compiled, n_total: int) -> str:
+    """Topology + request identity a partial state must share to merge."""
+    import json
+
+    return json.dumps({
+        "mode": analysis.analysis_type.kind,
+        "kinds": [(k.name, int(k.n_molecules)) for k in kinds],
+        "n_types": int(compiled.n_types),
+        "type_offsets": [int(v) for v in compiled.type_offsets],
+        "n_total_frames": int(n_total),
+        "step": int(analysis.step),
+        "with_leaflets": analysis.leaflets is not None,
+        "with_errors": analysis.estimate_error is not None,
+        "with_map": analysis.map is not None,
+    }, sort_keys=True)
+
+
+def _assemble_partial(analysis, kinds, compiled, accum, map_state, leaflets,
+                      normals_rt, shard_start: int, n_total: int) -> dict:
+    """Raw shard state: exact int64 sums plus every per-frame series
+    indexed by global analyzed-frame ordinals (docs/SCALING.md)."""
+    state = {
+        "fingerprint": _fingerprint(analysis, kinds, compiled, n_total),
+        "shard_start": int(shard_start),
+        "n_shard_frames": int(accum.n_frames),
+        "classes": list(accum.classes),
+    }
+    for cls in accum.classes:
+        state[f"sums_{cls}"] = accum.sums[cls]
+        state[f"counts_{cls}"] = accum.counts[cls]
+        if accum.keep_timewise and accum.n_frames:
+            tw_sums, tw_counts = accum.timewise(cls)
+            state[f"tw_sums_{cls}"] = tw_sums
+            state[f"tw_counts_{cls}"] = tw_counts
+    if map_state is not None:
+        for cls, arr in map_state.items():
+            state[f"map_{cls}"] = arr
+    if leaflets is not None and leaflets.collect_frames is not None:
+        frames = leaflets.collect_frames
+        if leaflets.manual_table is not None and not frames \
+                and shard_start == 0:
+            frames = list(leaflets.manual_table)
+        if frames:
+            state["leaflet_rows"] = np.stack(
+                [np.asarray(f) for f in frames])
+    if normals_rt is not None and normals_rt.collected:
+        state["normals_rows"] = np.concatenate(normals_rt.collected, axis=0)
+    return state
+
+
+def run_analysis_partial(analysis: Analysis, shard_index: int,
+                         shard_count: int) -> dict:
+    """Run shard `shard_index` of `shard_count` over a contiguous frame
+    block and return its raw partial state (merge with
+    `merge_partial_states`). The multi-host form of the reference's
+    `traj_iter_map_reduce` (SURVEY.md §2.7): each host/process owns a
+    frame block; states merge exactly."""
+    from .parallel import context as mesh_context
+    from .utils.timers import profiled_run, timers
+
+    if not (0 <= shard_index < shard_count):
+        raise AnalysisError(
+            f"invalid shard {shard_index}/{shard_count}")
+    mesh_context.activate(_effective_batch_size())
+    try:
+        with profiled_run():
+            if analysis.analysis_type.kind in ("cg", "aa"):
+                state = _run_bond_based(analysis,
+                                        shard=(shard_index, shard_count),
+                                        as_partial=True)
+            else:
+                state = _run_ua(analysis, shard=(shard_index, shard_count),
+                                as_partial=True)
+    finally:
+        mesh_context.deactivate()
+    log.info("phase times: %s", timers.summary())
+    return state
+
+
+def merge_partial_states(analysis: Analysis, states) -> AnalysisResults:
+    """Merge shard states into full results — bit-identical to a
+    single-process run (exact int64 sums; per-frame series reassembled in
+    global frame order, the analogue of the reference's interleave merge,
+    timewise.rs AddExtend)."""
+    from .core.ordermap import build_map_spec
+    from .utils.timers import timers
+
+    with timers.phase("structure"):
+        system = load_structure(analysis)
+    if analysis.analysis_type.kind in ("cg", "aa"):
+        with timers.phase("topology"):
+            kinds, compiled = _prepare_bond_kinds(system, analysis)
+        ua_mode = False
+    else:
+        kinds, compiled = _prepare_ua_kinds(system, analysis)
+        ua_mode = True
+    if not kinds or compiled is None:
+        return _empty_results(analysis, system)
+
+    traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
+    frame_indices = traj.select_frames(
+        analysis.begin if np.isfinite(analysis.begin) else None,
+        analysis.end if np.isfinite(analysis.end) else None,
+        analysis.step,
+    )
+    expected_fp = _fingerprint(analysis, kinds, compiled,
+                               len(frame_indices))
+    states = sorted(states, key=lambda s: int(s["shard_start"]))
+    for s in states:
+        if str(s["fingerprint"]) != expected_fp:
+            raise AnalysisError(
+                "partial state does not match this analysis (different "
+                "topology, trajectory window, or request)")
+    total = sum(int(s["n_shard_frames"]) for s in states)
+    if total != len(frame_indices):
+        raise AnalysisError(
+            f"partial states cover {total} frames but the analysis "
+            f"visits {len(frame_indices)} — shards missing or duplicated")
+
+    classes = tuple(states[0]["classes"])
+    keep_tw = analysis.estimate_error is not None
+    accum = OrderAccumulator(compiled.n_types, classes,
+                             keep_timewise=keep_tw)
+    accum.n_frames = total
+    for s in states:
+        for cls in classes:
+            accum.sums[cls] += np.asarray(s[f"sums_{cls}"], np.int64)
+            accum.counts[cls] += np.asarray(s[f"counts_{cls}"], np.int64)
+            if keep_tw and f"tw_sums_{cls}" in s:
+                accum.timewise_sums[cls].append(
+                    np.asarray(s[f"tw_sums_{cls}"], np.int64))
+                accum.timewise_counts[cls].append(
+                    np.asarray(s[f"tw_counts_{cls}"], np.int64))
+
+    map_spec = (build_map_spec(analysis.map, system.box)
+                if analysis.map is not None else None)
+    map_state = None
+    if map_spec is not None:
+        n_seg = compiled.n_types * map_spec.ncells + 1
+        map_state = {cls: np.zeros((4, n_seg), np.int64) for cls in classes}
+        for s in states:
+            for cls in classes:
+                if f"map_{cls}" in s:
+                    map_state[cls] += np.asarray(s[f"map_{cls}"], np.int64)
+
+    with timers.phase("convert"):
+        if ua_mode:
+            results = convert_results_ua(analysis, system, kinds, compiled,
+                                         accum, traj, frame_indices,
+                                         map_spec, map_state)
+        else:
+            results = convert_results(analysis, system, kinds, compiled,
+                                      accum, traj, frame_indices, map_spec,
+                                      map_state)
+
+    bounds = []
+    offset = 0
+    for kind in kinds:
+        bounds.append((kind.name, offset, offset + kind.n_molecules))
+        offset += kind.n_molecules
+    leaflet_rows = [row for s in states if "leaflet_rows" in s
+                    for row in np.asarray(s["leaflet_rows"])]
+    if leaflet_rows and analysis.leaflets is not None:
+        results.leaflets_data = {
+            "frames": leaflet_rows,
+            "kinds": bounds,
+            "step": analysis.step,
+            "frequency_n": (analysis.leaflets.frequency.n
+                            if analysis.leaflets.frequency.kind == "every"
+                            else 1),
+        }
+    normals_rows = [np.asarray(s["normals_rows"]) for s in states
+                    if "normals_rows" in s]
+    if normals_rows:
+        results.normals_data = {
+            "frames": np.concatenate(normals_rows, axis=0),
+            "kinds": bounds,
+            "step": analysis.step,
+        }
     return results
 
 

@@ -35,6 +35,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--export-config", metavar="FILE", default=None,
         help="export the analysis options (with defaults) to a YAML file")
     parser.add_argument(
+        "--frame-shard", metavar="I/N", default=None,
+        help="process only frame shard I of N (contiguous block); "
+             "requires --partial (multi-host map-reduce, docs/SCALING.md)")
+    parser.add_argument(
+        "--partial", metavar="FILE.npz", default=None,
+        help="write the shard's raw partial state instead of results")
+    parser.add_argument(
+        "--merge", metavar="FILE.npz", nargs="+", default=None,
+        help="merge partial states (paths or globs) into the configured "
+             "outputs — byte-identical to a single-process run")
+    parser.add_argument(
         "--version", action="version", version=f"gorder-tpu {__version__}")
     return parser
 
@@ -68,6 +79,31 @@ def main(argv=None) -> int:
     if not analysis.silent:
         print(f">>> GORDER-TPU v{__version__} <<<\n")
 
+    if args.frame_shard is not None:
+        if args.partial is None:
+            print("error: --frame-shard requires --partial",
+                  file=sys.stderr)
+            return 1
+        try:
+            shard_index, shard_count = (int(v) for v in
+                                        args.frame_shard.split("/"))
+        except ValueError:
+            print(f"error: invalid --frame-shard '{args.frame_shard}' "
+                  f"(expected I/N)", file=sys.stderr)
+            return 1
+        from .parallel.shard import save_partial
+
+        try:
+            state = analysis.run_partial(shard_index, shard_count)
+            save_partial(args.partial, state)
+        except GorderError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if not analysis.silent:
+            print(f"\n✔ shard {shard_index}/{shard_count} state written "
+                  f"to '{args.partial}'")
+        return 0
+
     if analysis.output_yaml is None:
         print(
             "error: an output yaml file must be specified when running "
@@ -78,6 +114,19 @@ def main(argv=None) -> int:
             "error: an ordermap output directory must be specified when "
             "running gorder-tpu from the command line", file=sys.stderr)
         return 1
+
+    if args.merge is not None:
+        from .parallel.shard import expand_partial_paths
+
+        try:
+            results = analysis.merge(expand_partial_paths(args.merge))
+            results.write()
+        except GorderError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if not analysis.silent:
+            print("\n✔ merged partial states; results written")
+        return 0
 
     from .utils.timers import timers
 

@@ -890,3 +890,20 @@ class Analysis:
         from ..analysis import run_analysis
 
         return run_analysis(self)
+
+    def run_partial(self, shard_index: int, shard_count: int) -> dict:
+        """Run one contiguous frame shard and return its raw partial state
+        (multi-process / multi-host map-reduce; docs/SCALING.md)."""
+        from ..analysis import run_analysis_partial
+
+        return run_analysis_partial(self, shard_index, shard_count)
+
+    def merge(self, states):
+        """Merge partial states (dicts or .npz paths) into full results —
+        byte-identical to a single-process run."""
+        from ..analysis import merge_partial_states
+        from ..parallel.shard import load_partial
+
+        loaded = [load_partial(s) if isinstance(s, str) else s
+                  for s in states]
+        return merge_partial_states(self, loaded)
