@@ -25,6 +25,16 @@ class Analysis:
     def from_file(file: str) -> "Analysis":
         return Analysis(_NativeAnalysis.from_file(file))
 
+    def run_partial(self, shard_index: int, shard_count: int) -> dict:
+        """One contiguous frame shard's raw partial state
+        (docs/SCALING.md)."""
+        return self._inner.run_partial(shard_index, shard_count)
+
+    def merge(self, states) -> AnalysisResults:
+        """Merge partial states (dicts or .npz paths) into full
+        method-style results."""
+        return AnalysisResults(self._inner.merge(states))
+
     def __getattr__(self, name):
         # config fields (structure, trajectory, begin, ...) read through
         return getattr(self._inner, name)
