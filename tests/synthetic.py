@@ -92,7 +92,8 @@ def make_vesicle(tmp_path, n_outer=900, n_inner=140, r_outer=6.5,
     shell's own algebraic connectivity. Returns
     (gro, bnd, xtc, n_outer, n_inner, center, radial_normals)."""
     rng = np.random.default_rng(seed)
-    box = np.array([16.0, 16.0, 16.0])
+    box_l = max(16.0, 2.0 * r_outer + 3.0)   # vesicle must fit the box
+    box = np.array([box_l, box_l, box_l])
     center = box / 2
 
     heads_out, normals_out = _fibonacci_sphere(n_outer, r_outer, center)

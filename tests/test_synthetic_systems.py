@@ -438,3 +438,40 @@ def test_switched_tpr_against_reference_golden(switched_trajs, fixtures,
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
     assert_eq_order(str(out), str(fixtures / "aa_order_leaflets.yaml"))
+
+
+# ----------------------------------------------------- large-system pipeline
+
+
+def test_large_vesicle_pipeline_nystrom(tmp_path, monkeypatch):
+    """A 22.5k-lipid vesicle (90k atoms, heads beyond the dense spectral
+    threshold) runs the production pipeline end-to-end: subset wire,
+    topology compile at scale, and per-frame Nyström spectral
+    classification matching the constructed leaflets."""
+    import gorder_tpu.analysis as A
+    from gorder_tpu.core.clustering import DENSE_CLUSTER_HEADS
+
+    monkeypatch.setattr(A, "DEFAULT_BATCH_SIZE", 4)
+    # shell populations within the ratio regime spectral 2-clustering
+    # handles (see the note above test_vesicle_dynamic_normals_radial)
+    gro, bnd, xtc, n_outer, n_inner, center, radial = \
+        synthetic.make_vesicle(tmp_path, n_outer=13500, n_inner=9000,
+                               r_outer=25.7, r_inner=21.0, n_frames=4)
+    assert n_outer + n_inner > DENSE_CLUSTER_HEADS
+
+    leaflets = LeafletClassification.clustering("name PO4")
+    leaflets.with_collect(Collect(True, None))
+    leaflets.with_membrane_normal("z")
+    analysis = Analysis(
+        structure=gro, bonds=bnd, trajectory=xtc,
+        analysis_type=AnalysisType.cgorder("resname POPC"),
+        leaflets=leaflets,
+        silent=True, overwrite=True)
+    results = analysis.run()
+    assert results.n_analyzed_frames == 4
+
+    data = results.leaflets_for_molecule("POPC")
+    expected = np.concatenate([np.ones(n_outer, np.uint8),
+                               np.zeros(n_inner, np.uint8)])
+    for frame in data:
+        np.testing.assert_array_equal(frame, expected)
