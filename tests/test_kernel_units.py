@@ -89,3 +89,46 @@ def test_fixed_point_rounding_matches_reference_rule():
     # rounding (the reference rule) recovers exactly 460000, where
     # truncation toward zero would have kept 459999.
     assert q == 460_000
+
+
+def test_ua_hydrogen_prediction_hand_values(fixtures):
+    """buildH virtual-hydrogen positions vs the reference's unit-test hand
+    values on the ua.tpr snapshot (uaorder.rs:1114-1201)."""
+    import jax.numpy as jnp
+
+    from gorder_tpu.core.ua import (
+        predict_ch1_saturated,
+        predict_ch1_unsaturated,
+        predict_ch2,
+        predict_ch3,
+    )
+    from gorder_tpu.io.tpr import read_tpr
+
+    system = read_tpr(str(fixtures / "ua.tpr"))
+    pos = jnp.asarray(system.positions[None, None, :, :])  # (1, 1, A, 3)
+
+    def p(i):
+        return pos[:, :, i, :]
+
+    box = jnp.asarray(np.diag(system.box), np.float32)[None, None, :]
+
+    def check(hydrogens, expected):
+        got = np.stack([np.asarray(h)[0, 0] for h in hydrogens])
+        np.testing.assert_allclose(got, np.asarray(expected, np.float64),
+                                   rtol=2e-5, atol=2e-6)
+
+    # CH2: helper1=38, target=39, helper2=40
+    check(predict_ch2(p(39), p(38), p(40), box, True),
+          [[2.3435528, 2.1503785, 2.1272178],
+           [2.35857, 2.3045487, 2.039533]])
+    # CH3: helper1=48, target=49, helper2=47
+    check(predict_ch3(p(49), p(48), p(47), box, True),
+          [[3.3708375, 2.7527616, 2.257202],
+           [3.254057, 2.8633823, 2.3334126],
+           [3.3182635, 2.8995805, 2.1713943]])
+    # CH1 unsaturated: helper1=22, target=23, helper2=24
+    check(predict_ch1_unsaturated(p(23), p(22), p(24), box, True),
+          [[1.0985602, 2.994375, 2.7727659]])
+    # CH1 saturated: helpers 11/31/13, target 12
+    check(predict_ch1_saturated(p(12), p(11), p(31), p(13), box, True),
+          [[1.5022101, 2.6938448, 1.7839708]])
