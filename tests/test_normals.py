@@ -134,6 +134,98 @@ def test_manual_normals_error_fixtures(fixtures):
     assert "molecules" in str(e.value)
 
 
+def _cloud_normal(points):
+    """Normal of one point cloud via the production kernel: a single head
+    with a radius covering every point (centering makes the head position
+    irrelevant, normal.rs membrane_normal_from_cloud:421-458)."""
+    from gorder_tpu.core.normals import make_dynamic_normals
+
+    pts = np.asarray(points, np.float32)
+    coords = pts[None]
+    box = np.array([[1e6, 1e6, 1e6]], np.float32)
+    compute = make_dynamic_normals([0], list(range(len(pts))), 1e5,
+                                   handle_pbc=False)
+    normals, counts = compute(coords, box)
+    assert int(counts[0, 0]) == len(pts)
+    return np.asarray(normals)[0, 0]
+
+
+def test_cloud_normal_axis_hand_values():
+    """normal.rs:560-645 test_static: axis-aligned planes → axis normals,
+    diagonal plane → (±1/√2, ∓1/√2, 0)."""
+    grid = [1.0, 2.0, 3.0]
+
+    n = _cloud_normal([[x, y, 2.0] for x in grid for y in grid])
+    np.testing.assert_allclose(np.abs(n), [0, 0, 1], atol=1e-6)
+
+    n = _cloud_normal([[2.0, y, z] for y in grid for z in grid])
+    np.testing.assert_allclose(np.abs(n), [1, 0, 0], atol=1e-6)
+
+    n = _cloud_normal([[x, -1.5, z] for x in grid for z in grid])
+    np.testing.assert_allclose(np.abs(n), [0, 1, 0], atol=1e-6)
+
+    s = 1 / np.sqrt(2)
+    n = _cloud_normal([[xy, xy, z] for xy in [3.0, 4.0, 6.0]
+                       for z in [-2.0, -1.0, 0.0]])
+    np.testing.assert_allclose(np.abs(n), [s, s, 0], atol=1e-5)
+    np.testing.assert_allclose(n[0] + n[1], 0, atol=1e-5)
+
+
+def test_cloud_normal_slightly_irregular():
+    """normal.rs:648 test_slightly_irregular: a wobbly near-flat patch
+    still yields a z normal to 1e-2."""
+    zs = iter([0.96, 0.98, 1.02, 1.03, 1.04, 1.06, 0.99, 0.98, 1.0])
+    pts = [[x, y, next(zs)] for x in [0.9, 2.1, 3.4]
+           for y in [0.3, 2.2, 3.7]]
+    n = _cloud_normal(pts)
+    np.testing.assert_allclose(np.abs(n), [0, 0, 1], atol=1e-2)
+
+
+def test_dynamic_normals_real_planar(fixtures):
+    """normal.rs:664 test_real_planar: per-molecule dynamic normals on the
+    pcpepg.tpr snapshot (heads "name P", radius 2.0) vs the reference's
+    274 expected vectors, compared up to the PCA sign ambiguity."""
+    import re
+
+    from gorder_tpu.core.normals import make_dynamic_normals
+    from gorder_tpu.io.tpr import read_tpr
+    from gorder_tpu.select import select_mask
+
+    from .conftest import REFERENCE
+
+    src = (REFERENCE / "src" / "analysis" / "normal.rs").read_text()
+    body = re.search(r"fn test_real_planar\(\)(.*?)\n    \}", src, re.S)
+    expected = np.array(
+        re.findall(r"Vector3D::new\(([^,]+),([^,]+),([^)]+)\)",
+                   body.group(1)), np.float64)
+    assert expected.shape == (274, 3)
+
+    system = read_tpr(str(fixtures / "pcpepg.tpr"))
+    heads = np.nonzero(select_mask(system, "name P"))[0]
+    assert len(heads) == 274
+    box = np.diag(system.box).astype(np.float32)
+    compute = make_dynamic_normals(heads, heads, 2.0)
+    normals, _counts = compute(system.positions[None], box[None])
+    got = np.asarray(normals, np.float64)[0]
+
+    # the reference TEST builds each cloud with filter_geometry over raw
+    # absolute positions (no periodic images), while the production path
+    # (and ours) uses whole min-image clouds (pbc.get_heads_cloud,
+    # normal.rs:196 "this cloud must be whole"). Compare the molecules
+    # whose cloud membership is identical either way — 104 of 274 on
+    # this snapshot.
+    pos = system.positions[heads].astype(np.float64)
+    rel = pos[None, :, :] - pos[:, None, :]
+    wrapped = rel - box * np.round(rel / box)
+    same = ((wrapped ** 2).sum(-1) <= 4.0) == ((rel ** 2).sum(-1) <= 4.0)
+    whole = same.all(axis=1)
+    assert whole.sum() == 104
+
+    direct = np.abs(got - expected).max(axis=-1)
+    flipped = np.abs(got + expected).max(axis=-1)
+    assert np.minimum(direct, flipped)[whole].max() < 5e-3
+
+
 def test_manual_normals_unexpected_moltype(fixtures):
     """Extra molecule types in a manual normals map are rejected."""
     from gorder_tpu.input import Analysis, AnalysisType, MembraneNormal
