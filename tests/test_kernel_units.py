@@ -91,6 +91,58 @@ def test_fixed_point_rounding_matches_reference_rule():
     assert q == 460_000
 
 
+def test_leaflet_head_methyl_resolution_hand_values(fixtures):
+    """leaflets.rs:1604-1688 classifier-construction tests: the head and
+    methyl atom indices resolved for the molecules containing resid
+    7 / 144 / 264 of pcpepg.tpr."""
+    from gorder_tpu.io.tpr import read_tpr
+    from gorder_tpu.select import select_mask
+
+    system = read_tpr(str(fixtures / "pcpepg.tpr"))
+    p_mask = select_mask(system, "name P")
+    methyl_mask = select_mask(system, "name C218 C316")
+    heads, methyls = [], []
+    for resid in (7, 144, 264):
+        mol = select_mask(system, f"resid {resid}")
+        heads.append(int(np.nonzero(p_mask & mol)[0][0]))
+        methyls.append(np.nonzero(methyl_mask & mol)[0].tolist())
+    assert heads == [760, 18002, 34047]
+    assert methyls == [[828, 871], [18070, 18113], [34115, 34158]]
+
+
+def test_leaflet_assignment_hand_values(fixtures):
+    """leaflets.rs:1859-1961 assign_to_leaflet tests: on the pcpepg.tpr
+    snapshot, head atom 1385 sits in the upper leaflet and 11885 in the
+    lower one under all three geometric classifiers."""
+    from gorder_tpu.core.leaflets import (
+        make_global_classifier,
+        make_individual_classifier,
+        make_local_classifier,
+    )
+    from gorder_tpu.io.tpr import read_tpr
+    from gorder_tpu.select import select_mask
+
+    system = read_tpr(str(fixtures / "pcpepg.tpr"))
+    coords = system.positions[None]
+    box = np.diag(system.box).astype(np.float32)[None]
+    membrane = np.nonzero(select_mask(system, "@membrane"))[0]
+    heads = np.array([1385, 11885])
+
+    classify = make_global_classifier(membrane, heads, 2)
+    np.testing.assert_array_equal(np.asarray(classify(coords, box))[0],
+                                  [0, 1])
+
+    classify = make_local_classifier(membrane, heads, 2, 2.5)
+    np.testing.assert_array_equal(np.asarray(classify(coords, box))[0],
+                                  [0, 1])
+
+    classify = make_individual_classifier(
+        heads, np.array([1453, 1496, 11953, 11996]),
+        np.array([0, 0, 1, 1]), 2, 2)
+    np.testing.assert_array_equal(np.asarray(classify(coords, box))[0],
+                                  [0, 1])
+
+
 def test_ua_hydrogen_prediction_hand_values(fixtures):
     """buildH virtual-hydrogen positions vs the reference's unit-test hand
     values on the ua.tpr snapshot (uaorder.rs:1114-1201)."""
