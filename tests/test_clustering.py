@@ -183,3 +183,61 @@ def test_spectral_nystrom_matches_dense():
 
     same = (dense == nystrom).mean()
     assert same > 0.999 or same < 0.001, same  # identical up to label swap
+
+
+def _orient_sets(orienter, heads, cluster1):
+    labels = np.array([0 if h in cluster1 else 1 for h in heads], np.int32)
+    classes = orienter.orient(labels)
+    upper = {h for h, c in zip(heads, classes) if c == 0}
+    lower = {h for h, c in zip(heads, classes) if c == 1}
+    return upper, lower
+
+
+def test_orienter_ab_initio_and_matching_hand_cases():
+    """Cluster→leaflet identity decisions from clustering.rs:819-930
+    (classify_ab_initio / classify_by_match, adapted to disjoint
+    clusters): larger population wins ab initio, ties go to the cluster
+    holding the lowest head index, later frames follow the previous
+    assignment by ≥80% overlap, and an unmatched split is an error."""
+    from gorder_tpu.core.clustering import SpectralOrienter
+    from gorder_tpu.errors import ClusterError
+
+    c1 = {13, 18, 24, 27, 29, 33, 156, 17, 14}
+    c2 = {1, 4, 8, 146, 158, 123, 1453, 19}
+
+    # unequal populations: the bigger cluster (c1, 9 vs 8) is upper
+    heads = sorted(c1 | c2)
+    orienter = SpectralOrienter(heads)
+    upper, lower = _orient_sets(orienter, heads, c1)
+    assert upper == c1 and lower == c2
+
+    # equal populations: the cluster holding the minimum head index (1)
+    c2_eq = c2 | {20}
+    heads = sorted(c1 | c2_eq)
+    orienter = SpectralOrienter(heads)
+    upper, lower = _orient_sets(orienter, heads, c1)
+    assert upper == c2_eq and lower == c1
+
+    # perfect match: identical clusters keep their identity
+    upper, lower = _orient_sets(orienter, heads, c1)
+    assert upper == c2_eq and lower == c1
+
+    # small mismatch: one head (1) migrates; the smaller cluster still
+    # matches the previous upper and keeps the identity
+    c1_new = c1 | {1}
+    c2_new = c2_eq - {1}
+    upper, lower = _orient_sets(orienter, heads, c1_new)
+    assert upper == c2_new and lower == c1_new
+
+    # ... and the result is invariant to the raw label order
+    orienter.prev_upper = np.isin(heads, sorted(c2_eq))
+    upper, lower = _orient_sets(orienter, heads, c2_new)
+    assert upper == c2_new and lower == c1_new
+
+    # large mismatch: about half of each cluster swapped — neither
+    # cluster reaches the 80% overlap limit
+    orienter.prev_upper = np.isin(heads, sorted(c2_eq))
+    c1_bad = {13, 18, 24, 27, 17, 14, 1, 19}
+    with pytest.raises(ClusterError, match="80"):
+        _orient_sets(orienter, heads, c1_bad)
+
