@@ -1173,7 +1173,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             chunk, space, n_threads=n_threads, out=buf)
         return ("f32", buf), None, boxes, len(chunk)
 
+    from .utils.progress import ProgressPrinter
+
     executor = cf.ThreadPoolExecutor(max_workers=1)
+    progress = ProgressPrinter(len(frame_indices)) \
+        if not analysis.silent else None
     in_flight = []  # (result handles, n_valid): fetched after the loop
     # The CPU backend ALIASES numpy buffers in device_put (zero-copy, and
     # block_until_ready does not materialize them) — deferred execution
@@ -1304,12 +1308,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                         drain_map_state(map_out)
             else:
                 in_flight.append((result, map_out, n_valid))
+            if progress is not None:
+                progress.update(min((b + 1) * batch_size,
+                                    len(frame_indices)))
             if b % 16 == 15:
                 log.info("dispatched %d / %d frames",
                          min((b + 1) * batch_size, len(frame_indices)),
                          len(frame_indices))
     finally:
         executor.shutdown(wait=True)
+        if progress is not None:
+            progress.finish()
 
     with timers.phase("compute"):
         for result, map_out, n_valid in in_flight:

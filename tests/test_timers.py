@@ -50,3 +50,31 @@ def test_profiler_trace_written(fixtures, tmp_path, monkeypatch):
     analysis.run()
     produced = list((tmp_path / "prof").rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_progress_printer_tty_and_pipe():
+    """The trajectory progress line renders on a terminal and is a strict
+    no-op on pipes (so logs and tests stay clean)."""
+    import io
+
+    from gorder_tpu.utils.progress import ProgressPrinter
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    s = Tty()
+    p = ProgressPrinter(100, stream=s, min_interval=0.0)
+    p.update(50)
+    p.update(120)   # clamped to total
+    p.finish()
+    p.finish()      # idempotent
+    out = s.getvalue()
+    assert "ANALYZING" in out and "50" in out
+    assert out.count("COMPLETED") == 1 and out.endswith("\n")
+
+    piped = io.StringIO()
+    p = ProgressPrinter(100, stream=piped, min_interval=0.0)
+    p.update(50)
+    p.finish()
+    assert piped.getvalue() == ""
