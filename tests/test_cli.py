@@ -152,3 +152,18 @@ output: {blocker}/order.yaml
 """)
     proc = run_cli([str(cfg)], cwd=tmp_path)
     assert proc.returncode == 1
+
+
+def test_cli_export_config_write_failure_keeps_success(cg_config, tmp_path):
+    """test_bin_output_config_writing_fails (tests_bin.rs:603-628): an
+    unwritable --export-config path does not fail the run — the analysis
+    results are written, exit code is 0, and stderr explains."""
+    proc = run_cli(
+        [str(cg_config), "--silent", "--overwrite", "--export-config",
+         "this_directory_does_not_exist/analysis_out.yaml"],
+        cwd=tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    assert "Analysis completed successfully, but exporting" in proc.stderr
+    assert "could not create file" in proc.stderr
+    assert (tmp_path / "order.yaml").is_file()
+    assert not (tmp_path / "this_directory_does_not_exist").exists()
