@@ -46,10 +46,11 @@ def render_convergence(results: AnalysisResults) -> str:
     step = getattr(results.analysis, "step", 1) if results.analysis else 1
     for k in range(n):
         x = 1 + k * step
-        values = "  ".join(
-            "NaN" if math.isnan(float(c[k])) else f"{float(c[k]):.4f}"
+        # frame {:<4} + one {: >8.4} field per series (convergence.rs:232-242)
+        values = "".join(
+            f"{'NaN' if math.isnan(float(c[k])) else f'{float(c[k]):.4f}': >8} "
             for c in curves)
-        lines.append(f"{x:<6d} {values} ")
+        lines.append(f"{x:<4d} {values}")
     return "\n".join(lines) + "\n"
 
 

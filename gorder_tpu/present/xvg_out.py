@@ -36,9 +36,11 @@ def _num(value) -> str:
 
 
 def xvg_path_for(pattern: str, molecule: str) -> str:
+    """`order.xvg` → `order_POPC.xvg`; an extension-less pattern stays
+    extension-less (`order` → `order_POPC`, xvg_presenter.rs:104-124)."""
     root, ext = os.path.splitext(pattern)
     if not ext:
-        ext = ".xvg"
+        return f"{root}_{molecule}"
     return f"{root}_{molecule}{ext}"
 
 
@@ -57,22 +59,26 @@ def render_xvg(results: AnalysisResults, molecule) -> str:
         lines.append(f'@    s{i} legend "{_LEGENDS[c]}"')
     lines.append("@TYPE xy")
 
+    def row(i, order):
+        # index {:<4} + per-class value {: >8.4} (xvg_presenter.rs:150),
+        # a missing class writes literal ' NaN ' (:98)
+        fields = []
+        for c in classes:
+            o = getattr(order, c)
+            if o is None:
+                fields.append(" NaN ")
+            else:
+                fields.append(f"{_num(o.value): >8} ")
+        return f"{i:<4d} " + "".join(fields)
+
     if results.mode == "cg":
         for i, bond in enumerate(molecule.bonds, start=1):
             lines.append(f"# Bond {bond.atom1.name} - {bond.atom2.name}:")
-            values = "  ".join(
-                _num(getattr(bond.order, c).value
-                     if getattr(bond.order, c) else None)
-                for c in classes)
-            lines.append(f"{i:<5d} {values} ")
+            lines.append(row(i, bond.order))
     else:
         for i, atom in enumerate(molecule.atoms, start=1):
             lines.append(f"# Atom {atom.atom.name}:")
-            values = "  ".join(
-                _num(getattr(atom.order, c).value
-                     if getattr(atom.order, c) else None)
-                for c in classes)
-            lines.append(f"{i:<5d} {values} ")
+            lines.append(row(i, atom.order))
 
     return "\n".join(lines) + "\n"
 

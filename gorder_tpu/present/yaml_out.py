@@ -76,12 +76,12 @@ def render_yaml(results: AnalysisResults) -> str:
                 lines += _collection_lines(atom.order, "      ")
                 lines.append("      bonds:")
                 for bond in atom.bonds:
+                    # list-item map: '- total:' with nested keys keeping
+                    # their absolute columns (serde_yaml sequence style)
                     entry = _collection_lines(bond.order, "        ")
                     if entry:
-                        first = entry[0].strip()
-                        lines.append(f"      - {first}")
-                        for cont in entry[1:]:
-                            lines.append("        " + cont.strip())
+                        lines.append(f"      - {entry[0].strip()}")
+                        lines.extend(entry[1:])
     _errors_present.flag = False
     return "\n".join(lines) + "\n"
 

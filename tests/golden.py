@@ -45,17 +45,16 @@ def assert_eq_order(path_a: str, path_b: str, skip: int = 1,
         f"({path_a} vs {path_b})"
     )
     for la, lb in zip(lines_a, lines_b):
+        if exact:
+            # whole-line byte equality: alignment and padding must match
+            # the reference presenters, not just the printed values
+            assert la == lb, f"exact mismatch:\n  line A: {la}\n  line B: {lb}"
+            continue
         ta = la.split(",") if csv else la.split()
         tb = lb.split(",") if csv else lb.split()
         assert len(ta) == len(tb), f"token count differs:\n  {la}\n  {lb}"
         for a, b in zip(ta, tb):
-            if exact:
-                assert a == b, (
-                    f"exact mismatch: '{a}' vs '{b}'\n"
-                    f"  line A: {la}\n  line B: {lb}"
-                )
-            else:
-                assert _items_equal(a, b, atol), (
-                    f"mismatch: '{a}' vs '{b}'\n  line A: {la}\n"
-                    f"  line B: {lb}"
-                )
+            assert _items_equal(a, b, atol), (
+                f"mismatch: '{a}' vs '{b}'\n  line A: {la}\n"
+                f"  line B: {lb}"
+            )

@@ -18,11 +18,13 @@ import pytest
 from gorder_tpu.input import (
     Analysis,
     AnalysisType,
+    EstimateError,
     Frequency,
     LeafletClassification,
     MembraneNormal,
 )
 from gorder_tpu.present import write_yaml
+from gorder_tpu.present.convergence_out import write_convergence
 from gorder_tpu.present.csv_out import write_csv
 from gorder_tpu.present.tab_out import write_tab
 from gorder_tpu.present.xvg_out import write_xvg
@@ -42,6 +44,13 @@ def ua(fixtures, **kw):
                 trajectory=str(fixtures / "ua.xtc"),
                 analysis_type=AnalysisType.uaorder(
                     saturated=sat, unsaturated=unsat),
+                silent=True, overwrite=True, **kw)
+
+
+def cg(fixtures, **kw):
+    return dict(structure=str(fixtures / "cg.tpr"),
+                trajectory=str(fixtures / "split" / "cg*.xtc"),
+                analysis_type=AnalysisType.cgorder("@membrane"),
                 silent=True, overwrite=True, **kw)
 
 
@@ -66,6 +75,26 @@ EXACT_CASES = {
     "ua_order_basic_unsaturated": (
         lambda f: ua(f, saturated=None),
         {"yaml": "ua_order_basic_unsaturated.yaml"}),
+    "cg_order_basic": (
+        lambda f: cg(f),
+        {"yaml": "cg_order_basic.yaml", "tab": "cg_order_basic.tab",
+         "csv": "cg_order_basic.csv", "xvg": "cg_order_basic_{mol}.xvg"}),
+    "ua_order_error": (
+        lambda f: ua(f, estimate_error=EstimateError()),
+        {"yaml": "ua_order_error.yaml", "tab": "ua_order_error.tab",
+         "csv": "ua_order_error.csv", "conv": "ua_order_convergence.xvg"}),
+    "ua_order_leaflets_convergence": (
+        # the order values of this config sit on quantum boundaries (see
+        # module docstring) but the convergence series does not
+        lambda f: ua(f, estimate_error=EstimateError(),
+                     leaflets=LeafletClassification.global_(
+                         "@membrane", "name r'^P'")),
+        {"conv": "ua_order_leaflets_convergence.xvg"}),
+    "cg_order_asymmetric_errors": (
+        lambda f: cg_asym(f, estimate_error=EstimateError()),
+        {"yaml": "asymmetric/cg_order_asymmetric_errors.yaml",
+         "tab": "asymmetric/cg_order_asymmetric_errors.tab",
+         "csv": "asymmetric/cg_order_asymmetric_errors.csv"}),
     "cg_order_asymmetric": (
         cg_asym,
         {"yaml": "asymmetric/cg_order_asymmetric.yaml",
@@ -100,6 +129,10 @@ def test_exact_golden(name, fmt, fixtures, tmp_path):
         write_csv(results, str(out))
         assert_eq_order(str(out), str(fixtures / golden), skip=0, csv=True,
                         exact=True)
+    elif fmt == "conv":
+        out = tmp_path / "convergence.xvg"
+        write_convergence(results, str(out))
+        assert_eq_order(str(out), str(fixtures / golden), exact=True)
     elif fmt == "xvg":
         write_xvg(results, str(tmp_path / "order.xvg"))
         for mol in results.molecule_names():

@@ -154,3 +154,14 @@ def test_aa_error_leaflets_yaml(fixtures, tmp_path):
     write_tab(results, str(tmp_path / "order.tab"))
     assert_eq_order(str(tmp_path / "order.tab"),
                     str(fixtures / "aa_order_error_leaflets.tab"))
+
+
+def test_xvg_weird_name_patterns():
+    """tests_aa.rs:201 test_aa_order_basic_xvg_weird_names: per-molecule
+    path derivation for dotted and extension-less patterns."""
+    from gorder_tpu.present.xvg_out import xvg_path_for
+
+    assert xvg_path_for("/d/order.xvg", "POPC") == "/d/order_POPC.xvg"
+    assert (xvg_path_for("/d/.this.is.a.weird.name.xvg", "POPC")
+            == "/d/.this.is.a.weird.name_POPC.xvg")
+    assert xvg_path_for("/d/order", "POPC") == "/d/order_POPC"
