@@ -13,7 +13,9 @@ re-architected for TPU:
   accumulator updates;
 - reference parity: each sample is quantized to 1e-6 fixed point exactly like
   the reference's `OrderValue` (src/analysis/order.rs:21-26: `(v as f64 *
-  1e6).round()` — round half away from zero). The quantized integers are
+  1e6).round()` — round half away from zero), reproduced bit-for-bit in
+  pure f32 via an error-free two-product (see quantize_split) because TPU
+  Pallas kernels have no f64. The quantized integers are
   split into three 7-bit limbs so the reduction runs as exact f32 matmuls
   on the MXU (each limb < 128, so per-frame per-type sums stay below 2^24
   for up to ~131,000 bond instances per type — far beyond any membrane);
@@ -42,19 +44,45 @@ _LIMB2 = _LIMB * _LIMB   # 16384
 MAX_EXACT_SAMPLES = int(2 ** 24 / _LIMB)
 
 
-def quantize_split(sch):
-    """Reference-exact per-sample quantization (order.rs:21-26, round half
-    away from zero to the 1e-6 grid) split into three small-integer f32
-    limbs: q = l2·16384 + l1·128 + l0, each |limb| < 128.
+_DEKKER = 4097.0  # 2^12 + 1: f32 Dekker split constant
 
-    The quantization happens in f32 on device where the reference rounds
-    the f64 product; values within ~1e-4 of a .5 quantum boundary may land
-    one 1e-6 quantum apart — documented, inside every parity tolerance."""
-    q = jnp.trunc(sch * _SCALE + jnp.where(sch >= 0, 0.5, -0.5))
+
+def _twoprod_err(a, b, ab):
+    """Error term of the f32 product: a·b = ab + err exactly (Dekker
+    two-product; every partial product is exact in f32, so FMA contraction
+    by the compiler cannot change the result)."""
+    c = a * _DEKKER
+    ah = c - (c - a)
+    al = a - ah
+    d = b * _DEKKER
+    bh = d - (d - b)
+    bl = b - bh
+    return ((ah * bh - ab) + ah * bl) + (al * bh + al * bl)
+
+
+def quantize_split(sch):
+    """Reference-exact per-sample quantization (order.rs:21-26: the f64
+    product `v as f64 * 1e6`, round half away from zero) split into three
+    small-integer f32 limbs: q = l2·16384 + l1·128 + l0, each |limb| < 128.
+
+    The f64 product of an f32 value by 1e6 is exact (≤44 significant
+    bits), so reproducing it in f32 needs only the error-free two-product:
+    x + err == v·1e6 exactly; floor(x) plus a half-away test on the exact
+    residual then matches the reference's rounding bit for bit (works
+    identically inside Pallas kernels, which have no f64 on TPU)."""
+    x = sch * _SCALE
+    err = _twoprod_err(sch, _SCALE, x)
+    r = jnp.floor(x)
+    # exact residual vs the .5 boundary: x−r and the −0.5 subtraction are
+    # exact near the boundary (Sterbenz), and g+err cancels exactly when
+    # small, so the comparison reproduces the f64 rounding bit for bit
+    g = (x - r) - 0.5
+    s = g + err
+    q = r + ((s > 0) | ((s == 0) & (x > 0))).astype(x.dtype)
     l2 = jnp.trunc(q / _LIMB2)
-    r = q - l2 * _LIMB2
-    l1 = jnp.trunc(r / _LIMB)
-    l0 = r - l1 * _LIMB
+    rem = q - l2 * _LIMB2
+    l1 = jnp.trunc(rem / _LIMB)
+    l0 = rem - l1 * _LIMB
     return l2, l1, l0
 
 

@@ -85,13 +85,11 @@ def _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, *,
     d2 = dx * dx + dy * dy + dz * dz
     cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
     sch = 1.5 * cos2 - 0.5
-    # reference-exact quantization (core/order.py quantize_split)
-    q = jnp.trunc(sch * _SCALE + jnp.where(sch >= 0, 0.5, -0.5))
-    l2 = jnp.trunc(q / _LIMB2)
-    r = q - l2 * _LIMB2
-    l1 = jnp.trunc(r / _LIMB)
-    l0 = r - l1 * _LIMB
-    return l2, l1, l0
+    # reference-exact quantization — same pure-f32 two-product rounding as
+    # the XLA path (core/order.py quantize_split)
+    from ..core.order import quantize_split
+
+    return quantize_split(sch)
 
 
 def _accumulate(out_refs, parts):

@@ -184,3 +184,38 @@ def test_ua_hydrogen_prediction_hand_values(fixtures):
     # CH1 saturated: helpers 11/31/13, target 12
     check(predict_ch1_saturated(p(12), p(11), p(31), p(13), box, True),
           [[1.5022101, 2.6938448, 1.7839708]])
+
+
+def test_quantize_matches_f64_reference_rule_brute_force():
+    """quantize_split reproduces the reference's f64 quantization
+    (order.rs:21-26: round(v as f64 * 1e6) half away from zero) bit for
+    bit, via the error-free two-product — including exact .5 ties and
+    products whose f32 rounding lands on the wrong side of the
+    boundary."""
+    import jax
+    import numpy as np
+
+    from gorder_tpu.core.order import _LIMB, _LIMB2, quantize_split
+
+    def ref_q(v):
+        x = np.float64(v) * 1e6
+        return np.trunc(x + np.where(x >= 0, 0.5, -0.5))
+
+    qs = jax.jit(quantize_split)
+    rng = np.random.default_rng(12345)
+    n = 200_000
+    cases = [
+        rng.uniform(-0.5, 1.0, n).astype(np.float32),
+        # exact .5-quantum boundaries and their f32 neighbours
+        ((rng.integers(-500000, 1000000, n) + 0.5) / 1e6).astype(np.float32),
+        np.nextafter(((rng.integers(-500000, 1000000, n) + 0.5)
+                      / 1e6).astype(np.float32), np.inf),
+        rng.uniform(-1e-3, 1e-3, n).astype(np.float32),
+        np.float32([0.8544775, -0.8544775, 0.46, 5e-7, -5e-7, 0.0]),
+    ]
+    for v in cases:
+        l2, l1, l0 = qs(v)
+        got = (np.asarray(l2, np.float64) * _LIMB2
+               + np.asarray(l1, np.float64) * _LIMB
+               + np.asarray(l0, np.float64))
+        np.testing.assert_array_equal(got, ref_q(v))
