@@ -621,8 +621,13 @@ def test_cg_order_leaflets_flip(fixtures):
     for make in (
         lambda flip: gorder.leaflets.GlobalClassification(
             "@membrane", "name PO4", collect=True, flip=flip),
+        lambda flip: gorder.leaflets.LocalClassification(
+            "@membrane", "name PO4", 2.5, collect=True, flip=flip),
         lambda flip: gorder.leaflets.IndividualClassification(
             "name PO4", "name C4A C4B", collect=True, flip=flip),
+        lambda flip: gorder.leaflets.ClusteringClassification(
+            "name PO4", frequency=gorder.Frequency.every(10),
+            collect=True, flip=flip),
     ):
         unflipped = _cg(fixtures, leaflets=make(False)).run()
         flipped = _cg(fixtures, leaflets=make(True)).run()
@@ -704,3 +709,386 @@ def test_every_public_results_name_resolves():
             assert callable(getattr(cls, m, None)), f"{cls_name}.{m}"
     for m in ("atom_name", "relative_index", "residue_name"):
         assert callable(getattr(gorder.AtomType, m, None))
+
+
+def test_ua_order_error(fixtures):
+    """pygorder test_run_access.py:582-685."""
+    results = _ua(fixtures,
+                  estimate_error=gorder.estimate_error.EstimateError()).run()
+
+    assert results.n_analyzed_frames() == 51
+    assert len(results.molecules()) == 2
+    results.get_molecule("POPC")
+    results.get_molecule("POPS")
+    with pytest.raises(gorder.exceptions.APIError) as excinfo:
+        results.get_molecule("POPG")
+    assert "molecule with the given name does not exist" in str(excinfo.value)
+
+    avg_order = results.average_order().total()
+    assert compare_orders(avg_order.value(), 0.1169)
+    assert compare_orders(avg_order.error(), 0.0027)
+    assert results.average_order().upper() is None
+    assert results.average_order().lower() is None
+    assert results.average_ordermaps().total() is None
+
+    expected_average_orders = [0.1101, 0.1470]
+    expected_average_errors = [0.0019, 0.0106]
+    expected_atom_numbers = [40, 37]
+    expected_molecule_names = ["POPC", "POPS"]
+    expected_atom_indices = [23, 45]
+    expected_atom_names = ["C24", "C46"]
+    expected_atom_order = [0.0978, 0.2221]
+    expected_atom_errors = [0.0070, 0.0241]
+    expected_mol_bond_numbers = [82, 72]
+    expected_bond_numbers = [1, 2]
+    expected_bond_orders = [[0.0978], [0.2084, 0.2359]]
+    expected_bond_errors = [[0.0070], [0.0262, 0.0441]]
+
+    for i, molecule in enumerate(results.molecules()):
+        assert molecule.molecule() == expected_molecule_names[i]
+        mol_order = molecule.average_order().total()
+        assert compare_orders(mol_order.value(), expected_average_orders[i])
+        assert compare_orders(mol_order.error(), expected_average_errors[i])
+        assert molecule.average_order().upper() is None
+        assert molecule.average_ordermaps().total() is None
+
+        assert len(molecule.atoms()) == expected_atom_numbers[i]
+        atom = molecule.get_atom(expected_atom_indices[i])
+        assert atom.atom().atom_name() == expected_atom_names[i]
+        assert atom.atom().relative_index() == expected_atom_indices[i]
+        assert atom.molecule() == expected_molecule_names[i]
+        atom_order = atom.order().total()
+        assert compare_orders(atom_order.value(), expected_atom_order[i])
+        assert compare_orders(atom_order.error(), expected_atom_errors[i])
+        assert atom.order().upper() is None
+        assert atom.ordermaps().total() is None
+
+        assert len(molecule.bonds()) == expected_mol_bond_numbers[i]
+        assert len(atom.bonds()) == expected_bond_numbers[i]
+        for b_idx, bond in enumerate(atom.bonds()):
+            bond_order = bond.order().total()
+            assert compare_orders(bond_order.value(),
+                                  expected_bond_orders[i][b_idx])
+            assert compare_orders(bond_order.error(),
+                                  expected_bond_errors[i][b_idx])
+            assert bond.order().upper() is None
+            assert bond.ordermaps().total() is None
+
+        with pytest.raises(gorder.exceptions.APIError) as excinfo:
+            molecule.get_atom(145)
+        assert ("atom with the given relative index does not exist"
+                in str(excinfo.value))
+        with pytest.raises(gorder.exceptions.APIError) as excinfo:
+            molecule.get_bond(1, 2)
+        assert ("united-atom results for individual bonds cannot be "
+                "accesed by using relative indices" in str(excinfo.value))
+
+
+def test_cg_order_error_leaflets(fixtures):
+    """pygorder test_run_access.py:1114-1193."""
+    results = _cg(
+        fixtures,
+        leaflets=gorder.leaflets.GlobalClassification("@membrane",
+                                                      "name PO4"),
+        estimate_error=gorder.estimate_error.EstimateError()).run()
+
+    assert results.n_analyzed_frames() == 101
+    assert len(results.molecules()) == 3
+
+    avg_order = results.average_order()
+    assert compare_orders(avg_order.total().value(), 0.2962)
+    assert compare_orders(avg_order.total().error(), 0.0050)
+    assert compare_orders(avg_order.upper().value(), 0.2971)
+    assert compare_orders(avg_order.upper().error(), 0.0049)
+    assert compare_orders(avg_order.lower().value(), 0.2954)
+    assert compare_orders(avg_order.lower().error(), 0.0056)
+    assert results.average_ordermaps().total() is None
+
+    expected_molecule_names = ["POPC", "POPE", "POPG"]
+    for i, molecule in enumerate(results.molecules()):
+        assert molecule.molecule() == expected_molecule_names[i]
+        avg = molecule.average_order()
+        assert avg.total().error() is not None
+        assert avg.upper().error() is not None
+        assert avg.lower().error() is not None
+        assert molecule.average_ordermaps().total() is None
+
+        convergence = molecule.convergence()
+        assert len(convergence.frames()) == 101
+        assert convergence.total() is not None
+        assert convergence.upper() is not None
+        assert convergence.lower() is not None
+
+        assert len(molecule.bonds()) == 11
+        bond = molecule.get_bond(4, 5)
+        a1, a2 = bond.atoms()
+        assert a1.atom_name() == "C1A"
+        assert a1.relative_index() == 4
+        assert a1.residue_name() == expected_molecule_names[i]
+        assert a2.atom_name() == "D2A"
+        assert a2.relative_index() == 5
+        assert a2.residue_name() == expected_molecule_names[i]
+
+        bond_order = bond.order()
+        assert bond_order.total().error() is not None
+        assert bond_order.upper().error() is not None
+        assert bond_order.lower().error() is not None
+
+        reverse_bond = molecule.get_bond(5, 4)
+        a1_rev, a2_rev = reverse_bond.atoms()
+        assert a1_rev.relative_index() == 4
+        assert a2_rev.relative_index() == 5
+
+        for pair in ((1, 3), (15, 16)):
+            with pytest.raises(gorder.exceptions.APIError) as excinfo:
+                molecule.get_bond(*pair)
+            assert ("bond specified by the given relative indices does "
+                    "not exist" in str(excinfo.value))
+
+
+def test_ua_order_error_leaflets(fixtures):
+    """pygorder test_run_access.py:1194-1281."""
+    results = _ua(
+        fixtures,
+        leaflets=gorder.leaflets.GlobalClassification("@membrane",
+                                                      "name r'^P'"),
+        estimate_error=gorder.estimate_error.EstimateError()).run()
+
+    assert results.n_analyzed_frames() == 51
+    assert len(results.molecules()) == 2
+    assert results.get_molecule("POPC") is not None
+    with pytest.raises(gorder.exceptions.APIError):
+        results.get_molecule("POPG")
+
+    avg_order = results.average_order()
+    assert compare_orders(avg_order.total().value(), 0.1169)
+    assert compare_orders(avg_order.upper().value(), 0.1151)
+    assert compare_orders(avg_order.lower().value(), 0.1186)
+    assert compare_orders(avg_order.total().error(), 0.0027)
+    assert compare_orders(avg_order.upper().error(), 0.0031)
+    assert compare_orders(avg_order.lower().error(), 0.0031)
+    assert results.average_ordermaps().total() is None
+
+    expected_atom_numbers = [40, 37]
+    expected_molecule_names = ["POPC", "POPS"]
+    expected_atom_indices = [23, 45]
+    expected_atom_names = ["C24", "C46"]
+    expected_bond_numbers = [1, 2]
+
+    for i, molecule in enumerate(results.molecules()):
+        assert molecule.molecule() == expected_molecule_names[i]
+        mol_order = molecule.average_order()
+        assert mol_order.total().error() is not None
+        assert mol_order.upper().error() is not None
+        assert mol_order.lower().error() is not None
+        assert molecule.average_ordermaps().total() is None
+
+        assert len(molecule.atoms()) == expected_atom_numbers[i]
+        atom = molecule.get_atom(expected_atom_indices[i])
+        assert atom.atom().atom_name() == expected_atom_names[i]
+        assert atom.atom().relative_index() == expected_atom_indices[i]
+
+        atom_order = atom.order()
+        assert atom_order.total().error() is not None
+        assert atom_order.upper().error() is not None
+        assert atom_order.lower().error() is not None
+        assert atom.ordermaps().total() is None
+
+        assert len(atom.bonds()) == expected_bond_numbers[i]
+        for bond in atom.bonds():
+            assert bond.order().total().error() is not None
+            assert bond.order().upper().error() is not None
+            assert bond.order().lower().error() is not None
+            assert bond.ordermaps().total() is None
+
+        with pytest.raises(gorder.exceptions.APIError):
+            molecule.get_atom(145)
+        with pytest.raises(gorder.exceptions.APIError):
+            molecule.get_atom(7)
+        with pytest.raises(gorder.exceptions.APIError) as excinfo:
+            molecule.get_bond(1, 2)
+        assert ("united-atom results for individual bonds cannot be "
+                "accesed by using relative indices" in str(excinfo.value))
+
+
+def test_ua_order_ordermaps(fixtures):
+    """pygorder test_run_access.py:1457-1528 (original-precision ua.xtc:
+    tight map values)."""
+    results = gorder.Analysis(
+        structure=str(fixtures / "ua.tpr"),
+        trajectory=str(fixtures / "ua.xtc"),
+        analysis_type=gorder.analysis_types.UAOrder(
+            saturated="resname POPC and name C50 C20 C13",
+            unsaturated="resname POPC and name C24"),
+        ordermap=gorder.ordermap.OrderMap(bin_size=[0.5, 2.0],
+                                          min_samples=5),
+        silent=True, overwrite=True).run()
+
+    assert results.n_analyzed_frames() == 51
+    assert len(results.molecules()) == 1
+    assert results.average_ordermaps().total() is not None
+    assert results.average_ordermaps().upper() is None
+    assert results.average_ordermaps().lower() is None
+
+    molecule = results.get_molecule("POPC")
+    map = molecule.average_ordermaps().total()
+    span_x = map.span_x()
+    span_y = map.span_y()
+    bin = map.tile_dim()
+    assert math.isclose(span_x[0], 0.0, abs_tol=1e-5)
+    assert math.isclose(span_x[1], 6.53265, rel_tol=1e-5)
+    assert math.isclose(span_y[0], 0.0, abs_tol=1e-5)
+    assert math.isclose(span_y[1], 6.53265, rel_tol=1e-5)
+    assert math.isclose(bin[0], 0.5, rel_tol=1e-5)
+    assert math.isclose(bin[1], 2.0, rel_tol=1e-5)
+
+    assert compare_orders(map.get_at(2.0, 6.0), 0.0127)
+    assert compare_orders(map.get_at(4.3, 0.1), 0.1286)
+    assert compare_orders(map.get_at(6.4, 2.2), 0.0839)
+
+    atom = molecule.get_atom(49)
+    atom_map = atom.ordermaps().total()
+    assert compare_orders(atom_map.get_at(2.0, 6.0), 0.0349)
+    assert compare_orders(atom_map.get_at(4.3, 0.1), -0.0160)
+    assert compare_orders(atom_map.get_at(6.4, 2.2), -0.0084)
+
+    bond = atom.bonds()[1]
+    bond_map = bond.ordermaps().total()
+    assert compare_orders(bond_map.get_at(2.0, 6.0), 0.1869)
+    assert compare_orders(bond_map.get_at(4.3, 0.1), 0.0962)
+    assert compare_orders(bond_map.get_at(6.4, 2.2), 0.0358)
+
+    extracted_x, extracted_y, extracted_values = bond_map.extract()
+    assert len(extracted_x) == 14
+    assert len(extracted_y) == 4
+    for x in extracted_x:
+        assert math.isclose(x % 0.5, 0.0, abs_tol=1e-5)
+    for real, expected in zip(extracted_y, [0.0, 2.0, 4.0, 6.0]):
+        assert math.isclose(real, expected, abs_tol=1e-5)
+    for xi, x in enumerate(extracted_x):
+        for yi, y in enumerate(extracted_y):
+            map_val = bond_map.get_at(x, y)
+            extracted_val = extracted_values[xi][yi]
+            if math.isnan(map_val) and math.isnan(extracted_val):
+                continue
+            assert compare_orders(map_val, extracted_val)
+
+
+def test_cg_order_ordermaps_leaflets(fixtures):
+    """pygorder test_run_access.py:1614-1680."""
+    results = gorder.Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=gorder.analysis_types.CGOrder(
+            "resname POPC and name C1B C2B C3B C4B"),
+        leaflets=gorder.leaflets.GlobalClassification("@membrane",
+                                                      "name PO4"),
+        ordermap=gorder.ordermap.OrderMap(bin_size=[1.0, 1.0],
+                                          min_samples=10),
+        silent=True, overwrite=True).run()
+
+    assert results.n_analyzed_frames() == 101
+    assert len(results.molecules()) == 1
+
+    sys_maps = results.average_ordermaps()
+    assert compare_map(sys_maps.total().get_at(1.0, 8.0), 0.3590)
+    assert compare_map(sys_maps.total().get_at(13.0, 11.0), 0.4296)
+    assert compare_map(sys_maps.upper().get_at(1.0, 8.0), 0.3418)
+    assert compare_map(sys_maps.upper().get_at(13.0, 11.0), 0.4051)
+    assert compare_map(sys_maps.lower().get_at(1.0, 8.0), 0.3662)
+    assert compare_map(sys_maps.lower().get_at(13.0, 11.0), 0.4506)
+
+    molecule = results.get_molecule("POPC")
+    mol_maps = molecule.average_ordermaps()
+    total_map = mol_maps.total()
+    span_x = total_map.span_x()
+    span_y = total_map.span_y()
+    bin_size = total_map.tile_dim()
+    assert math.isclose(span_x[0], 0.0, abs_tol=1e-5)
+    assert math.isclose(span_x[1], 12.747616, rel_tol=1e-5)
+    assert math.isclose(span_y[0], 0.0, abs_tol=1e-5)
+    assert math.isclose(span_y[1], 12.747616, rel_tol=1e-5)
+    assert math.isclose(bin_size[0], 1.0, rel_tol=1e-5)
+    assert math.isclose(bin_size[1], 1.0, rel_tol=1e-5)
+
+    assert compare_map(total_map.get_at(1.0, 8.0), 0.3590)
+    assert compare_map(total_map.get_at(13.0, 11.0), 0.4296)
+    assert compare_map(mol_maps.upper().get_at(1.0, 8.0), 0.3418)
+    assert compare_map(mol_maps.upper().get_at(13.0, 11.0), 0.4051)
+    assert compare_map(mol_maps.lower().get_at(1.0, 8.0), 0.3662)
+    assert compare_map(mol_maps.lower().get_at(13.0, 11.0), 0.4506)
+
+    bond = molecule.get_bond(9, 10)
+    bond_maps = bond.ordermaps()
+    assert compare_map(bond_maps.total().get_at(1.0, 8.0), 0.3967)
+    assert compare_map(bond_maps.total().get_at(13.0, 11.0), 0.4104)
+    assert compare_map(bond_maps.upper().get_at(1.0, 8.0), 0.3573)
+    assert compare_map(bond_maps.upper().get_at(13.0, 11.0), 0.4807)
+    assert compare_map(bond_maps.lower().get_at(1.0, 8.0), 0.4118)
+    assert compare_map(bond_maps.lower().get_at(13.0, 11.0), 0.3563)
+
+
+def test_ua_order_leaflets_ordermaps(fixtures):
+    """pygorder test_run_access.py:1681-1778 (original ua.xtc)."""
+    results = gorder.Analysis(
+        structure=str(fixtures / "ua.tpr"),
+        trajectory=str(fixtures / "ua.xtc"),
+        analysis_type=gorder.analysis_types.UAOrder(
+            saturated="resname POPC and name C50 C20 C13",
+            unsaturated="resname POPC and name C24"),
+        ordermap=gorder.ordermap.OrderMap(bin_size=[0.5, 2.0],
+                                          min_samples=5),
+        leaflets=gorder.leaflets.GlobalClassification("@membrane",
+                                                      "name r'^P'"),
+        silent=True, overwrite=True).run()
+
+    assert results.n_analyzed_frames() == 51
+    assert len(results.molecules()) == 1
+    assert results.average_ordermaps().total() is not None
+    assert results.average_ordermaps().upper() is not None
+    assert results.average_ordermaps().lower() is not None
+
+    molecule = results.get_molecule("POPC")
+    total_map = molecule.average_ordermaps().total()
+    upper_map = molecule.average_ordermaps().upper()
+    lower_map = molecule.average_ordermaps().lower()
+
+    span_x = total_map.span_x()
+    span_y = total_map.span_y()
+    bin = total_map.tile_dim()
+    assert math.isclose(span_x[0], 0.0, abs_tol=1e-5)
+    assert math.isclose(span_x[1], 6.53265, rel_tol=1e-5)
+    assert math.isclose(span_y[0], 0.0, abs_tol=1e-5)
+    assert math.isclose(span_y[1], 6.53265, rel_tol=1e-5)
+    assert math.isclose(bin[0], 0.5, rel_tol=1e-5)
+    assert math.isclose(bin[1], 2.0, rel_tol=1e-5)
+
+    assert compare_orders(total_map.get_at(2.1, 5.8), 0.0127)
+    assert compare_orders(upper_map.get_at(2.1, 5.8), 0.0499)
+    assert compare_orders(lower_map.get_at(2.1, 5.8), -0.0036)
+
+    atom = molecule.get_atom(49)
+    assert compare_orders(atom.ordermaps().total().get_at(2.1, 5.8), 0.0349)
+    assert compare_orders(atom.ordermaps().upper().get_at(2.1, 5.8), 0.0450)
+    assert compare_orders(atom.ordermaps().lower().get_at(2.1, 5.8), 0.0272)
+
+    bond = atom.bonds()[1]
+    bond_total = bond.ordermaps().total()
+    assert compare_orders(bond_total.get_at(2.1, 5.8), 0.1869)
+    assert math.isnan(bond.ordermaps().upper().get_at(6.4, 0.0))
+    assert math.isnan(bond.ordermaps().lower().get_at(6.4, 6.0))
+
+    ext_x, ext_y, ext_vals = bond_total.extract()
+    assert len(ext_x) == 14
+    assert len(ext_y) == 4
+    for x in ext_x:
+        assert math.isclose(x % 0.5, 0.0, abs_tol=1e-5)
+    for real, expected in zip(ext_y, [0.0, 2.0, 4.0, 6.0]):
+        assert math.isclose(real, expected, abs_tol=1e-5)
+    for xi, x in enumerate(ext_x):
+        for yi, y in enumerate(ext_y):
+            map_val = bond_total.get_at(x, y)
+            ext_val = ext_vals[xi][yi]
+            if math.isnan(map_val) and math.isnan(ext_val):
+                continue
+            assert compare_orders(map_val, ext_val)
