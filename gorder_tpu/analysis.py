@@ -77,6 +77,14 @@ def _configure_jax() -> None:
     try:
         if env_platforms and jax.config.jax_platforms != env_platforms:
             jax.config.update("jax_platforms", env_platforms)
+        elif not env_platforms and jax.config.jax_platforms:
+            # a preset platform list may name a PJRT plugin that is not
+            # registered on this host (tunnel plugins rename between
+            # deployments); fall back to auto-discovery instead of dying
+            try:
+                jax.local_devices()
+            except RuntimeError:
+                jax.config.update("jax_platforms", "")
     except Exception:
         pass
 

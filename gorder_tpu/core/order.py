@@ -44,20 +44,23 @@ _LIMB2 = _LIMB * _LIMB   # 16384
 MAX_EXACT_SAMPLES = int(2 ** 24 / _LIMB)
 
 
-_DEKKER = 4097.0  # 2^12 + 1: f32 Dekker split constant
+_BH = 999424.0   # 15616·2^6: high split of 1e6, ≤12 significant bits
+_BL = 576.0      # 9·2^6: 1e6 − _BH, exact
 
 
-def _twoprod_err(a, b, ab):
-    """Error term of the f32 product: a·b = ab + err exactly (Dekker
-    two-product; every partial product is exact in f32, so FMA contraction
-    by the compiler cannot change the result)."""
-    c = a * _DEKKER
-    ah = c - (c - a)
+def _twoprod_err(a, ab):
+    """Error term of the f32 product a·1e6: a·1e6 = ab + err exactly.
+
+    Two details are load-bearing under XLA:TPU (validated on hardware):
+    the Veltkamp split masks mantissa bits instead of using the
+    arithmetic `c − (c − a)` form, which the algebraic simplifier folds
+    away; and the correction terms are summed in Dekker's sequential
+    order — regrouping them loses exactness."""
+    ah = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.uint32)
+        & jnp.uint32(0xFFFFF000), jnp.float32)
     al = a - ah
-    d = b * _DEKKER
-    bh = d - (d - b)
-    bl = b - bh
-    return ((ah * bh - ab) + ah * bl) + (al * bh + al * bl)
+    return (((ah * _BH - ab) + ah * _BL) + al * _BH) + al * _BL
 
 
 def quantize_split(sch):
@@ -71,7 +74,7 @@ def quantize_split(sch):
     residual then matches the reference's rounding bit for bit (works
     identically inside Pallas kernels, which have no f64 on TPU)."""
     x = sch * _SCALE
-    err = _twoprod_err(sch, _SCALE, x)
+    err = _twoprod_err(sch, x)
     r = jnp.floor(x)
     # exact residual vs the .5 boundary: x−r and the −0.5 subtraction are
     # exact near the boundary (Sterbenz), and g+err cancels exactly when
