@@ -128,3 +128,120 @@ def test_results_atom_lookup_aa(fixtures):
     nrm = results.normals_for_molecule("POPC")
     assert nrm is not None and nrm.shape[2] == 3
     assert np.allclose(np.linalg.norm(nrm, axis=2), 1.0, atol=1e-5)
+
+
+def test_all_outputs_write(fixtures, tmp_path):
+    """pygorder test_run_write.py:189 test_all_outputs: all four formats
+    through the drop-in namespace match the AA goldens."""
+    import gorder_tpu.compat as gorder
+
+    from .golden import assert_eq_order
+
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=gorder.analysis_types.AAOrder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        output_yaml=str(tmp_path / "order.yaml"),
+        output_tab=str(tmp_path / "order.tab"),
+        output_csv=str(tmp_path / "order.csv"),
+        output_xvg=str(tmp_path / "order.xvg"),
+        silent=True, overwrite=True)
+    analysis.run().write()
+
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "aa_order_basic.yaml"))
+    assert_eq_order(str(tmp_path / "order.tab"),
+                    str(fixtures / "aa_order_basic.tab"))
+    assert_eq_order(str(tmp_path / "order.csv"),
+                    str(fixtures / "aa_order_basic.csv"), skip=0, csv=True)
+    for mol in ("POPC", "POPE", "POPG"):
+        assert_eq_order(str(tmp_path / f"order_{mol}.xvg"),
+                        str(fixtures / f"aa_order_basic_{mol}.xvg"))
+
+
+def test_ndx_group_selection_write(fixtures, tmp_path):
+    """pygorder test_run_write.py:508 test_ndx: NDX group names act as
+    selections."""
+    import gorder_tpu.compat as gorder
+
+    from .golden import assert_eq_order
+
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        index=str(fixtures / "cg.ndx"),
+        analysis_type=gorder.analysis_types.CGOrder("Membrane"),
+        output_yaml=str(tmp_path / "order.yaml"),
+        silent=True, overwrite=True)
+    analysis.run().write()
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "cg_order_basic.yaml"))
+
+
+def test_gro_bonds_write(fixtures, tmp_path):
+    """pygorder test_run_write.py:532 test_gro_bonds: GRO structure +
+    external .bnd bonds reproduce the TPR-based results."""
+    import gorder_tpu.compat as gorder
+
+    from .golden import assert_eq_order
+
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "pcpepg.gro"),
+        bonds=str(fixtures / "pcpepg.bnd"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=gorder.analysis_types.AAOrder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        output_yaml=str(tmp_path / "order.yaml"),
+        silent=True, overwrite=True)
+    analysis.run().write()
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "aa_order_basic.yaml"))
+
+
+def test_min_samples_write(fixtures, tmp_path):
+    """pygorder test_run_write.py:725 test_min_samples."""
+    import gorder_tpu.compat as gorder
+
+    from .golden import assert_eq_order
+
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=gorder.analysis_types.AAOrder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        min_samples=2000,
+        output_yaml=str(tmp_path / "order.yaml"),
+        silent=True, overwrite=True)
+    analysis.run().write()
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "aa_order_limit.yaml"))
+
+
+def test_ua_order_from_aa_write(fixtures, tmp_path):
+    """pygorder test_run_write.py:1185 test_ua_order_from_aa: UA analysis
+    of an atomistic structure, ignoring real hydrogens."""
+    import gorder_tpu.compat as gorder
+
+    from .golden import assert_eq_order
+
+    analysis = gorder.Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=gorder.analysis_types.UAOrder(
+            saturated="@membrane and element name carbon and not name "
+                      "C29 C210 C21 C31",
+            unsaturated="@membrane and name C29 C210",
+            ignore="element name hydrogen"),
+        output_yaml=str(tmp_path / "order.yaml"),
+        silent=True, overwrite=True)
+    analysis.run().write()
+    assert_eq_order(str(tmp_path / "order.yaml"),
+                    str(fixtures / "ua_order_from_aa.yaml"))
