@@ -10,16 +10,20 @@ through jax.config.
 import os
 import pathlib
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+_BACKEND = os.environ.get("GORDER_TPU_TEST_BACKEND", "cpu")
+if _BACKEND == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+# any other value (e.g. GORDER_TPU_TEST_BACKEND=native) leaves the
+# environment's platform untouched so the suite exercises real hardware
 
 import pytest  # noqa: E402
 
