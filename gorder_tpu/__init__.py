@@ -26,6 +26,19 @@ Python API::
         print(molecule.name, molecule.average_order.total.value)
 """
 
+import jax as _jax
+
+# TPU matmuls default to bf16 inputs; the similarity/covariance algebra
+# (spectral clustering, PCA normals, leaflet reductions) needs real f32.
+# Set at package import so every entry point — kernels used directly as
+# well as the full pipeline — computes identically across backends. The
+# exact fixed-point limb reductions are integer-exact either way, and
+# matmul time is negligible in this workload (docs/PERFORMANCE.md).
+try:
+    _jax.config.update("jax_default_matmul_precision", "float32")
+except Exception:  # pragma: no cover - ancient jax without the option
+    pass
+
 from .version import __version__  # noqa: F401
 from .errors import (  # noqa: F401
     AnalysisError,
