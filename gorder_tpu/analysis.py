@@ -27,7 +27,7 @@ from .errors import AnalysisError, ConfigError, SelectionError, TopologyError
 from .input.config import Analysis, Frequency
 from .io import read_bnd, read_gro, read_ndx, read_pdb, read_pqr
 from .io.tpr import read_tpr
-from .io.traj import AtomSubset, Trajectory, check_box
+from .io.traj import AtomSubset, Trajectory, check_box_batch
 from .results.model import (
     AnalysisResults,
     AtomDesc,
@@ -1104,28 +1104,41 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     n_batches = (len(frame_indices) + batch_size - 1) // batch_size
     from .io.native import i12_stride
 
-    # double-buffered wire arrays (the native decoder writes into buffer
-    # b%2 while the device consumes buffer (b-1)%2)
+    # Prefetch ring: the decode worker runs up to `prefetch` batches ahead
+    # of the driver, so a transfer slump (tunnel/link weather) never stalls
+    # decoding — when the link recovers, the queued batches ship
+    # back-to-back and the run degrades by roughly the slump duration, not
+    # by a serialized decode×transfer product.
+    prefetch = max(2, int(os.environ.get("GORDER_TPU_PREFETCH", "4")))
+    prefetch = min(prefetch, max(2, n_batches))
     if wire == "d8":
         buffers = [
             (np.zeros((batch_size, n_out, 3), np.int8),
              np.zeros((batch_size, corr_cap), np.int32),
              np.zeros((batch_size, corr_cap), np.int16))
-            for _ in range(2)
+            for _ in range(prefetch)
         ]
     elif wire == "i12":
         buffers = [np.zeros((batch_size, i12_stride(n_out)), np.uint8)
-                   for _ in range(2)]
+                   for _ in range(prefetch)]
     elif wire == "i16":
         buffers = [np.zeros((batch_size, n_out, 3), np.int16)
-                   for _ in range(2)]
+                   for _ in range(prefetch)]
     else:
         buffers = [np.zeros((batch_size, n_out, 3), np.float32)
-                   for _ in range(2)]
+                   for _ in range(prefetch)]
 
     from .utils.timers import timers
 
+    import threading
+
+    # ring-slot gate: the decoder may only reuse buffer b % prefetch after
+    # the driver finished shipping batch b - prefetch (put + block — the
+    # device owns a copy by then)
+    slots = threading.Semaphore(prefetch)
+
     def decode_batch(b):
+        slots.acquire()
         t0 = _time.perf_counter()
         try:
             return _decode_batch(b)
@@ -1143,7 +1156,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     def _decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
-        buf = buffers[b % 2]
+        buf = buffers[b % prefetch]
         if wire == "d8":
             lo, ci, ch = buf
             if len(chunk) < batch_size:
@@ -1194,15 +1207,27 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # Accelerator backends perform real transfers, so fetches are deferred
     # and the device works on batch b while batch b+1 decodes.
     sync_fetch = jax.default_backend() == "cpu"
-    try:
-        pending = executor.submit(decode_batch, 0)
-        for b in range(n_batches):
-            payload, inv_prec, boxes, n_valid = pending.result()
 
-            # overlap: decode batch b+1 (the other buffer) while batch b
-            # uploads and runs
-            if b + 1 < n_batches:
-                pending = executor.submit(decode_batch, b + 1)
+    # constant per-run device arrays, shipped once instead of per batch
+    mask_full_dev = put_frames(np.ones(batch_size, bool))
+    geom_point_dev = None
+    if geom_mode == "point":
+        geom_point_dev = put_frames(np.tile(geom_point, (batch_size, 1)))
+    # per-batch device arrays that rarely change (NVT boxes, constant XTC
+    # precision): reuse the previous device copy when the host values match
+    last_box = last_box_dev = None
+    last_scale = last_scale_dev = None
+
+    import collections as _collections
+
+    batch_walls = _collections.deque(maxlen=15)
+    slump_count = 0
+    try:
+        futures = _collections.deque(
+            executor.submit(decode_batch, b) for b in range(n_batches))
+        for b in range(n_batches):
+            t_iter = _time.perf_counter()
+            payload, inv_prec, boxes, n_valid = futures.popleft().result()
 
             scale = None
             if inv_prec is not None:
@@ -1213,10 +1238,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     # tail dequantizes without overflow surprises
                     scale[n_valid:] = inv_prec[n_valid - 1]
 
+            if scale is None:
+                scale_dev = None
+            elif last_scale is not None and np.array_equal(scale, last_scale):
+                scale_dev = last_scale_dev
+            else:
+                scale_dev = put_frames(scale)
+                last_scale, last_scale_dev = scale, scale_dev
+
             kind = payload[0]
             coords_dev = None      # f32 coords (or None until reconstructed)
             quant_dev = None       # int16 absolutes awaiting dequantization
-            scale_dev = put_frames(scale) if scale is not None else None
             if kind == "d8":
                 _, lo, ci, ch, abs0 = payload
                 lo_dev = put_frames(lo)
@@ -1239,20 +1271,25 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 scale_dev = None
 
             if analysis.handle_pbc:
-                for i in range(n_valid):
-                    check_box(boxes[i])
-            # fresh small arrays per batch — they are handed to async puts
+                check_box_batch(boxes[:n_valid])
             box_arr = np.ones((batch_size, 3), np.float32)
             box_arr[:n_valid] = boxes[:n_valid, [0, 1, 2], [0, 1, 2]]
-            frame_mask = np.zeros(batch_size, bool)
-            frame_mask[:n_valid] = True
-            box_dev = put_frames(box_arr)
+            if n_valid == batch_size:
+                frame_mask_dev = mask_full_dev
+            else:
+                frame_mask = np.zeros(batch_size, bool)
+                frame_mask[:n_valid] = True
+                frame_mask_dev = put_frames(frame_mask)
+            if last_box is not None and np.array_equal(box_arr, last_box):
+                box_dev = last_box_dev
+            else:
+                box_dev = put_frames(box_arr)
+                last_box, last_box_dev = box_arr, box_dev
 
             if geom_mode == "selection":
                 geom_ref = geom_sel_dev
             elif geom_mode == "point":
-                geom_ref = put_frames(
-                    np.tile(geom_point, (batch_size, 1)))
+                geom_ref = geom_point_dev
             elif geom_mode == "center":
                 geom_ref = put_frames(box_arr * 0.5)
             else:
@@ -1289,13 +1326,13 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 else:
                     classes_dev = None
                 result, map_out = step(coords_f32, box_dev, normal_arg,
-                                       put_frames(frame_mask),
+                                       frame_mask_dev,
                                        classes_dev,
                                        map_state=map_zero,
                                        geom_ref=geom_ref)
             elif coords_dev is not None:
                 result, map_out = step(coords_dev, box_dev, normal_dev,
-                                       put_frames(frame_mask),
+                                       frame_mask_dev,
                                        map_state=map_zero,
                                        geom_ref=geom_ref)
             else:
@@ -1303,7 +1340,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 # the device and link work on batch b while b+1 decodes;
                 # dequantization fuses into the kernel
                 result, map_out = step(quant_dev, box_dev, normal_dev,
-                                       put_frames(frame_mask),
+                                       frame_mask_dev,
                                        inv_scale=scale_dev,
                                        map_state=map_zero,
                                        geom_ref=geom_ref)
@@ -1316,6 +1353,19 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                         drain_map_state(map_out)
             else:
                 in_flight.append((result, map_out, n_valid))
+            # batch b has fully left its host buffers (put + block above, or
+            # synchronous consumption): the decoder may reuse the ring slot
+            slots.release()
+            wall = _time.perf_counter() - t_iter
+            if len(batch_walls) >= 5:
+                med = sorted(batch_walls)[len(batch_walls) // 2]
+                if wall > max(3.0 * med, 0.25):
+                    slump_count += 1
+                    log.warning(
+                        "transfer slump: batch %d took %.2fs (rolling median "
+                        "%.2fs); decode continues into the prefetch ring",
+                        b, wall, med)
+            batch_walls.append(wall)
             if progress is not None:
                 progress.update(min((b + 1) * batch_size,
                                     len(frame_indices)))
@@ -1324,9 +1374,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                          min((b + 1) * batch_size, len(frame_indices)),
                          len(frame_indices))
     finally:
-        executor.shutdown(wait=True)
+        # unblock a decode waiting on a ring slot before joining the worker
+        # (exception paths would otherwise deadlock executor.shutdown)
+        for _ in range(prefetch + 1):
+            slots.release()
+        executor.shutdown(wait=True, cancel_futures=True)
         if progress is not None:
             progress.finish()
+    if slump_count:
+        log.info("%d transfer slump(s) absorbed by the prefetch ring",
+                 slump_count)
 
     with timers.phase("compute"):
         for result, map_out, n_valid in in_flight:

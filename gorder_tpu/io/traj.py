@@ -512,3 +512,22 @@ def check_box(box: np.ndarray, path_hint: str = "") -> None:
             "the simulation box is invalid (zero or negative dimension); "
             "use handle_pbc: false to ignore the box"
         )
+
+
+_DIAG = np.arange(3)
+
+
+def check_box_batch(boxes: np.ndarray) -> None:
+    """Vectorized `check_box` over a (n, 3, 3) batch — one numpy pass
+    instead of a per-frame Python loop (the driver shares its single core
+    with the decode thread, so per-frame Python is throughput-critical)."""
+    boxes = np.asarray(boxes)
+    if boxes.size == 0:
+        return
+    off = boxes.copy()
+    off[:, _DIAG, _DIAG] = 0.0
+    if off.any():
+        check_box(boxes[int(np.argmax((off != 0.0).any(axis=(1, 2))))])
+    diag = boxes[:, _DIAG, _DIAG]
+    if bool((diag <= 0.0).any()):
+        check_box(boxes[int(np.argmax((diag <= 0.0).any(axis=1)))])
