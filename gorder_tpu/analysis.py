@@ -871,6 +871,58 @@ def _d8_to_f32(lo_i8, corr_idx, corr_hi, abs0, inv_prec):
     return reconstruct(lo_i8, corr_idx, corr_hi, abs0, inv_prec)
 
 
+def _s6_to_f32(pack_u8, esc_gap, esc_val, base, gmean, vgidx, inv_prec):
+    """Device-side reconstruction of the smoothed-base 6-bit wire format
+    (io/traj.py read_frames_s6): unpack the 6-bit residual codes, scatter
+    the sparse escape channel (gap-coded positions), add the per-batch
+    base and the gathered per-frame per-group medians, dequantize. No
+    cross-frame chain (unlike d8's cumsum), so frames are independent.
+    Bit-identical to the host f32 decode."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reconstruct(pk, gp, vl, bs, gm, vg, ip):
+        b = pk.shape[0]
+        trip = pk.reshape(b, -1, 3).astype(jnp.uint32)
+        u = trip[..., 0] | (trip[..., 1] << 8) | (trip[..., 2] << 16)
+        codes = jnp.stack([u & 63, (u >> 6) & 63, (u >> 12) & 63,
+                           (u >> 18) & 63], axis=-1).reshape(b, -1)
+        codes = ((codes.astype(jnp.int32) + 32) & 63) - 32  # sign-extend
+        nv = vg.shape[0]
+        r = codes[:, :nv]
+        pos = jnp.cumsum(gp.astype(jnp.int32), axis=1) - 1
+        pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding → dropped
+        r = r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int32),
+                                                  mode="drop")
+        gmv = jnp.take(gm.astype(jnp.int32), vg, axis=1)
+        absr = bs.reshape(1, nv).astype(jnp.int32) + gmv + r
+        return (absr.astype(jnp.float32) * ip[:, None]).reshape(
+            b, nv // 3, 3)
+
+    return reconstruct(pack_u8, esc_gap, esc_val, base, gmean, vgidx,
+                       inv_prec)
+
+
+def _wire_groups(system: System, space: AtomSubset):
+    """Per-slot residue-group ids for the s6 wire format (padding slots =
+    -1 → decode to exact zeros) plus the per-value gather indices into the
+    (n_groups+1)-wide gmean table (last group is the always-zero padding
+    group)."""
+    sel = space.sel if space.sel is not None \
+        else np.arange(space.first_n, dtype=np.int64)
+    res_ids = np.asarray(system.resids)[sel]
+    _, ginv = np.unique(res_ids, return_inverse=True)
+    group_of = np.full(space.n_out, -1, np.int32)
+    group_of[:len(sel)] = ginv.astype(np.int32)
+    n_groups = int(ginv.max()) + 1 if len(sel) else 0
+    g_rep = np.repeat(group_of, 3)
+    k_rep = np.tile(np.arange(3), space.n_out)
+    vgidx = np.where(g_rep >= 0, g_rep * 3 + k_rep,
+                     n_groups * 3 + k_rep).astype(np.int32)
+    return group_of, n_groups, vgidx
+
+
 def _dequantize(coords_i16, inv_prec):
     """int16 XTC integers → f32 nm, bit-identical to the host conversion."""
     import jax
@@ -908,12 +960,44 @@ def _prepare_geometry(system: System, analysis: Analysis):
     return spec, "point", np.asarray(ref, np.float32)
 
 
-def _pick_wire_format(traj, frame_indices, space, n_threads):
+def _probe_s6(traj, frame_indices, space, group_of, n_groups, n_threads,
+              batch_size):
+    """Probe the s6 wire format over one batch-sized window (escape demand
+    grows with distance from the in-batch base window, so short probes
+    under-estimate it). Returns a sized esc_cap or None when unfit."""
+    from .io.native import s6_stride
+
+    n = len(frame_indices)
+    w = frame_indices[:min(batch_size, n)]
+    esc_cap = 512
+    for _attempt in range(2):
+        pack = np.zeros((len(w), s6_stride(space.n_out)), np.uint8)
+        gaps = np.zeros((len(w), esc_cap), np.uint16)
+        vals = np.zeros((len(w), esc_cap), np.int16)
+        gmean = np.zeros((len(w), (n_groups + 1) * 3), np.int16)
+        res, nesc = traj.read_frames_s6(w, space, group_of, n_groups,
+                                        pack, gaps, vals, gmean,
+                                        n_threads=n_threads)
+        if res is not None:
+            # headroom for batches the probe did not see (a mid-run
+            # overflow falls back to int16 for that batch, so the margin
+            # trades certain bytes against a rare 2.4x batch)
+            cap = int(nesc * 1.4) + 64
+            return max(128, min(8192, (cap + 127) // 128 * 128))
+        if nesc <= esc_cap or nesc > 8192:
+            return None  # unfit for reasons other than capacity
+        esc_cap = min(8192, ((int(nesc * 2) + 127) // 128) * 128)
+    return None
+
+
+def _pick_wire_format(traj, frame_indices, space, n_threads, group_of=None,
+                      n_groups=0, batch_size=512):
     """Probe the most compact coordinate transfer the trajectory supports:
-    8-bit temporal deltas (~3 B/atom) → 12-bit packed absolutes → int16 →
-    f32. Probes consecutive windows at the start/middle so the delta chain
-    is representative; returns ('d8', corr_cap) / ('i12', 0) / ('i16', 0) /
-    ('f32', 0)."""
+    6-bit smoothed-base residuals (~0.77 B/atom·axis) → 8-bit temporal
+    deltas → 12-bit packed absolutes → int16 → f32. s6 and d8 are compared
+    by measured bytes/frame (s6 wins for closely-spaced frames, d8 for
+    long save intervals). Returns ('s6', esc_cap) / ('d8', corr_cap) /
+    ('i12', 0) / ('i16', 0) / ('f32', 0)."""
     n = len(frame_indices)
     windows = [frame_indices[:min(8, n)]]
     if n > 16:
@@ -931,26 +1015,51 @@ def _pick_wire_format(traj, frame_indices, space, n_threads):
             return "i16", 0
         return "f32", 0
 
+    nv = space.n_out * 3
+    esc_cap = None
+    if group_of is not None and n_groups > 0 and forced in ("", "s6"):
+        esc_cap = _probe_s6(traj, frame_indices, space, group_of, n_groups,
+                            n_threads, batch_size)
+    if forced == "s6":
+        if esc_cap is not None:
+            return "s6", esc_cap
+
     corr_cap = 64
-    for attempt in range(2):
-        demand = 0
-        ok = True
-        for w in windows:
-            lo = np.zeros((len(w), space.n_out, 3), np.int8)
-            ci = np.zeros((len(w), corr_cap), np.int32)
-            ch = np.zeros((len(w), corr_cap), np.int16)
-            res, ncorr = traj.read_frames_delta8(w, space, lo, ci, ch,
-                                                 n_threads=n_threads)
-            demand = max(demand, ncorr)
-            if res is None:
-                ok = False
-        if ok:
-            # headroom for batches the probe did not see (box wraps vary)
-            corr_cap = max(64, min(4096, int(demand * 2) + 32))
-            return "d8", ((corr_cap + 63) // 64) * 64
-        if demand <= corr_cap or demand > 4096:
-            break  # unfit for reasons other than capacity
-        corr_cap = min(4096, ((int(demand * 2) + 63) // 64) * 64)
+    d8_cap = None
+    if forced in ("", "d8", "s6"):
+        for attempt in range(2):
+            demand = 0
+            ok = True
+            for w in windows:
+                lo = np.zeros((len(w), space.n_out, 3), np.int8)
+                ci = np.zeros((len(w), corr_cap), np.int32)
+                ch = np.zeros((len(w), corr_cap), np.int16)
+                res, ncorr = traj.read_frames_delta8(w, space, lo, ci, ch,
+                                                     n_threads=n_threads)
+                demand = max(demand, ncorr)
+                if res is None:
+                    ok = False
+            if ok:
+                # headroom for batches the probe did not see (box wraps vary)
+                corr_cap = max(64, min(4096, int(demand * 2) + 32))
+                d8_cap = ((corr_cap + 63) // 64) * 64
+                break
+            if demand <= corr_cap or demand > 4096:
+                break  # unfit for reasons other than capacity
+            corr_cap = min(4096, ((int(demand * 2) + 63) // 64) * 64)
+
+    if esc_cap is not None or d8_cap is not None:
+        from .io.native import s6_stride
+
+        s6_bytes = (s6_stride(space.n_out) + (n_groups + 1) * 6
+                    + esc_cap * 4 + nv * 4 // max(batch_size, 1)) \
+            if esc_cap is not None else None
+        d8_bytes = (nv + d8_cap * 6) if d8_cap is not None else None
+        if s6_bytes is not None and (d8_bytes is None
+                                     or s6_bytes < d8_bytes):
+            return "s6", esc_cap
+        if d8_bytes is not None:
+            return "d8", d8_cap
 
     probe_idx = frame_indices[np.unique([0, n // 2, n - 1])]
     if traj.read_frames_packed12(probe_idx, space,
@@ -1065,10 +1174,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         leaflets.carried = assigned0
         leaflets._logged_stats = True   # frame-0 stats belong to shard 0
 
-    wire, corr_cap = _pick_wire_format(traj, frame_indices, space, n_threads)
+    batch_size_probe = _effective_batch_size()
+    group_of, n_groups, vgidx = _wire_groups(system, space)
+    wire, wire_cap = _pick_wire_format(traj, frame_indices, space, n_threads,
+                                       group_of, n_groups, batch_size_probe)
+    corr_cap = wire_cap if wire == "d8" else 0
+    esc_cap = wire_cap if wire == "s6" else 0
     from .io.native import i12_stride as _i12s
+    from .io.native import s6_stride as _s6s
 
     wire_bytes = {
+        "s6": _s6s(n_out) + (n_groups + 1) * 6 + esc_cap * 4,
         "d8": n_out * 3 + corr_cap * 6,
         "i12": _i12s(n_out),
         "i16": n_out * 6,
@@ -1111,7 +1227,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # by a serialized decode×transfer product.
     prefetch = max(2, int(os.environ.get("GORDER_TPU_PREFETCH", "4")))
     prefetch = min(prefetch, max(2, n_batches))
-    if wire == "d8":
+    if wire == "s6":
+        from .io.native import s6_stride
+
+        buffers = [
+            (np.zeros((batch_size, s6_stride(n_out)), np.uint8),
+             np.zeros((batch_size, esc_cap), np.uint16),
+             np.zeros((batch_size, esc_cap), np.int16),
+             np.zeros((batch_size, (n_groups + 1) * 3), np.int16))
+            for _ in range(prefetch)
+        ]
+    elif wire == "d8":
         buffers = [
             (np.zeros((batch_size, n_out, 3), np.int8),
              np.zeros((batch_size, corr_cap), np.int32),
@@ -1157,6 +1283,33 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     def _decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % prefetch]
+        if wire == "s6":
+            pk, eg, ev, gm = buf
+            if len(chunk) < batch_size:
+                # padding rows decode to the (masked) base frame
+                pk[len(chunk):] = 0
+                eg[len(chunk):] = 0
+                ev[len(chunk):] = 0
+                gm[len(chunk):] = 0
+            res, _ = traj.read_frames_s6(chunk, space, group_of, n_groups,
+                                         pk, eg, ev, gm,
+                                         n_threads=n_threads)
+            if res is not None:
+                base, inv_prec, boxes, times, steps = res
+                return ("s6", pk, eg, ev, gm, base), inv_prec, boxes, \
+                    len(chunk)
+            log.warning(
+                "wire fallback: batch %d exceeds the s6 format (escape "
+                "demand or value range changed mid-run); shipping int16",
+                b)
+            res = traj.read_frames_quantized(chunk, space,
+                                             n_threads=n_threads)
+            if res is not None:
+                coords, inv_prec, boxes, times, steps = res
+                out = np.zeros((batch_size, n_out, 3), np.int16)
+                out[:len(chunk)] = coords[:len(chunk)]
+                return ("i16", out), inv_prec, boxes, len(chunk)
+            return _fallback_f32(chunk)
         if wire == "d8":
             lo, ci, ch = buf
             if len(chunk) < batch_size:
@@ -1168,6 +1321,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if res is not None:
                 abs0, inv_prec, boxes, times, steps = res
                 return ("d8", lo, ci, ch, abs0), inv_prec, boxes, len(chunk)
+            log.warning(
+                "wire fallback: batch %d exceeds the d8 format (correction "
+                "demand or compression precision changed mid-run); shipping "
+                "int16", b)
             res = traj.read_frames_quantized(chunk, space,
                                              n_threads=n_threads)
             if res is not None:
@@ -1210,6 +1367,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     # constant per-run device arrays, shipped once instead of per batch
     mask_full_dev = put_frames(np.ones(batch_size, bool))
+    vgidx_dev = put_const(vgidx) if wire == "s6" else None
     geom_point_dev = None
     if geom_mode == "point":
         geom_point_dev = put_frames(np.tile(geom_point, (batch_size, 1)))
@@ -1249,7 +1407,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             kind = payload[0]
             coords_dev = None      # f32 coords (or None until reconstructed)
             quant_dev = None       # int16 absolutes awaiting dequantization
-            if kind == "d8":
+            if kind == "s6":
+                _, pk, eg, ev, gm, base = payload
+                pk_dev = put_frames(pk)
+                eg_dev = put_frames(eg)
+                ev_dev = put_frames(ev)
+                gm_dev = put_frames(gm)
+                base_dev = put_const(base)
+                jax.block_until_ready((pk_dev, eg_dev, ev_dev, gm_dev))
+                coords_dev = _s6_to_f32(pk_dev, eg_dev, ev_dev, base_dev,
+                                        gm_dev, vgidx_dev, scale_dev)
+            elif kind == "d8":
                 _, lo, ci, ch, abs0 = payload
                 lo_dev = put_frames(lo)
                 ci_dev = put_frames(ci)

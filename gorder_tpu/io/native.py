@@ -112,6 +112,22 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            lib.xtc_decode_s6.restype = ctypes.c_int32
+            lib.xtc_decode_s6.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -324,6 +340,54 @@ def xtc_decode_d8(path: str, offsets: np.ndarray, first_n: int,
         raise TrajectoryError(
             f"could not decode xtc file '{path}': {_err(lib)}")
     return rc, int(max_ncorr[0])
+
+
+def s6_stride(n_out: int) -> int:
+    """Bytes per frame for the 6-bit packed residual stream."""
+    nv4 = (n_out * 3 + 3) // 4 * 4
+    return nv4 // 4 * 3
+
+
+def xtc_decode_s6(path: str, offsets: np.ndarray, first_n: int,
+                  group_of: np.ndarray, n_groups: int, gmean_stride: int,
+                  w_base: int, base_io: np.ndarray, has_base: bool,
+                  gmean_out: np.ndarray, pack_out: np.ndarray,
+                  esc_gap_out: np.ndarray, esc_val_out: np.ndarray,
+                  inv_prec_out: np.ndarray, boxes_out: np.ndarray,
+                  times_out: np.ndarray, steps_out: np.ndarray,
+                  slot_of: np.ndarray = None, n_out: int = None,
+                  n_threads: int = 1):
+    """Smoothed-base 6-bit residual decode (see native/xdr.cpp
+    xtc_decode_s6). Caller owns all output buffers sliced to this call's
+    rows; `base_io` carries the per-batch base across multi-file segments.
+    Returns (rc, max_nesc): rc 0 ok / 1 unfit (caller re-sizes esc_cap or
+    falls back to d8)."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
+    n = len(offsets)
+    if n == 0:
+        return 0, 0
+    group_of = np.ascontiguousarray(group_of, np.int32)
+    assert len(group_of) == n_out
+    assert pack_out.shape[0] >= n and pack_out.shape[1] == s6_stride(n_out)
+    esc_cap = esc_gap_out.shape[1]
+    max_nesc = np.zeros(1, np.int32)
+    rc = lib.xtc_decode_s6(
+        path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
+        _i32p(group_of), n_groups, gmean_stride, w_base,
+        _i32p(base_io), int(has_base),
+        gmean_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        pack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        esc_gap_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        esc_val_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        esc_cap, _i32p(max_nesc),
+        _f32p(inv_prec_out), _f32p(boxes_out), _f32p(times_out),
+        _i32p(steps_out), n_threads)
+    if rc == -1:
+        raise TrajectoryError(
+            f"could not decode xtc file '{path}': {_err(lib)}")
+    return rc, int(max_nesc[0])
 
 
 def xtc_write(path: str, coords: np.ndarray, boxes: np.ndarray,

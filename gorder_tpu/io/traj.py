@@ -470,6 +470,58 @@ class Trajectory:
             return None, worst_ncorr
         return (abs0, inv_prec, boxes, times, steps), worst_ncorr
 
+    def read_frames_s6(self, frame_indices: Sequence[int], subset,
+                       group_of: np.ndarray, n_groups: int,
+                       pack_out: np.ndarray, esc_gap_out: np.ndarray,
+                       esc_val_out: np.ndarray, gmean_out: np.ndarray,
+                       n_threads: int = 1, w_base: int = 24):
+        """Decode XTC frames in the smoothed-base 6-bit residual wire
+        format (~0.77 B/value): a per-batch per-value int32 base, per-frame
+        per-group int16 medians, packed 6-bit residuals and a sparse
+        (gap u16, val i16) escape channel. Device reconstruction
+        `base + median[group] + residual` is bit-identical to the f32
+        decode (native/xdr.cpp xtc_decode_s6) with no cross-frame chain.
+
+        Fills the caller's buffers and returns ((base (n_out*3,) int32,
+        inv_precision, boxes, times, steps), max_nesc). The payload is None
+        when unsupported (non-XTC input, mixed compression precision,
+        escape demand over capacity, escape value outside int16) —
+        max_nesc still reports the demand so the caller can re-size."""
+        sub = _as_subset(subset)
+        frame_indices = np.asarray(frame_indices, np.int64)
+        if not self._all_xtc(frame_indices):
+            return None, 0
+        n = len(frame_indices)
+        base = np.zeros(sub.n_out * 3, np.int32)
+        inv_prec = np.empty(n, np.float32)
+        boxes = np.empty((n, 3, 3), np.float32)
+        times = np.empty(n, np.float32)
+        steps = np.empty(n, np.int64)
+        has_base = False
+        prev_inv = None
+        worst_nesc = 0
+        failed = False
+        for sl, f, local in self._segments(frame_indices):
+            st32 = np.empty(sl.stop - sl.start, np.int32)
+            rc, max_nesc = native.xtc_decode_s6(
+                f.path, f.offsets[local], sub.first_n, group_of, n_groups,
+                gmean_out.shape[1], w_base, base, has_base,
+                gmean_out[sl], pack_out[sl], esc_gap_out[sl],
+                esc_val_out[sl], inv_prec[sl], boxes[sl], times[sl], st32,
+                slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads)
+            worst_nesc = max(worst_nesc, max_nesc)
+            if rc != 0:
+                failed = True
+                continue  # keep scanning to report the full escape demand
+            if prev_inv is not None and inv_prec[sl.start] != prev_inv:
+                return None, worst_nesc
+            prev_inv = inv_prec[sl.stop - 1]
+            steps[sl] = st32
+            has_base = True
+        if failed:
+            return None, worst_nesc
+        return (base, inv_prec, boxes, times, steps), worst_nesc
+
     def iter_batches(self, frame_indices: Sequence[int], subset,
                      batch_size: int, n_threads: int = 1
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,

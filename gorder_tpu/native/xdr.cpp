@@ -1387,6 +1387,282 @@ int32_t xtc_decode_d8(const char *path, const int64_t *frame_offsets,
   return status.load();
 }
 
+// Smoothed-base sub-byte wire format ("s6").
+//
+// Motivation: the d8 temporal-delta format ships 8 bits/value, but the
+// information content of a frame given its neighbours is lower — thermal
+// jitter around a slowly-moving per-molecule position. s6 models exactly
+// that: per batch a per-value integer base `b` (computed as the per-value
+// median over a centered window of frames after removing each frame's
+// per-group median), per frame a per-group median M (int16, robust to
+// individual atoms wrapping across the box), and per value a residual
+//   r = c - b - M[group]
+// coded in 6 bits ([-32, 31]; out-of-range values escape to a sparse
+// (gap u16, val i16) side channel whose gap-coded positions override the
+// in-band slot, so no code point is reserved for the escape marker). Reconstruction is `c = b + M + r` — no cumsum chain, so
+// frames (and batches) are independent and bit-exact like every other
+// integer wire format. Typical membranes cost ~0.77 B/value vs d8's 1.0.
+//
+// Returns 0 ok / 1 unfit (escape demand over esc_cap — re-size and retry —
+// or group median / escape value outside int16, or mixed compression
+// precision) / -1 corruption. out_max_esc always reports the worst
+// per-frame escape demand so callers can size esc_cap.
+int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
+                      int64_t n, int32_t first_n, const int32_t *slot_of,
+                      int32_t n_out, const int32_t *group_of,
+                      int32_t n_groups, int32_t gmean_stride,
+                      int32_t w_base, int32_t *base_io, int32_t has_base,
+                      int16_t *gmean_out, uint8_t *pack_out,
+                      uint16_t *esc_gap_out, int16_t *esc_val_out,
+                      int32_t esc_cap, int32_t *out_max_esc,
+                      float *out_inv_precision, float *out_boxes,
+                      float *out_times, int32_t *out_steps,
+                      int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  const size_t nv = (size_t)n_out * 3;
+  const size_t nv4 = (nv + 3) & ~(size_t)3;
+  const size_t stride = nv4 / 4 * 3;
+
+  std::atomic<int32_t> status{0};
+  std::atomic<int32_t> max_esc{0};
+
+  // group member lists (slots sorted by group id; g < 0 slots = padding
+  // columns that decode to exact zeros, excluded from all statistics)
+  std::vector<int32_t> gcount((size_t)n_groups + 1, 0);
+  for (int32_t a = 0; a < n_out; a++) {
+    int32_t g = group_of[a];
+    if (g >= 0 && g < n_groups) gcount[(size_t)g + 1]++;
+  }
+  std::vector<int32_t> goff((size_t)n_groups + 1, 0);
+  for (int32_t g = 0; g < n_groups; g++) goff[g + 1] = goff[g] + gcount[g + 1];
+  std::vector<int32_t> gmembers((size_t)goff[n_groups]);
+  {
+    std::vector<int32_t> cursor(goff.begin(), goff.end() - 1);
+    for (int32_t a = 0; a < n_out; a++) {
+      int32_t g = group_of[a];
+      if (g >= 0 && g < n_groups) gmembers[(size_t)cursor[g]++] = a;
+    }
+  }
+
+  float p_expect = -1.0f;
+  {
+    XtcHeader h;
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[0], &h))
+      return -1;
+    p_expect = h.plain ? 1000.0f : h.precision;
+  }
+
+  auto decode_ints = [&](int64_t f, int32_t *dst, bool meta) -> int {
+    XtcHeader h;
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h))
+      return -1;
+    float p = h.plain ? 1000.0f : h.precision;
+    if (p != p_expect) return 1;  // mixed precision: integers not comparable
+    if (meta) {
+      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h.time;
+      if (out_steps) out_steps[f] = h.step;
+      if (out_inv_precision) out_inv_precision[f] = 1.0f / p;
+    }
+    I32Sink sink{dst, 0.0f};
+    bool ok;
+    if (slot_of) {
+      SlotSink<I32Sink> ss{sink, slot_of};
+      ok = decode_xtc_coords_t(h, first_n, ss);
+    } else {
+      ok = decode_xtc_coords_t(h, first_n, sink);
+    }
+    return ok ? 0 : -1;
+  };
+
+  // per-frame per-group lower medians of (c - ref) (3 axes). With
+  // ref = base the member values collapse to comparable residuals, so the
+  // median both averages the thermal jitter (~sigma/sqrt(n)) and stays
+  // robust to individual atoms wrapping across the box; with ref = null
+  // (bootstrap) it is a crude location estimate that tracks one middle
+  // member's noise — good enough to seed the base refinement below.
+  auto group_medians = [&](const int32_t *c, const int32_t *ref, int32_t *m,
+                           std::vector<int32_t> &scratch) {
+    for (int32_t g = 0; g < n_groups; g++) {
+      int32_t cnt = goff[g + 1] - goff[g];
+      if (cnt == 0) {
+        m[g * 3 + 0] = m[g * 3 + 1] = m[g * 3 + 2] = 0;
+        continue;
+      }
+      for (int k = 0; k < 3; k++) {
+        scratch.clear();
+        for (int32_t i = goff[g]; i < goff[g + 1]; i++) {
+          size_t j = (size_t)gmembers[i] * 3 + k;
+          scratch.push_back(c[j] - (ref ? ref[j] : 0));
+        }
+        auto mid = scratch.begin() + (cnt - 1) / 2;
+        std::nth_element(scratch.begin(), mid, scratch.end());
+        m[g * 3 + k] = *mid;
+      }
+    }
+  };
+
+  // ---- base: two refinement passes over a centered window.
+  // Pass 1 bootstraps a base from raw-coordinate group medians (noisy:
+  // the median of widely-spread member positions follows ONE middle
+  // atom's jitter). Pass 2 recomputes the group location as the median of
+  // residuals vs that base (now jitter-averaging) and re-derives the
+  // base against it — per-value lower medians keep every step robust to
+  // wraps/outliers inside the window.
+  if (!has_base) {
+    int64_t W = std::min<int64_t>(std::max(1, w_base), n);
+    int64_t c0 = (n - W) / 2;
+    std::vector<int32_t> tmp(W * nv, 0);
+    std::vector<int32_t> med(W * (size_t)n_groups * 3);
+    std::vector<int32_t> scratch;
+    for (int64_t t = 0; t < W; t++) {
+      int rc = decode_ints(c0 + t, tmp.data() + t * nv, false);
+      if (rc != 0) {
+        if (out_max_esc) *out_max_esc = 0;
+        return rc;
+      }
+      group_medians(tmp.data() + t * nv, nullptr,
+                    med.data() + t * (size_t)n_groups * 3, scratch);
+    }
+    std::vector<int32_t> vals((size_t)W);
+    auto rebase = [&]() {
+      for (size_t j = 0; j < nv; j++) {
+        int32_t a = (int32_t)(j / 3), k = (int32_t)(j % 3);
+        int32_t g = group_of[a];
+        for (int64_t t = 0; t < W; t++) {
+          int32_t m = (g >= 0 && g < n_groups)
+                          ? med[t * (size_t)n_groups * 3 + (size_t)g * 3 + k]
+                          : 0;
+          vals[(size_t)t] = tmp[t * nv + j] - m;
+        }
+        auto mid = vals.begin() + (W - 1) / 2;
+        std::nth_element(vals.begin(), mid, vals.end());
+        base_io[j] = *mid;
+      }
+    };
+    rebase();
+    // med := residual medians vs the bootstrap base (jitter-averaging)
+    std::vector<int32_t> base0(base_io, base_io + nv);
+    for (int64_t t = 0; t < W; t++)
+      group_medians(tmp.data() + t * nv, base0.data(),
+                    med.data() + t * (size_t)n_groups * 3, scratch);
+    for (size_t j = 0; j < nv; j++) {
+      int32_t a = (int32_t)(j / 3), k = (int32_t)(j % 3);
+      int32_t g = group_of[a];
+      for (int64_t t = 0; t < W; t++) {
+        int32_t m = (g >= 0 && g < n_groups)
+                        ? med[t * (size_t)n_groups * 3 + (size_t)g * 3 + k]
+                        : 0;
+        vals[(size_t)t] = tmp[t * nv + j] - base0[j] - m;
+      }
+      auto mid = vals.begin() + (W - 1) / 2;
+      std::nth_element(vals.begin(), mid, vals.end());
+      base_io[j] = base0[j] + *mid;
+    }
+  }
+
+  auto bump_max = [&](int32_t v) {
+    int32_t cur = max_esc.load(std::memory_order_relaxed);
+    while (v > cur && !max_esc.compare_exchange_weak(
+                          cur, v, std::memory_order_relaxed)) {
+    }
+  };
+
+  auto work = [&](int64_t lo_f, int64_t hi_f) {
+    std::vector<int32_t> cur(nv, 0);
+    std::vector<int32_t> med((size_t)n_groups * 3);
+    std::vector<int32_t> scratch;
+    for (int64_t f = lo_f; f < hi_f; f++) {
+      if (status.load() == -1) return;
+      int rc = decode_ints(f, cur.data(), true);
+      if (rc != 0) {
+        status.store(rc == -1 ? -1 : 1);
+        if (rc == -1) return;
+        continue;
+      }
+      group_medians(cur.data(), base_io, med.data(), scratch);
+      int16_t *gm = gmean_out + f * (size_t)gmean_stride;
+      bool fits = true;
+      for (int32_t g = 0; g < n_groups * 3; g++) {
+        if (med[g] < INT16_MIN || med[g] > INT16_MAX) fits = false;
+        gm[g] = (int16_t)std::max<int32_t>(
+            INT16_MIN, std::min<int32_t>(INT16_MAX, med[g]));
+      }
+      uint8_t *pk = pack_out + f * stride;
+      uint16_t *eg = esc_gap_out + (size_t)f * esc_cap;
+      int16_t *ev = esc_val_out + (size_t)f * esc_cap;
+      int32_t nesc = 0;
+      int64_t last_esc = -1;
+      uint32_t acc = 0;
+      int accn = 0;
+      size_t out = 0;
+      for (size_t j = 0; j < nv4; j++) {
+        int32_t code;
+        if (j >= nv) {
+          code = 0;  // tail padding of the 4-values-per-3-bytes stream
+        } else {
+          int32_t a = (int32_t)(j / 3), k = (int32_t)(j % 3);
+          int32_t g = group_of[a];
+          int32_t m = (g >= 0 && g < n_groups) ? med[(size_t)g * 3 + k] : 0;
+          int64_t r64 = (int64_t)cur[j] - base_io[j] - m;
+          bool esc = r64 < -32 || r64 > 31;
+          // gaps ride a u16: force a (cheap) dummy escape before overflow
+          if (!esc && (int64_t)j - last_esc >= 65535) esc = true;
+          if (esc) {
+            if (r64 < INT16_MIN || r64 > INT16_MAX) fits = false;
+            if (nesc < esc_cap) {
+              eg[nesc] = (uint16_t)((int64_t)j - last_esc);
+              ev[nesc] = (int16_t)std::max<int64_t>(
+                  INT16_MIN, std::min<int64_t>(INT16_MAX, r64));
+            } else {
+              fits = false;
+            }
+            nesc++;
+            last_esc = (int64_t)j;
+            code = 0;  // ignored: the device scatter overrides this slot
+          } else {
+            code = (int32_t)r64;
+          }
+        }
+        acc |= ((uint32_t)code & 63u) << (6 * accn);
+        if (++accn == 4) {
+          pk[out + 0] = (uint8_t)(acc & 0xFF);
+          pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
+          pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
+          out += 3;
+          acc = 0;
+          accn = 0;
+        }
+      }
+      for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
+        eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
+        ev[e] = 0;
+      }
+      bump_max(nesc);
+      if (!fits) {
+        int32_t expect = 0;
+        status.compare_exchange_strong(expect, 1);
+      }
+    }
+  };
+
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  if (out_max_esc) *out_max_esc = max_esc.load();
+  return status.load();
+}
+
 // Append frames to an XTC file (creates it when absent).
 int32_t xtc_write(const char *path, int32_t natoms, int64_t n_frames,
                   const float *coords, const float *boxes, const float *times,

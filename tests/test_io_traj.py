@@ -341,3 +341,172 @@ def test_decoder_thread_fanout_invariance(fixtures):
         got = d8(nt)
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(a, b)
+
+
+def _s6_buffers(n, n_out, n_groups, esc_cap):
+    return (np.zeros((n, native.s6_stride(n_out)), np.uint8),
+            np.zeros((n, esc_cap), np.uint16),
+            np.zeros((n, esc_cap), np.int16),
+            np.zeros((n, (n_groups + 1) * 3), np.int16))
+
+
+def _s6_vgidx(group_of, n_groups):
+    n_out = len(group_of)
+    g_rep = np.repeat(group_of, 3)
+    k_rep = np.tile(np.arange(3), n_out)
+    return np.where(g_rep >= 0, g_rep * 3 + k_rep,
+                    n_groups * 3 + k_rep).astype(np.int32)
+
+
+def test_s6_bit_identical_sparse_subset(fixtures):
+    """s6 wire (smoothed-base 6-bit residuals): device reconstruction is
+    bit-identical to the f32 decode on a sparse subset with padding
+    columns (native/xdr.cpp xtc_decode_s6; mirrors the reference's exact
+    group XTC reads, src/analysis/common.rs:283-304)."""
+    from gorder_tpu.analysis import _s6_to_f32
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg1.xtc"))
+    idx = np.arange(traj.n_frames)
+    sel = np.unique(np.concatenate([
+        np.arange(7, 900, 13), np.arange(1000, 1600, 3), [0, 16768]]))
+    sub = AtomSubset.from_indices(sel, n_out=len(sel) + 21)
+    group_of = np.full(sub.n_out, -1, np.int32)
+    group_of[:len(sel)] = np.arange(len(sel), dtype=np.int32) // 9
+    n_groups = int(group_of.max()) + 1
+
+    pk, eg, ev, gm = _s6_buffers(len(idx), sub.n_out, n_groups, 32768)
+    res, nesc = traj.read_frames_s6(idx, sub, group_of, n_groups,
+                                    pk, eg, ev, gm)
+    assert res is not None, f"unfit, demand={nesc}"
+    base, ip, boxes, times, steps = res
+
+    rec = np.asarray(_s6_to_f32(pk, eg, ev, base, gm,
+                                _s6_vgidx(group_of, n_groups), ip))
+    full, fboxes, ftimes, fsteps = traj.read_frames(idx, sub)
+    np.testing.assert_array_equal(rec[:, :len(sel)], full[:, :len(sel)])
+    # padding columns decode to exact zeros (base median of zeros)
+    np.testing.assert_array_equal(rec[:, len(sel):], 0.0)
+    np.testing.assert_array_equal(boxes, fboxes)
+    np.testing.assert_array_equal(steps, fsteps)
+
+
+def test_s6_multi_file_base_chain(fixtures):
+    """s6 across concatenated files: later segments reuse the first
+    segment's base and stay bit-identical."""
+    from gorder_tpu.analysis import _s6_to_f32
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    idx = traj.select_frames(None, None, 1)[:45]
+    assert len(np.unique(traj.frame_file[idx])) > 1  # really crosses files
+    sub = AtomSubset.prefix(2000)
+    group_of = (np.arange(2000) // 12).astype(np.int32)
+    n_groups = int(group_of.max()) + 1
+
+    pk, eg, ev, gm = _s6_buffers(len(idx), sub.n_out, n_groups, 32768)
+    res, nesc = traj.read_frames_s6(idx, sub, group_of, n_groups,
+                                    pk, eg, ev, gm)
+    assert res is not None, f"unfit, demand={nesc}"
+    base, ip, *_ = res
+    rec = np.asarray(_s6_to_f32(pk, eg, ev, base, gm,
+                                _s6_vgidx(group_of, n_groups), ip))
+    full, *_ = traj.read_frames(idx, sub)
+    np.testing.assert_array_equal(rec, full)
+
+
+def test_s6_thread_fanout_invariance(fixtures):
+    """s6 buffers are byte-identical across decoder thread counts."""
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg1.xtc"))
+    idx = np.arange(traj.n_frames)
+    sub = AtomSubset.prefix(2000)
+    group_of = (np.arange(2000) // 12).astype(np.int32)
+    n_groups = int(group_of.max()) + 1
+
+    def run(nt):
+        pk, eg, ev, gm = _s6_buffers(len(idx), sub.n_out, n_groups, 32768)
+        res, _ = traj.read_frames_s6(idx, sub, group_of, n_groups,
+                                     pk, eg, ev, gm, n_threads=nt)
+        assert res is not None
+        return pk.copy(), eg.copy(), ev.copy(), gm.copy(), res[0].copy()
+
+    ref = run(1)
+    for nt in (2, 4, 7):
+        got = run(nt)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_s6_pipeline_picked_and_equivalent(tmp_path, monkeypatch, caplog):
+    """On a closely-spaced trajectory the probe picks s6, and the full
+    pipeline result is bit-identical to a forced-f32 run."""
+    import logging
+
+    from gorder_tpu.input import Analysis, AnalysisType
+    from gorder_tpu.io.gro import write_gro
+    from gorder_tpu.system import System, canonical_bonds
+
+    rng = np.random.default_rng(5)
+    n_mol, per_mol, n_frames = 40, 30, 50
+    n_atoms = n_mol * per_mol
+    box = np.array([8.0, 8.0, 6.0], np.float32)
+    base = np.empty((n_atoms, 3), np.float32)
+    names, resids, resnames, bonds = [], [], [], []
+    for m in range(n_mol):
+        start = rng.random(3).astype(np.float32) * box
+        for a in range(per_mol):
+            i = m * per_mol + a
+            base[i] = start + rng.normal(0, 0.12, 3).astype(np.float32)
+            names.append(f"C{a + 1}" if a % 2 == 0 else f"H{a + 1}")
+            resids.append(m + 1)
+            resnames.append("MOLX")
+            if a:
+                bonds.append((i - 1, i))
+    system = System(
+        name="s6 synthetic", atom_names=np.array(names, dtype="U8"),
+        resids=np.array(resids, np.int64),
+        resnames=np.array(resnames, dtype="U8"),
+        serials=np.arange(1, n_atoms + 1, dtype=np.int64),
+        positions=base % box, box=np.diag(box).astype(np.float32))
+    system.bonds = canonical_bonds(np.asarray(bonds, np.int64))
+    gro = tmp_path / "s6.gro"
+    bnd = tmp_path / "s6.bnd"
+    write_gro(str(gro), system)
+    bnd.write_text("".join(f"{a + 1} {b + 1}\n" for a, b in system.bonds))
+
+    mol_of = np.repeat(np.arange(n_mol), per_mol)
+    drift = np.zeros((n_mol, 3), np.float32)
+    frames = np.empty((n_frames, n_atoms, 3), np.float32)
+    for t in range(n_frames):
+        drift += rng.normal(0, 0.012, (n_mol, 3)).astype(np.float32)
+        jit = rng.normal(0, 0.01, (n_atoms, 3)).astype(np.float32)
+        frames[t] = (base + drift[mol_of] + jit) % box
+    xtc = tmp_path / "s6.xtc"
+    native.xtc_write(str(xtc), frames,
+                     np.tile(np.diag(box), (n_frames, 1, 1)),
+                     np.arange(n_frames, dtype=np.float32) * 10,
+                     np.arange(n_frames, dtype=np.int32), precision=1000.0)
+
+    def run(wire):
+        if wire:
+            monkeypatch.setenv("GORDER_TPU_WIRE", wire)
+        else:
+            monkeypatch.delenv("GORDER_TPU_WIRE", raising=False)
+        analysis = Analysis(
+            structure=str(gro), bonds=str(bnd), trajectory=str(xtc),
+            analysis_type=AnalysisType.aaorder(
+                "name r'^C'", "name r'^H'"), silent=True)
+        results = analysis.run()
+        return [
+            (bond.order.total.value, bond.order.total.error)
+            for mol in results.molecules for bond in mol.bonds
+        ]
+
+    with caplog.at_level(logging.INFO, logger="gorder"):
+        auto = run(None)
+    assert any("wire format: s6" in r.getMessage() for r in caplog.records), \
+        "probe did not pick s6 on closely-spaced synthetic data"
+    assert auto == run("f32")
+    assert auto == run("s6")
