@@ -186,6 +186,7 @@ class LeafletRuntime:
     classify = None                  # device fn or None (manual table)
     frequency: Frequency = None
     manual_table: Optional[np.ndarray] = None   # (n_assignment_frames, M)
+    manual_source: str = "manual"               # 'manual' | 'ndx'
     carried: Optional[np.ndarray] = None        # (M,) last assignment
     n_molecules: int = 0
     collect_frames: Optional[List[np.ndarray]] = None  # per assignment frame
@@ -228,10 +229,15 @@ class LeafletRuntime:
         else:
             expected = (n_analyzed + self.frequency.n - 1) // self.frequency.n
         if len(self.manual_table) != expected:
-            from .errors import ManualLeafletError
+            from .errors import ManualLeafletError, NdxLeafletError
 
-            raise ManualLeafletError(
-                f"manual leaflet assignment provides "
+            err = NdxLeafletError if self.manual_source == "ndx" \
+                else ManualLeafletError
+            what = "NDX leaflet assignment provides" \
+                if self.manual_source == "ndx" \
+                else "manual leaflet assignment provides"
+            raise err(
+                f"{what} "
                 f"{len(self.manual_table)} assignment frame(s) but the "
                 f"analysis visits {expected}")
 
@@ -480,6 +486,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
         runtime.manual_table = _manual_leaflet_table(assignment, kinds)
     elif params.kind == "from_ndx":
         runtime.manual_table = _ndx_leaflet_table(system, kinds, params)
+        runtime.manual_source = "ndx"
     else:
         raise AnalysisError(
             f"leaflet classification method '{params.kind}' is not yet "
@@ -672,6 +679,11 @@ class NormalsRuntime:
     compute = None                # device fn (dynamic)
     table: Optional[np.ndarray] = None    # (F, M, 3) manual normals
     collected: Optional[List[np.ndarray]] = None
+    # geometry-restricted runs: (coords, box, geom_ref) → (B, M) bool,
+    # True when ≥1 bond of the molecule lies inside the region. The
+    # reference computes normals lazily per requesting bond
+    # (normal.rs OnceCell), so molecules with no analyzed bond export NaN.
+    molecule_inside = None
 
     def validate(self, n_analyzed: int) -> None:
         from .errors import ManualNormalError
@@ -681,8 +693,18 @@ class NormalsRuntime:
                 f"manual membrane normals provide {len(self.table)} frame(s) "
                 f"but the analysis visits {n_analyzed}")
 
+    def _collect(self, values: np.ndarray, coords_f32, box_dev, geom_ref):
+        if self.molecule_inside is not None and geom_ref is not None:
+            keep = np.asarray(
+                self.molecule_inside(coords_f32, box_dev, geom_ref)
+            )[:len(values)]
+            values = values.copy()
+            values[~keep] = np.nan
+        self.collected.append(values)
+
     def normals_for_batch(self, coords_f32, box_dev,
-                          analyzed_idx: np.ndarray, batch_size: int):
+                          analyzed_idx: np.ndarray, batch_size: int,
+                          geom_ref=None):
         from .errors import DynamicNormalError
 
         if self.mode == "manual":
@@ -691,7 +713,8 @@ class NormalsRuntime:
             out[:n_valid] = self.table[analyzed_idx]
             normals = out
             if self.collected is not None:
-                self.collected.append(self.table[analyzed_idx])
+                self._collect(np.array(self.table[analyzed_idx]),
+                              coords_f32, box_dev, geom_ref)
             return normals
         normals, counts = self.compute(coords_f32, box_dev)
         n_valid = len(analyzed_idx)
@@ -701,8 +724,43 @@ class NormalsRuntime:
                 "fewer than 3 head-group atoms within the scanning sphere of "
                 "a molecule — increase the dynamic normal radius")
         if self.collected is not None:
-            self.collected.append(np.asarray(normals[:n_valid]))
+            self._collect(np.asarray(normals[:n_valid]), coords_f32,
+                          box_dev, geom_ref)
         return normals
+
+
+def _make_molecule_inside(atom_a, atom_b, bond_mol, n_molecules: int,
+                          geom_spec, handle_pbc: bool):
+    """(coords, box_diag, geom_ref) → (B, M) bool: molecule has ≥1 bond
+    midpoint inside the geometry region (same midpoint/reference math as
+    the order kernel, core/order.py _order_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core.geometry import inside_mask
+    from .core.order import _geometry_reference
+    from .core.pbc import min_image
+
+    aa_d = jax.device_put(np.asarray(atom_a, np.int32))
+    ab_d = jax.device_put(np.asarray(atom_b, np.int32))
+    mol_d = jax.device_put(np.asarray(bond_mol, np.int32))
+
+    @jax.jit
+    def fn(coords, box_diag, geom_ref):
+        pa = jnp.take(coords, aa_d, axis=1)
+        pb = jnp.take(coords, ab_d, axis=1)
+        d = pb - pa
+        if handle_pbc:
+            d = min_image(d, box_diag[:, None, :])
+        mid = pa + d * 0.5
+        ref = _geometry_reference(coords, box_diag, geom_ref, handle_pbc)
+        geo = inside_mask(mid, ref, box_diag, geom_spec,
+                          handle_pbc).astype(jnp.float32)
+        out = jnp.zeros((coords.shape[0], n_molecules), jnp.float32)
+        out = out.at[:, mol_d].max(geo)
+        return out > 0
+
+    return fn
 
 
 def _build_normals(system: System, analysis: Analysis,
@@ -1475,7 +1533,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     coords_f32 = _dequantize(quant_dev, scale_dev)
                 if normals is not None:
                     normal_arg = normals.normals_for_batch(
-                        coords_f32, box_dev, analyzed, batch_size)
+                        coords_f32, box_dev, analyzed, batch_size,
+                        geom_ref=geom_ref)
                     normal_arg = put_frames(np.asarray(normal_arg)
                                             if isinstance(normal_arg,
                                                           np.ndarray)
@@ -1586,6 +1645,12 @@ def _run_bond_based(analysis: Analysis, shard=None, as_partial=False):
     geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
     if geom_mode == "selection":
         geom_payload = remap(geom_payload)
+    if (normals_rt is not None and normals_rt.collected is not None
+            and geom_spec is not None):
+        normals_rt.molecule_inside = _make_molecule_inside(
+            remap(compiled.atom_a), remap(compiled.atom_b),
+            compiled.molecule, compiled.n_molecules, geom_spec,
+            analysis.handle_pbc)
 
     step = make_order_step(
         remap(compiled.atom_a), remap(compiled.atom_b), compiled.bond_type,

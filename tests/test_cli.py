@@ -167,3 +167,22 @@ def test_cli_export_config_write_failure_keeps_success(cg_config, tmp_path):
     assert "could not create file" in proc.stderr
     assert (tmp_path / "order.yaml").is_file()
     assert not (tmp_path / "this_directory_does_not_exist").exists()
+
+
+def test_cli_missing_maps_output(tmp_path, fixtures):
+    """CLI requires an ordermap output directory when maps are enabled
+    (tests_bin.rs test_bin_missing_maps_output_fail;
+    src/application/mod.rs:86)."""
+    cfg = tmp_path / "maps.yaml"
+    cfg.write_text(f"""
+structure: {fixtures}/cg.tpr
+trajectory: {fixtures}/split/cg3.xtc
+type: !CGOrder
+  atoms: "@membrane"
+output: order.yaml
+map: default
+""")
+    proc = run_cli([str(cfg)], cwd=tmp_path)
+    assert proc.returncode == 1
+    assert "ordermap" in proc.stderr.lower()
+    assert not (tmp_path / "order.yaml").exists()

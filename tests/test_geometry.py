@@ -117,3 +117,72 @@ def test_invert_partitions_space_exactly():
             m_out = np.asarray(inside_mask(jnp.asarray(pts), jnp.asarray(ref),
                                            jnp.asarray(box), spec_out, pbc))
             assert np.all(m_in ^ m_out), (geo.kind, pbc)
+
+
+def _geometry_vs_leaflets(fixtures, mode, geometry):
+    """Shared body: a z>=0 geometry restriction around the membrane COG
+    must reproduce exactly the upper-leaflet values of an unrestricted
+    leaflet-wise run, with the lower leaflet empty (NaN)."""
+    import math
+
+    from gorder_tpu.input import Analysis, AnalysisType, LeafletClassification
+
+    if mode == "aa":
+        atype = AnalysisType.aaorder(
+            "@membrane and name C11 C12 C13 C14 C15 C1 C2 C3 C22 C32 "
+            "C23 C33",
+            "@membrane and element name hydrogen")
+        leaflets = LeafletClassification.global_("@membrane", "name P")
+        kwargs = dict(structure=str(fixtures / "pcpepg.tpr"),
+                      trajectory=str(fixtures / "split" / "pcpepg*.xtc"))
+    else:
+        atype = AnalysisType.cgorder(
+            "@membrane and name PO4 NC3 NH3 GL0 GL1 GL2 C1A C1B")
+        leaflets = LeafletClassification.global_("@membrane", "name PO4")
+        kwargs = dict(structure=str(fixtures / "cg.tpr"),
+                      trajectory=str(fixtures / "split" / "cg*.xtc"))
+
+    geo_results = Analysis(analysis_type=atype, geometry=geometry,
+                           leaflets=leaflets, silent=True,
+                           **kwargs).run()
+    leaf_results = Analysis(analysis_type=atype, leaflets=leaflets,
+                            silent=True, **kwargs).run()
+    n_checked = 0
+    def all_bonds(mol):
+        return mol.bonds + [b for a in mol.atoms for b in a.bonds]
+
+    for mol_g, mol_l in zip(geo_results.molecules, leaf_results.molecules):
+        for bond_g, bond_l in zip(all_bonds(mol_g), all_bonds(mol_l)):
+            assert bond_g.order.total.value == pytest.approx(
+                bond_g.order.upper.value, abs=1e-9)
+            assert bond_g.order.total.value == pytest.approx(
+                bond_l.order.upper.value, abs=1e-9)
+            assert math.isnan(bond_g.order.lower.value)
+            n_checked += 1
+    assert n_checked > 10
+
+
+def test_aa_geometry_cuboid_z_equals_upper_leaflet(fixtures):
+    """tests_aa.rs test_aa_order_geometry_cuboid_z."""
+    _geometry_vs_leaflets(fixtures, "aa", Geometry(
+        "cuboid", reference="@membrane", zdim=(0.0, 3.5)))
+
+
+def test_aa_geometry_cylinder_z_equals_upper_leaflet(fixtures):
+    """tests_aa.rs test_aa_order_geometry_cylinder_z."""
+    _geometry_vs_leaflets(fixtures, "aa", Geometry(
+        "cylinder", reference="@membrane", span=(0.0, 3.5),
+        orientation="z"))
+
+
+def test_cg_geometry_cuboid_z_equals_upper_leaflet(fixtures):
+    """tests_cg.rs test_cg_order_geometry_cuboid_z."""
+    _geometry_vs_leaflets(fixtures, "cg", Geometry(
+        "cuboid", reference="@membrane", zdim=(0.0, 3.5)))
+
+
+def test_cg_geometry_cylinder_z_equals_upper_leaflet(fixtures):
+    """tests_cg.rs test_cg_order_geometry_cylinder_z."""
+    _geometry_vs_leaflets(fixtures, "cg", Geometry(
+        "cylinder", reference="@membrane", span=(0.0, 3.5),
+        orientation="z"))

@@ -12,6 +12,7 @@ from gorder_tpu.input import (
     EstimateError,
     Frequency,
     LeafletClassification,
+    MembraneNormal,
 )
 from gorder_tpu.input.config import Geometry
 from gorder_tpu.present import write_yaml
@@ -150,6 +151,38 @@ CASES = {
             "name PO4", "name C4A C4B")),
     "cg_order_leaflets_clustering": lambda f: cg(
         f, leaflets=LeafletClassification.clustering("name PO4")),
+    # --- restricted-selection ordermap companions: the YAML of the
+    # reference's ordermap tests (tests_aa.rs test_aa_order_maps_basic /
+    # _maps_leaflets; ordermaps only add .dat outputs, the YAML depends
+    # solely on the selection)
+    "aa_order_small": lambda f: aa(
+        f, heavy="resname POPC and name C22 C24 C218"),
+    "aa_order_leaflets_small": lambda f: aa(
+        f, heavy="resname POPC and name C22 C24 C218",
+        leaflets=_global_p()),
+    # --- cylinder with explicit static center + z-inverted CG variant
+    # (tests_aa.rs test_aa_order_geometry_cylinder_static, tests_cg.rs
+    # test_cg_order_geometry_cylinder_z_inverted)
+    "aa_order_cylinder": lambda f: aa(
+        f, heavy="resname POPC and name C22 C24 C218",
+        geometry=Geometry("cylinder", reference=(8.0, 2.0, 0.0),
+                          radius=2.5, orientation="z")),
+    "cg_order_cylinder_z_inverted": lambda f: cg(
+        f, geometry=Geometry("cylinder", reference=(3.0, 3.0, 3.0),
+                             radius=4.0, orientation="z", invert=True)),
+    # --- dynamic membrane normal + once-frequency individual leaflets
+    # (tests_aa.rs test_aa_order_leaflets_dynamic_membrane_normal_yaml,
+    # tests_cg.rs test_cg_order_leaflets_dynamic_membrane_normal_yaml)
+    "aa_order_leaflets_dynamic": lambda f: aa(
+        f, membrane_normal=MembraneNormal.dynamic("name P", 2.0),
+        leaflets=LeafletClassification.individual(
+            "name P", "name C218 C316").with_membrane_normal(
+            "z").with_frequency(Frequency.once())),
+    "cg_order_leaflets_dynamic": lambda f: cg(
+        f, membrane_normal=MembraneNormal.dynamic("name PO4", 2.0),
+        leaflets=LeafletClassification.individual(
+            "name PO4", "name C4A C4B").with_membrane_normal(
+            "z").with_frequency(Frequency.once())),
     # --- UA geometry (tests_ua.rs)
     "ua_order_cuboid_point": lambda f: ua(
         f, geometry=Geometry("cuboid", reference=(1.5, 2.5, 0.0),
@@ -476,11 +509,13 @@ def test_aa_ordermaps_basic_and_leaflets(fixtures, tmp_path):
                     "bin_size": [0.1, 4.0], "min_samples": 5}))
     results = Analysis(**params).run()
     write_ordermaps(results, str(out_dir))
-    for name in ("ordermap_POPC-C218-87--POPC-H18R-88_full.dat",
-                 "ordermap_POPC-C22-32_upper.dat",
-                 "ordermap_POPC-C24-47--POPC-H4S-49_lower.dat",
-                 "ordermap_average_full.dat",
-                 "ordermap_average_upper.dat"):
+    # sweep EVERY golden grid the reference stores for this config — the
+    # whole tests/files/ordermaps directory comes from this one run
+    names = sorted(p.name for p in (fixtures / "ordermaps").glob("*.dat")
+                   if p.name.startswith(("ordermap_POPC-",
+                                         "ordermap_average_")))
+    assert len(names) >= 30, names
+    for name in names:
         mine = _load_map(out_dir / "POPC" / name)
         ref = _load_map(fixtures / "ordermaps" / name)
         np.testing.assert_array_equal(mine[:, :2], ref[:, :2])
@@ -491,4 +526,46 @@ def test_aa_ordermaps_basic_and_leaflets(fixtures, tmp_path):
         diff = np.abs(va[both] - vb[both])
         assert np.median(diff) <= 5e-3, (name, np.median(diff))
         assert (diff > 0.05).mean() <= 0.10, (name, np.sort(diff)[-5:])
+        assert diff.max() <= 0.25, (name, diff.max())
+
+
+@pytest.mark.parametrize("mode", ["aa", "cg"])
+def test_ordermaps_leaflets_full_system_averages(mode, fixtures, tmp_path):
+    """System-wide average ordermaps (full/upper/lower) for a
+    whole-membrane leaflet-wise run vs the reference's ordermaps/full and
+    ordermaps_cg/full goldens (tests_aa.rs test_aa_order_maps_leaflets_full,
+    tests_cg.rs test_cg_order_maps_leaflets_full)."""
+    import numpy as np
+
+    from gorder_tpu.input import OrderMapParams
+    from gorder_tpu.present.ordermaps_out import write_ordermaps
+
+    out_dir = tmp_path / "maps"
+    if mode == "aa":
+        params = aa(fixtures, leaflets=_global_p(),
+                    map=OrderMapParams.parse({
+                        "output_directory": str(out_dir),
+                        "bin_size": [0.1, 4.0], "min_samples": 5}))
+        golden_dir = fixtures / "ordermaps" / "full"
+    else:
+        params = cg(fixtures,
+                    leaflets=LeafletClassification.global_(
+                        "@membrane", "name PO4"),
+                    map=OrderMapParams.parse({
+                        "output_directory": str(out_dir),
+                        "bin_size": [1.0, 1.0], "min_samples": 10}))
+        golden_dir = fixtures / "ordermaps_cg" / "full"
+    results = Analysis(**params).run()
+    write_ordermaps(results, str(out_dir))
+    for name in ("ordermap_average_full.dat", "ordermap_average_upper.dat",
+                 "ordermap_average_lower.dat"):
+        mine = _load_map(out_dir / name)
+        ref = _load_map(golden_dir / name)
+        np.testing.assert_array_equal(mine[:, :2], ref[:, :2])
+        va, vb = mine[:, 2], ref[:, 2]
+        both = ~(np.isnan(va) | np.isnan(vb))
+        assert (np.isnan(va) != np.isnan(vb)).sum() <= max(
+            3, len(va) // 25), name
+        diff = np.abs(va[both] - vb[both])
+        assert np.median(diff) <= 5e-3, (name, np.median(diff))
         assert diff.max() <= 0.25, (name, diff.max())

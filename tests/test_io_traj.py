@@ -501,11 +501,13 @@ def test_s6_pipeline_picked_and_equivalent(tmp_path, monkeypatch, caplog):
         results = analysis.run()
         return [
             (bond.order.total.value, bond.order.total.error)
-            for mol in results.molecules for bond in mol.bonds
+            for mol in results.molecules
+            for bond in mol.bonds + [b for a in mol.atoms for b in a.bonds]
         ]
 
     with caplog.at_level(logging.INFO, logger="gorder"):
         auto = run(None)
+    assert len(auto) > 10   # real values, not an empty comparison
     assert any("wire format: s6" in r.getMessage() for r in caplog.records), \
         "probe did not pick s6 on closely-spaced synthetic data"
     assert auto == run("f32")

@@ -165,3 +165,33 @@ def test_manual_file_nonexistent_and_invalid(fixtures, tmp_path):
         leaflets = LeafletClassification.from_file(path)
         with pytest.raises(ManualLeafletError, match=match):
             cg_analysis(fixtures, leaflets).run()
+
+
+def test_manual_invalid_molecule_count(fixtures):
+    """Per-frame assignment lists whose molecule count does not match the
+    system fail (tests_aa.rs/tests_cg.rs
+    *_from_file/_from_map_fail_invalid_number_of_molecules)."""
+    # cg fixture has 242 POPC molecules; supply 241
+    leaflets = LeafletClassification.from_map({"POPC": [[1] * 241]})
+    leaflets.with_frequency(Frequency.once())
+    with pytest.raises(ManualLeafletError):
+        cg_analysis(fixtures, leaflets).run()
+
+
+def test_ndx_wrong_file_count(fixtures):
+    """from_ndx needs exactly one NDX file per assignment frame — too few
+    and too many both fail (tests_aa.rs
+    test_aa_order_leaflets_from_ndx_fail_missing_ndx / _too_many_ndx)."""
+    one = str(fixtures / "ndx" / "cg_leaflets.ndx")
+    # every(10) over 101 frames needs 11 assignment frames; 5 files fail
+    leaflets = LeafletClassification.from_ndx(
+        [one] * 5, "name PO4", "Upper", "Lower")
+    leaflets.with_frequency(Frequency.every(10))
+    with pytest.raises(NdxLeafletError):
+        cg_analysis(fixtures, leaflets).run()
+    # 101 files for frequency once (needs exactly 1) fail too
+    leaflets = LeafletClassification.from_ndx(
+        [one] * 101, "name PO4", "Upper", "Lower")
+    leaflets.with_frequency(Frequency.once())
+    with pytest.raises(NdxLeafletError):
+        cg_analysis(fixtures, leaflets).run()

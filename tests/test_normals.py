@@ -240,3 +240,53 @@ def test_manual_normals_unexpected_moltype(fixtures):
         step=21, silent=True, overwrite=True)
     with pytest.raises(ManualNormalError, match="not found in the system"):
         analysis.run()
+
+
+def test_normals_export_incomplete(fixtures, tmp_path):
+    """Dynamic-normal export when geometry restriction leaves molecules
+    without analyzed bonds in some frames: NaN rows must match the
+    reference golden exactly, values up to the PCA sign ambiguity
+    (tests_aa.rs test_aa_order_dynamic_normals_export_incomplete,
+    normals_incomplete.yaml)."""
+    from gorder_tpu.input.config import Geometry
+
+    analysis = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=[str(fixtures / "split" / f"pcpepg{i}.xtc")
+                    for i in range(1, 6)],
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        membrane_normal=MembraneNormal.dynamic("name P", 2.0, collect=True),
+        geometry=Geometry("cylinder", radius=2.5, orientation="z"),
+        step=10,
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    out = tmp_path / "normals.yaml"
+    write_normals(results, str(out))
+
+    def load(path):
+        text = "\n".join(l for l in open(path).read().splitlines()
+                         if not l.startswith("#"))
+        return yaml.safe_load(text)
+
+    mine = load(str(out))
+    golden = load(str(fixtures / "normals_incomplete.yaml"))
+    assert list(mine) == list(golden)
+    n_nan = n_val = 0
+    for mol in golden:
+        a = np.asarray(mine[mol], np.float64)
+        b = np.asarray(golden[mol], np.float64)
+        assert a.shape == b.shape
+        nan_a, nan_b = np.isnan(a), np.isnan(b)
+        # NaN pattern (which molecules missed the geometry in which
+        # frames) matches up to re-encoded-fixture boundary flips
+        assert (nan_a != nan_b).mean() <= 0.02, mol
+        both = ~(nan_a.any(axis=-1) | nan_b.any(axis=-1))
+        direct = np.abs(a[both] - b[both]).max(axis=-1)
+        flipped = np.abs(a[both] + b[both]).max(axis=-1)
+        assert np.minimum(direct, flipped).max() < 5e-3, mol
+        n_nan += int(nan_b.any(axis=-1).sum())
+        n_val += int(both.sum())
+    assert n_nan > 0 and n_val > 0  # genuinely "incomplete"
