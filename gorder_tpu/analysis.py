@@ -880,42 +880,33 @@ def _static_normal(analysis: Analysis):
     return axis, normal_vec
 
 
-def _unpack12(packed_u8, first_n: int):
-    """Device-side unpack of 12-bit packed XTC integers (io/native.py
-    i12 layout: two two's-complement values per 3 bytes) → (B, first_n, 3)
-    int16, bit-identical to the int16 decode path."""
-    import functools
+import functools as _functools
 
+
+@_functools.lru_cache(maxsize=None)
+def _device_codecs():
+    """Build the per-batch device-side wire decoders ONCE per process.
+
+    These run every batch; constructing the jitted closures per call would
+    re-trace each time (tens of ms of single-core Python per batch — the
+    driver shares that core with the decode thread)."""
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def unpack(p, n):
+    @_functools.partial(jax.jit, static_argnames=("n",))
+    def unpack12(p, n):
         b0 = p[:, 0::3].astype(jnp.int32)
         b1 = p[:, 1::3].astype(jnp.int32)
         b2 = p[:, 2::3].astype(jnp.int32)
         v0 = (b0 | ((b1 & 0xF) << 8))
         v1 = ((b1 >> 4) | (b2 << 4))
-        v0 = (v0 ^ 0x800) - 0x800   # sign-extend 12 → 32 bits
+        v0 = (v0 ^ 0x800) - 0x800   # sign-extend 12 -> 32 bits
         v1 = (v1 ^ 0x800) - 0x800
         vals = jnp.stack([v0, v1], axis=-1).reshape(p.shape[0], -1)
         return vals[:, :n * 3].reshape(p.shape[0], n, 3).astype(jnp.int16)
 
-    return unpack(packed_u8, first_n)
-
-
-def _d8_to_f32(lo_i8, corr_idx, corr_hi, abs0, inv_prec):
-    """Device-side reconstruction of the temporal-delta wire format
-    (io/traj.py read_frames_delta8): scatter the sparse high-bit
-    corrections, cumulative-sum the deltas over the batch axis on top of
-    the absolute base frame, dequantize. Bit-identical to the host f32
-    decode for any XTC integer below 2^24 (both sides perform the same
-    f32(int) * inv_precision conversion)."""
-    import jax
-    import jax.numpy as jnp
-
     @jax.jit
-    def reconstruct(lo, ci, ch, a0, ip):
+    def d8(lo, ci, ch, a0, ip):
         b, n, _ = lo.shape
         nv = n * 3
         delta = lo.astype(jnp.int32).reshape(b, nv)
@@ -926,21 +917,8 @@ def _d8_to_f32(lo_i8, corr_idx, corr_hi, abs0, inv_prec):
         absr = a0.reshape(1, nv).astype(jnp.int32) + jnp.cumsum(delta, axis=0)
         return (absr.astype(jnp.float32) * ip[:, None]).reshape(b, n, 3)
 
-    return reconstruct(lo_i8, corr_idx, corr_hi, abs0, inv_prec)
-
-
-def _s6_to_f32(pack_u8, esc_gap, esc_val, base, gmean, vgidx, inv_prec):
-    """Device-side reconstruction of the smoothed-base 6-bit wire format
-    (io/traj.py read_frames_s6): unpack the 6-bit residual codes, scatter
-    the sparse escape channel (gap-coded positions), add the per-batch
-    base and the gathered per-frame per-group medians, dequantize. No
-    cross-frame chain (unlike d8's cumsum), so frames are independent.
-    Bit-identical to the host f32 decode."""
-    import jax
-    import jax.numpy as jnp
-
     @jax.jit
-    def reconstruct(pk, gp, vl, bs, gm, vg, ip):
+    def s6(pk, gp, vl, bs, gm, vg, ip):
         b = pk.shape[0]
         trip = pk.reshape(b, -1, 3).astype(jnp.uint32)
         u = trip[..., 0] | (trip[..., 1] << 8) | (trip[..., 2] << 16)
@@ -950,7 +928,7 @@ def _s6_to_f32(pack_u8, esc_gap, esc_val, base, gmean, vgidx, inv_prec):
         nv = vg.shape[0]
         r = codes[:, :nv]
         pos = jnp.cumsum(gp.astype(jnp.int32), axis=1) - 1
-        pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding → dropped
+        pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding -> dropped
         r = r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int32),
                                                   mode="drop")
         gmv = jnp.take(gm.astype(jnp.int32), vg, axis=1)
@@ -958,8 +936,39 @@ def _s6_to_f32(pack_u8, esc_gap, esc_val, base, gmean, vgidx, inv_prec):
         return (absr.astype(jnp.float32) * ip[:, None]).reshape(
             b, nv // 3, 3)
 
-    return reconstruct(pack_u8, esc_gap, esc_val, base, gmean, vgidx,
-                       inv_prec)
+    @jax.jit
+    def dequant(q, s):
+        return q.astype(jnp.float32) * s[:, None, None]
+
+    return unpack12, d8, s6, dequant
+
+
+def _unpack12(packed_u8, first_n: int):
+    """Device-side unpack of 12-bit packed XTC integers (io/native.py
+    i12 layout: two two's-complement values per 3 bytes) → (B, first_n, 3)
+    int16, bit-identical to the int16 decode path."""
+    return _device_codecs()[0](packed_u8, first_n)
+
+
+def _d8_to_f32(lo_i8, corr_idx, corr_hi, abs0, inv_prec):
+    """Device-side reconstruction of the temporal-delta wire format
+    (io/traj.py read_frames_delta8): scatter the sparse high-bit
+    corrections, cumulative-sum the deltas over the batch axis on top of
+    the absolute base frame, dequantize. Bit-identical to the host f32
+    decode for any XTC integer below 2^24 (both sides perform the same
+    f32(int) * inv_precision conversion)."""
+    return _device_codecs()[1](lo_i8, corr_idx, corr_hi, abs0, inv_prec)
+
+
+def _s6_to_f32(pack_u8, esc_gap, esc_val, base, gmean, vgidx, inv_prec):
+    """Device-side reconstruction of the smoothed-base 6-bit wire format
+    (io/traj.py read_frames_s6): unpack the 6-bit residual codes, scatter
+    the sparse escape channel (gap-coded positions), add the per-batch
+    base and the gathered per-frame per-group medians, dequantize. No
+    cross-frame chain (unlike d8's cumsum), so frames are independent.
+    Bit-identical to the host f32 decode."""
+    return _device_codecs()[2](pack_u8, esc_gap, esc_val, base, gmean,
+                               vgidx, inv_prec)
 
 
 def _wire_groups(system: System, space: AtomSubset):
@@ -983,14 +992,7 @@ def _wire_groups(system: System, space: AtomSubset):
 
 def _dequantize(coords_i16, inv_prec):
     """int16 XTC integers → f32 nm, bit-identical to the host conversion."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def convert(q, s):
-        return q.astype(jnp.float32) * s[:, None, None]
-
-    return convert(coords_i16, inv_prec)
+    return _device_codecs()[3](coords_i16, inv_prec)
 
 
 def _prepare_geometry(system: System, analysis: Analysis):

@@ -59,24 +59,28 @@ def test_slump_costs_its_duration_not_a_product(fixtures, monkeypatch):
     """An injected transfer slump degrades the run by ~the slump duration:
     decode keeps running into the prefetch ring, so the loss is additive,
     not multiplicative (VERDICT round 2, item 3)."""
-    base_wall, base_values = _run(fixtures, monkeypatch)
-
     sleep_s = 0.3
     slow = (5, 6, 7)
-    slump_wall, slump_values = _run(fixtures, monkeypatch,
-                                    slow_batches=slow, sleep_s=sleep_s)
-    assert slump_values == base_values  # weather never changes results
-
     injected = sleep_s * len(slow)
-    overhead = slump_wall - base_wall
-    # proportional: the overhead is the injected stall plus scheduling
-    # noise, never a serialized decode x transfer product (which would be
-    # >= 2x the injected time on this decode-heavy config)
-    assert overhead < injected * 1.5 + 1.0, (
-        f"slump cost {overhead:.2f}s for {injected:.2f}s injected"
-    )
-    # sanity: the injections actually happened
-    assert overhead > injected * 0.5 - 0.5
+    # wall-clock bounds on a shared machine are noisy: retry the timing
+    # comparison (correctness equality stays unconditional)
+    for attempt in range(3):
+        base_wall, base_values = _run(fixtures, monkeypatch)
+        slump_wall, slump_values = _run(fixtures, monkeypatch,
+                                        slow_batches=slow, sleep_s=sleep_s)
+        assert slump_values == base_values  # weather never changes results
+
+        overhead = slump_wall - base_wall
+        # proportional: the overhead is the injected stall plus scheduling
+        # noise, never a serialized decode x transfer product (which would
+        # be >= 2x the injected time on this decode-heavy config)
+        timing_ok = (overhead < injected * 1.5 + 1.0
+                     and overhead > injected * 0.5 - 0.5)
+        if timing_ok:
+            return
+    raise AssertionError(
+        f"slump cost {overhead:.2f}s for {injected:.2f}s injected "
+        f"(3 attempts)")
 
 
 @requires_fixtures
