@@ -1476,29 +1476,35 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
     return ok ? 0 : -1;
   };
 
-  // per-frame per-group lower medians of (c - ref) (3 axes). With
-  // ref = base the member values collapse to comparable residuals, so the
-  // median both averages the thermal jitter (~sigma/sqrt(n)) and stays
-  // robust to individual atoms wrapping across the box; with ref = null
+  // Per-frame per-group lower medians of (c - ref) (3 axes), computed on
+  // a deterministic strided sample of at most 25 members. With ref = base
+  // the member values collapse to comparable residuals, so the sample
+  // median both averages the thermal jitter (~1.25*sigma/5) and stays
+  // robust to individual atoms wrapping across the box, at O(25) per
+  // group instead of O(group size) — this runs once per frame per group
+  // per axis and dominates the encoder's hot path. With ref = null
   // (bootstrap) it is a crude location estimate that tracks one middle
   // member's noise — good enough to seed the base refinement below.
+  constexpr int32_t kMedSample = 25;
   auto group_medians = [&](const int32_t *c, const int32_t *ref, int32_t *m,
                            std::vector<int32_t> &scratch) {
+    (void)scratch;
+    int32_t buf[kMedSample];
     for (int32_t g = 0; g < n_groups; g++) {
       int32_t cnt = goff[g + 1] - goff[g];
       if (cnt == 0) {
         m[g * 3 + 0] = m[g * 3 + 1] = m[g * 3 + 2] = 0;
         continue;
       }
+      int32_t ns = cnt < kMedSample ? cnt : kMedSample;
       for (int k = 0; k < 3; k++) {
-        scratch.clear();
-        for (int32_t i = goff[g]; i < goff[g + 1]; i++) {
+        for (int32_t t = 0; t < ns; t++) {
+          int32_t i = goff[g] + (int32_t)((int64_t)t * cnt / ns);
           size_t j = (size_t)gmembers[i] * 3 + k;
-          scratch.push_back(c[j] - (ref ? ref[j] : 0));
+          buf[t] = c[j] - (ref ? ref[j] : 0);
         }
-        auto mid = scratch.begin() + (cnt - 1) / 2;
-        std::nth_element(scratch.begin(), mid, scratch.end());
-        m[g * 3 + k] = *mid;
+        std::nth_element(buf, buf + (ns - 1) / 2, buf + ns);
+        m[g * 3 + k] = buf[(ns - 1) / 2];
       }
     }
   };
@@ -1594,37 +1600,12 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
       int16_t *ev = esc_val_out + (size_t)f * esc_cap;
       int32_t nesc = 0;
       int64_t last_esc = -1;
+      int64_t next_force = 65534;  // last_esc + 65535: u16 gap ceiling
       uint32_t acc = 0;
       int accn = 0;
       size_t out = 0;
-      for (size_t j = 0; j < nv4; j++) {
-        int32_t code;
-        if (j >= nv) {
-          code = 0;  // tail padding of the 4-values-per-3-bytes stream
-        } else {
-          int32_t a = (int32_t)(j / 3), k = (int32_t)(j % 3);
-          int32_t g = group_of[a];
-          int32_t m = (g >= 0 && g < n_groups) ? med[(size_t)g * 3 + k] : 0;
-          int64_t r64 = (int64_t)cur[j] - base_io[j] - m;
-          bool esc = r64 < -32 || r64 > 31;
-          // gaps ride a u16: force a (cheap) dummy escape before overflow
-          if (!esc && (int64_t)j - last_esc >= 65535) esc = true;
-          if (esc) {
-            if (r64 < INT16_MIN || r64 > INT16_MAX) fits = false;
-            if (nesc < esc_cap) {
-              eg[nesc] = (uint16_t)((int64_t)j - last_esc);
-              ev[nesc] = (int16_t)std::max<int64_t>(
-                  INT16_MIN, std::min<int64_t>(INT16_MAX, r64));
-            } else {
-              fits = false;
-            }
-            nesc++;
-            last_esc = (int64_t)j;
-            code = 0;  // ignored: the device scatter overrides this slot
-          } else {
-            code = (int32_t)r64;
-          }
-        }
+      static const int32_t kZero3[3] = {0, 0, 0};
+      auto flush = [&](int32_t code) {
         acc |= ((uint32_t)code & 63u) << (6 * accn);
         if (++accn == 4) {
           pk[out + 0] = (uint8_t)(acc & 0xFF);
@@ -1634,6 +1615,37 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
           acc = 0;
           accn = 0;
         }
+      };
+      for (size_t j = 0; j < nv; j += 3) {
+        int32_t g = group_of[j / 3];
+        const int32_t *mg = (g >= 0 && g < n_groups)
+                                ? med.data() + (size_t)g * 3
+                                : kZero3;
+        for (int k = 0; k < 3; k++) {
+          // XTC ints are < 2^24 and |median| <= 2^15, so int32 is exact
+          int32_t r = cur[j + k] - base_io[j + k] - mg[k];
+          // single unsigned compare: r < -32 || r > 31
+          if ((uint32_t)(r + 32) <= 63u &&
+              (int64_t)(j + k) < next_force) {
+            flush(r);
+            continue;
+          }
+          if (r < INT16_MIN || r > INT16_MAX) fits = false;
+          if (nesc < esc_cap) {
+            eg[nesc] = (uint16_t)((int64_t)(j + k) - last_esc);
+            ev[nesc] = (int16_t)std::max<int32_t>(
+                INT16_MIN, std::min<int32_t>(INT16_MAX, r));
+          } else {
+            fits = false;
+          }
+          nesc++;
+          last_esc = (int64_t)(j + k);
+          next_force = last_esc + 65535;
+          flush(0);  // ignored: the device scatter overrides this slot
+        }
+      }
+      for (size_t j = nv; j < nv4; j++) {
+        flush(0);  // tail padding of the 4-values-per-3-bytes stream
       }
       for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
         eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
