@@ -196,6 +196,58 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     return out, map_state
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
+                     "quantized", "map_spec", "n_types"),
+)
+def _map_only_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
+                   bond_mol, leaflet_classes, inv_scale, bond_type_ids,
+                   map_state, *, handle_pbc, with_leaflets, normal_mode,
+                   quantized, map_spec, n_types):
+    """Ordermap tile accumulation only — the hybrid companion of the
+    Pallas fast path (ops/pallas_p2.py): the per-type reduction runs in
+    the fused kernel while this program feeds XLA's scatter engine with
+    the same per-sample math (ordermap.rs:21-200's add_order analogue).
+    The displacement/P2 math is recomputed rather than shipped between
+    the two programs — it is a few fused elementwise passes, cheaper
+    than materializing (B, N) intermediates through HBM twice."""
+    from .ordermap import map_cells, update_maps
+
+    if quantized:
+        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
+    pa = jnp.take(coords, atom_a, axis=1)
+    pb = jnp.take(coords, atom_b, axis=1)
+    d = pb - pa
+    if handle_pbc:
+        d = min_image(d, box_diag[:, None, :])
+
+    if normal_mode == "static":
+        proj = jnp.einsum("bnc,c->bn", d, normal)
+        n2 = jnp.float32(1.0)
+    else:
+        per_bond_normal = jnp.take(normal, bond_mol, axis=1)
+        proj = jnp.sum(d * per_bond_normal, axis=-1)
+        n2 = jnp.maximum(
+            jnp.sum(per_bond_normal * per_bond_normal, axis=-1), 1e-18)
+
+    d2 = jnp.sum(d * d, axis=-1)
+    cos2 = (proj * proj) / (jnp.maximum(d2, 1e-18) * n2)
+    sch = 1.5 * cos2 - 0.5
+
+    ones = jnp.broadcast_to(
+        frame_mask[:, None].astype(jnp.float32), sch.shape)
+    masks = {"total": ones}
+    if with_leaflets:
+        cls = jnp.take(leaflet_classes, bond_mol, axis=1)
+        masks["upper"] = ones * (cls == 0)
+        masks["lower"] = ones * (cls == 1)
+
+    mid = pa + d * 0.5
+    cells, _ = map_cells(mid, map_spec, bond_type_ids, n_types)
+    return update_maps(map_state, sch, cells, masks)
+
+
 def make_order_step(
     atom_a: np.ndarray,
     atom_b: np.ndarray,
@@ -240,7 +292,8 @@ def make_order_step(
         fast_step = make_pallas_order_step(
             np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
             np.asarray(bond_type, np.int32), np.asarray(bond_mol, np.int32),
-            n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets)
+            n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+            normal_mode=normal_mode)
 
     def _single_device(x):
         s = getattr(x, "sharding", None)
@@ -250,11 +303,23 @@ def make_order_step(
              inv_scale=None, map_state=None, geom_ref=None):
         if (fast_step is not None
                 and (leaflet_classes is not None) == with_leaflets
-                and map_state is None and geom_ref is None
+                and geom_ref is None
                 and coords.shape[0] % 8 == 0 and _single_device(coords)):
-            return fast_step(coords, box_diag, normal, frame_mask,
-                             leaflet_classes=leaflet_classes,
-                             inv_scale=inv_scale)
+            out, _ = fast_step(coords, box_diag, normal, frame_mask,
+                               leaflet_classes=leaflet_classes,
+                               inv_scale=inv_scale)
+            if map_state is not None:
+                map_state = _map_only_step(
+                    coords, box_diag, normal, frame_mask,
+                    atom_a_d, atom_b_d, bond_mol_d,
+                    leaflet_classes if leaflet_classes is not None
+                    else dummy_classes,
+                    inv_scale, bond_type_d, map_state,
+                    handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+                    normal_mode=normal_mode,
+                    quantized=inv_scale is not None,
+                    map_spec=map_spec, n_types=n_types)
+            return out, map_state
         return _order_step(
             coords, box_diag, normal, frame_mask,
             atom_a_d, atom_b_d, bond_mol_d, onehot_d,

@@ -23,12 +23,18 @@ the two paths agree per bond type to |Δsum| ≤ n_samples quanta — orders
 of magnitude inside the 1e-5 reference-parity bar. Asserted by
 tests/test_pallas.py in interpret mode.
 
-Scope: bond-based analysis with a static membrane normal, with or
-without leaflet classification (the two most common real configurations,
-leaflets.rs Global/Local/Individual/manual → per-molecule classes).
-Ordermaps, geometry selection and per-molecule normals use the XLA path.
-Selection: GORDER_TPU_PALLAS=1 forces on (interpreted off-TPU), =0
-forces off, unset → enabled exactly on real TPU backends.
+Scope: bond-based analysis with a static OR per-molecule (dynamic /
+manual / vesicle) membrane normal, with or without leaflet
+classification (leaflets.rs Global/Local/Individual/manual →
+per-molecule classes; normal.rs:179-199 → per-molecule normals gathered
+to a per-bond (Bt × Nt) plane outside the kernel). Ordermap
+configurations also ride this kernel for the per-type reduction; the
+map-tile accumulation itself stays on XLA's scatter engine
+(core/ordermap.py segment_sum) because a one-sample-one-cell scatter is
+not a fusion/MXU problem — see core/order.py make_order_step. Geometry
+selection uses the XLA path. Selection: GORDER_TPU_PALLAS=1 forces on
+(interpreted off-TPU), =0 forces off, unset → enabled exactly on real
+TPU backends.
 """
 
 from __future__ import annotations
@@ -50,13 +56,15 @@ _TP = 128      # padded bond-type count (lane width of the output)
 
 def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
                      n_types: int) -> bool:
-    """Whether the fused kernel covers this configuration."""
+    """Whether the fused kernel covers this configuration's type
+    reduction (ordermap tile scatter composes with it — see
+    core/order.py make_order_step's hybrid routing)."""
     flag = os.environ.get("GORDER_TPU_PALLAS")
     if flag == "0":
         return False
-    if normal_mode != "static":
+    if normal_mode not in ("static", "per_molecule"):
         return False
-    if map_spec is not None or geom_spec is not None:
+    if geom_spec is not None:
         return False
     if n_types > _TP:
         return False
@@ -65,9 +73,13 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
     return jax.default_backend() == "tpu"
 
 
-def _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, *,
-              handle_pbc):
-    """Shared tile math: displacements → exact 7-bit quantization limbs."""
+def _p2_limbs(nrm_refs, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, *,
+              handle_pbc, per_bond_normal):
+    """Shared tile math: displacements → exact 7-bit quantization limbs.
+
+    nrm_refs is a single (1, 3) ref for the static normal, or three
+    (Bt, Nt) per-bond plane refs (gathered from the per-molecule normals
+    outside the kernel) for the dynamic/manual variant."""
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
@@ -78,12 +90,20 @@ def _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, *,
         dx = dx - bx * jnp.round(dx / bx)    # min_image (core/pbc.py)
         dy = dy - by * jnp.round(dy / by)
         dz = dz - bz * jnp.round(dz / bz)
-    nx = nrm_ref[0, 0]
-    ny = nrm_ref[0, 1]
-    nz = nrm_ref[0, 2]
-    proj = dx * nx + dy * ny + dz * nz
     d2 = dx * dx + dy * dy + dz * dz
-    cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
+    if per_bond_normal:
+        nx = nrm_refs[0][:]
+        ny = nrm_refs[1][:]
+        nz = nrm_refs[2][:]
+        proj = dx * nx + dy * ny + dz * nz
+        n2 = jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-18)
+        cos2 = (proj * proj) / (jnp.maximum(d2, 1e-18) * n2)
+    else:
+        nx = nrm_refs[0][0, 0]
+        ny = nrm_refs[0][0, 1]
+        nz = nrm_refs[0][0, 2]
+        proj = dx * nx + dy * ny + dz * nz
+        cos2 = (proj * proj) / jnp.maximum(d2, 1e-18)
     sch = 1.5 * cos2 - 0.5
     # reference-exact quantization — same pure-f32 two-product rounding as
     # the XLA path (core/order.py quantize_split)
@@ -106,31 +126,36 @@ def _accumulate(out_refs, parts):
             ref[:] = ref[:] + part
 
 
-def _p2_kernel(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref,
-               mask_ref, oh_ref, *out_refs, handle_pbc):
-    l2, l1, l0 = _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref,
-                           bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc)
+def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets):
+    """Grid-step body. Ref order:
+    <normal refs> dx dy dz bx by bz mask [cls] onehot *outs, where the
+    normal refs are one (1, 3) ref (static) or three (Bt, Nt) planes
+    (per-bond). Without leaflets: 4 accumulators [l2, l1, l0, count];
+    with leaflets: 12 — the same quadruple for the total membrane and each
+    leaflet, masked by the per-bond class plane (0 = upper, 1 = lower;
+    bond.rs add_order's three-way accumulation)."""
+    nn = 3 if per_bond_normal else 1
+    nrm_refs = refs[:nn]
+    dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, mask_ref = \
+        refs[nn:nn + 7]
+    rest = refs[nn + 7:]
+    if with_leaflets:
+        cls_ref, oh_ref = rest[0], rest[1]
+        out_refs = rest[2:]
+    else:
+        oh_ref = rest[0]
+        out_refs = rest[1:]
+
+    l2, l1, l0 = _p2_limbs(nrm_refs, dx_ref, dy_ref, dz_ref,
+                           bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc,
+                           per_bond_normal=per_bond_normal)
     m = jnp.broadcast_to(mask_ref[:], l0.shape)        # (Bt, Nt)
+    if with_leaflets:
+        cls = cls_ref[:]
+        masks = (m, m * (cls == 0.0), m * (cls == 1.0))
+    else:
+        masks = (m,)
     oh = oh_ref[:]                                     # (Nt, TP)
-    parts = [
-        jnp.dot(row * m, oh, preferred_element_type=jnp.float32)
-        for row in (l2, l1, l0)
-    ] + [jnp.dot(m, oh, preferred_element_type=jnp.float32)]
-    _accumulate(out_refs, parts)
-
-
-def _p2_kernel_leaflets(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref,
-                        bz_ref, mask_ref, cls_ref, oh_ref, *out_refs,
-                        handle_pbc):
-    """Leaflet-wise variant: 12 accumulators — [l2, l1, l0, count] for the
-    total membrane and each leaflet, masked by the per-bond class plane
-    (0 = upper, 1 = lower; bond.rs add_order's three-way accumulation)."""
-    l2, l1, l0 = _p2_limbs(nrm_ref, dx_ref, dy_ref, dz_ref,
-                           bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc)
-    m = jnp.broadcast_to(mask_ref[:], l0.shape)        # (Bt, Nt)
-    cls = cls_ref[:]
-    masks = (m, m * (cls == 0.0), m * (cls == 1.0))
-    oh = oh_ref[:]
     parts = []
     for mk in masks:
         for row in (l2, l1, l0):
@@ -142,11 +167,12 @@ def _p2_kernel_leaflets(nrm_ref, dx_ref, dy_ref, dz_ref, bx_ref, by_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("handle_pbc", "quantized", "interpret",
-                                    "n_types", "with_leaflets"))
+                                    "n_types", "with_leaflets",
+                                    "per_bond_normal"))
 def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
                        bond_mol, onehot_pad, leaflet_classes=None,
                        inv_scale=None, *, handle_pbc, quantized, interpret,
-                       n_types, with_leaflets):
+                       n_types, with_leaflets, per_bond_normal=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -173,8 +199,17 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
             return pl.BlockSpec(shape, index_map)
         return pl.BlockSpec(shape, index_map, memory_space=mem)
 
-    in_specs = [
-        vspec((1, 3), lambda i, j: (0, 0)),        # normal
+    if per_bond_normal:
+        # (B, M, 3) per-molecule normals → per-bond planes, gathered
+        # outside the kernel (XLA) like the displacements
+        nrm = jnp.take(normal, bond_mol, axis=1)       # (B, Np, 3)
+        in_specs = [vspec((_BT, _NT), tile)] * 3
+        operands = [nrm[..., 0], nrm[..., 1], nrm[..., 2]]
+    else:
+        in_specs = [vspec((1, 3), lambda i, j: (0, 0))]
+        operands = [normal[None, :]]
+
+    in_specs += [
         vspec((_BT, _NT), tile),                   # dx
         vspec((_BT, _NT), tile),                   # dy
         vspec((_BT, _NT), tile),                   # dz
@@ -183,7 +218,7 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
         vspec((_BT, 1), col),                      # box z
         vspec((_BT, 1), col),                      # frame mask
     ]
-    operands = [normal[None, :], dx, dy, dz, bx, by, bz, mask]
+    operands += [dx, dy, dz, bx, by, bz, mask]
 
     if with_leaflets:
         # per-bond class plane, gathered outside the kernel (XLA) so the
@@ -191,12 +226,12 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
         cls = jnp.take(leaflet_classes, bond_mol, axis=1).astype(jnp.float32)
         in_specs.append(vspec((_BT, _NT), tile))
         operands.append(cls)
-        kernel = functools.partial(_p2_kernel_leaflets,
-                                   handle_pbc=handle_pbc)
         n_out = 12
     else:
-        kernel = functools.partial(_p2_kernel, handle_pbc=handle_pbc)
         n_out = 4
+    kernel = functools.partial(_p2_kernel, handle_pbc=handle_pbc,
+                               per_bond_normal=per_bond_normal,
+                               with_leaflets=with_leaflets)
 
     in_specs.append(vspec((_NT, _TP), lambda i, j: (j, 0)))  # one-hot types
     operands.append(onehot_pad)
@@ -222,9 +257,11 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
 
 def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
                            n_types: int, *, handle_pbc: bool = True,
-                           with_leaflets: bool = False):
+                           with_leaflets: bool = False,
+                           normal_mode: str = "static"):
     """Fused fast-path variant of core.order.make_order_step (same call
     signature and output layout for the configurations it supports)."""
+    per_bond_normal = normal_mode == "per_molecule"
     n = len(atom_a)
     n_pad = max(_NT, ((n + _NT - 1) // _NT) * _NT)
     atom_a_p = np.zeros(n_pad, np.int32)
@@ -252,7 +289,7 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
             bond_mol_d, onehot_d, leaflet_classes, inv_scale,
             handle_pbc=handle_pbc, quantized=inv_scale is not None,
             interpret=interpret, n_types=n_types,
-            with_leaflets=with_leaflets,
+            with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
         )
 
     return step

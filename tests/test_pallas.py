@@ -170,9 +170,9 @@ def test_pallas_end_to_end_leaflets_golden(monkeypatch, fixtures, tmp_path):
     assert_eq_order(str(out), str(fixtures / "cg_order_leaflets.yaml"))
 
 
-def test_pallas_unsupported_configs_fall_back(monkeypatch):
-    """Map/geometry/dynamic-normal configs must not use the fused
-    kernel; leaflet-wise static-normal configs now do."""
+def test_pallas_supported_gates(monkeypatch):
+    """Geometry-selection configs must not use the fused kernel;
+    leaflet-wise, per-molecule-normal and ordermap (hybrid) configs do."""
     from gorder_tpu.ops.pallas_p2 import pallas_supported
 
     monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
@@ -180,9 +180,71 @@ def test_pallas_unsupported_configs_fall_back(monkeypatch):
                 geom_spec=None, n_types=4)
     assert pallas_supported(**base)
     assert pallas_supported(**{**base, "with_leaflets": True})
-    assert not pallas_supported(**{**base, "normal_mode": "per_molecule"})
-    assert not pallas_supported(**{**base, "map_spec": object()})
+    assert pallas_supported(**{**base, "normal_mode": "per_molecule"})
+    assert pallas_supported(**{**base, "map_spec": object()})
     assert not pallas_supported(**{**base, "geom_spec": object()})
     assert not pallas_supported(**{**base, "n_types": 1000})
     monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
     assert not pallas_supported(**base)
+
+
+def test_pallas_per_molecule_normal_matches_einsum(monkeypatch):
+    """Per-bond-normal fused kernel (vesicle / dynamic / manual normals,
+    normal.rs:179-199) reproduces the einsum path's sums and counts."""
+    rng = np.random.default_rng(11)
+    B, A, N, T, M = 16, 64, 700, 5, 10
+    coords = rng.uniform(0, 10, (B, A, 3)).astype(np.float32)
+    box = np.full((B, 3), 10.0, np.float32)
+    atom_a = rng.integers(0, A, N).astype(np.int32)
+    atom_b = rng.integers(0, A, N).astype(np.int32)
+    btype = rng.integers(0, T, N).astype(np.int32)
+    bmol = rng.integers(0, M, N).astype(np.int32)
+    mask = np.ones(B, bool)
+    mask[-2:] = False
+    # un-normalized per-molecule normals: the kernel must divide by |n|²
+    normals = rng.normal(0, 1, (B, M, 3)).astype(np.float32) * 2.5
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, M,
+                           normal_mode="per_molecule")
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, M,
+                          normal_mode="per_molecule")
+
+    out_f, _ = fast(coords, box, normals, mask)
+    out_r, _ = ref(coords, box, normals, mask)
+    sum_f, ct_f = _decode(np.asarray(out_f["total"]))
+    sum_r, ct_r = _decode(np.asarray(out_r["total"]))
+    np.testing.assert_array_equal(ct_f, ct_r)
+    assert (np.abs(sum_f - sum_r) <= ct_r).all(), (sum_f, sum_r, ct_r)
+
+
+def test_pallas_ordermap_hybrid_matches_einsum(monkeypatch):
+    """Ordermap configs: the fused kernel's type reduction + the XLA
+    map-only companion must together reproduce the pure-XLA path's
+    order sums AND map tile state bit for bit (the tile scatter is the
+    same quantized segment_sum in both)."""
+    import jax.tree_util as jtu
+
+    from gorder_tpu.core.ordermap import MapSpec, init_map_state
+
+    coords, box, atom_a, atom_b, btype, bmol, mask, T = _random_problem(3)
+    normal = np.array([0, 0, 1], np.float32)
+    spec = MapSpec(ax0=0, ax1=1, start0=0.0, start1=0.0,
+                   bin0=1.0, bin1=1.0, n0=11, n1=11, end0=10.0, end1=10.0)
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, 1, map_spec=spec)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, 1, map_spec=spec)
+
+    st_f = init_map_state(("total",), T, spec)
+    st_r = init_map_state(("total",), T, spec)
+    out_f, st_f = fast(coords, box, normal, mask, map_state=st_f)
+    out_r, st_r = ref(coords, box, normal, mask, map_state=st_r)
+    sum_f, ct_f = _decode(np.asarray(out_f["total"]))
+    sum_r, ct_r = _decode(np.asarray(out_r["total"]))
+    np.testing.assert_array_equal(ct_f, ct_r)
+    assert (np.abs(sum_f - sum_r) <= ct_r).all()
+    for a, b in zip(jtu.tree_leaves(st_f), jtu.tree_leaves(st_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
