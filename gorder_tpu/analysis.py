@@ -883,64 +883,79 @@ def _static_normal(analysis: Analysis):
 import functools as _functools
 
 
-@_functools.lru_cache(maxsize=None)
-def _device_codecs():
-    """Build the per-batch device-side wire decoders ONCE per process.
-
-    These run every batch; constructing the jitted closures per call would
-    re-trace each time (tens of ms of single-core Python per batch — the
-    driver shares that core with the decode thread)."""
-    import jax
+def _unpack12_impl(p, n):
+    """Plain (unjitted) i12 unpack — traceable inline inside a fused
+    per-batch program (a nested-jit boundary would block XLA fusion and
+    force canonical-layout materialization: measured 6x slower)."""
     import jax.numpy as jnp
 
-    @_functools.partial(jax.jit, static_argnames=("n",))
-    def unpack12(p, n):
-        b0 = p[:, 0::3].astype(jnp.int32)
-        b1 = p[:, 1::3].astype(jnp.int32)
-        b2 = p[:, 2::3].astype(jnp.int32)
-        v0 = (b0 | ((b1 & 0xF) << 8))
-        v1 = ((b1 >> 4) | (b2 << 4))
-        v0 = (v0 ^ 0x800) - 0x800   # sign-extend 12 -> 32 bits
-        v1 = (v1 ^ 0x800) - 0x800
-        vals = jnp.stack([v0, v1], axis=-1).reshape(p.shape[0], -1)
-        return vals[:, :n * 3].reshape(p.shape[0], n, 3).astype(jnp.int16)
+    b0 = p[:, 0::3].astype(jnp.int32)
+    b1 = p[:, 1::3].astype(jnp.int32)
+    b2 = p[:, 2::3].astype(jnp.int32)
+    v0 = (b0 | ((b1 & 0xF) << 8))
+    v1 = ((b1 >> 4) | (b2 << 4))
+    v0 = (v0 ^ 0x800) - 0x800   # sign-extend 12 -> 32 bits
+    v1 = (v1 ^ 0x800) - 0x800
+    vals = jnp.stack([v0, v1], axis=-1).reshape(p.shape[0], -1)
+    return vals[:, :n * 3].reshape(p.shape[0], n, 3).astype(jnp.int16)
 
-    @jax.jit
-    def d8(lo, ci, ch, a0, ip):
-        b, n, _ = lo.shape
-        nv = n * 3
-        delta = lo.astype(jnp.int32).reshape(b, nv)
-        corr = jnp.zeros((b, nv + 1), jnp.int32)
-        corr = corr.at[jnp.arange(b)[:, None], ci].add(
-            ch.astype(jnp.int32) << 8, mode="drop")
-        delta = delta + corr[:, :nv]
-        absr = a0.reshape(1, nv).astype(jnp.int32) + jnp.cumsum(delta, axis=0)
-        return (absr.astype(jnp.float32) * ip[:, None]).reshape(b, n, 3)
 
-    @jax.jit
-    def s6(pk, gp, vl, bs, gm, vg, ip):
-        b = pk.shape[0]
-        trip = pk.reshape(b, -1, 3).astype(jnp.uint32)
-        u = trip[..., 0] | (trip[..., 1] << 8) | (trip[..., 2] << 16)
-        codes = jnp.stack([u & 63, (u >> 6) & 63, (u >> 12) & 63,
-                           (u >> 18) & 63], axis=-1).reshape(b, -1)
-        codes = ((codes.astype(jnp.int32) + 32) & 63) - 32  # sign-extend
-        nv = vg.shape[0]
-        r = codes[:, :nv]
-        pos = jnp.cumsum(gp.astype(jnp.int32), axis=1) - 1
-        pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding -> dropped
-        r = r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int32),
-                                                  mode="drop")
-        gmv = jnp.take(gm.astype(jnp.int32), vg, axis=1)
-        absr = bs.reshape(1, nv).astype(jnp.int32) + gmv + r
-        return (absr.astype(jnp.float32) * ip[:, None]).reshape(
-            b, nv // 3, 3)
+def _d8_impl(lo, ci, ch, a0, ip):
+    import jax.numpy as jnp
 
-    @jax.jit
-    def dequant(q, s):
-        return q.astype(jnp.float32) * s[:, None, None]
+    b, n, _ = lo.shape
+    nv = n * 3
+    delta = lo.astype(jnp.int32).reshape(b, nv)
+    corr = jnp.zeros((b, nv + 1), jnp.int32)
+    corr = corr.at[jnp.arange(b)[:, None], ci].add(
+        ch.astype(jnp.int32) << 8, mode="drop")
+    delta = delta + corr[:, :nv]
+    absr = a0.reshape(1, nv).astype(jnp.int32) + jnp.cumsum(delta, axis=0)
+    return (absr.astype(jnp.float32) * ip[:, None]).reshape(b, n, 3)
 
-    return unpack12, d8, s6, dequant
+
+def _s6_impl(pk, gp, vl, bs, gm, vg, ip):
+    import jax.numpy as jnp
+
+    b = pk.shape[0]
+    trip = pk.reshape(b, -1, 3).astype(jnp.uint32)
+    u = trip[..., 0] | (trip[..., 1] << 8) | (trip[..., 2] << 16)
+    codes = jnp.stack([u & 63, (u >> 6) & 63, (u >> 12) & 63,
+                       (u >> 18) & 63], axis=-1).reshape(b, -1)
+    codes = ((codes.astype(jnp.int32) + 32) & 63) - 32  # sign-extend
+    nv = vg.shape[0]
+    r = codes[:, :nv]
+    pos = jnp.cumsum(gp.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding -> dropped
+    r = r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int32),
+                                              mode="drop")
+    gmv = jnp.take(gm.astype(jnp.int32), vg, axis=1)
+    absr = bs.reshape(1, nv).astype(jnp.int32) + gmv + r
+    return (absr.astype(jnp.float32) * ip[:, None]).reshape(
+        b, nv // 3, 3)
+
+
+def _dequant_impl(q, s):
+    import jax.numpy as jnp
+
+    return q.astype(jnp.float32) * s[:, None, None]
+
+
+@_functools.lru_cache(maxsize=None)
+def _device_codecs():
+    """Jit the standalone wire decoders ONCE per process.
+
+    These back the leaflets/normals path (which needs f32 coordinates on
+    the device before classification); the hot no-classification path
+    instead traces the plain *_impl functions inline into one fused
+    per-batch program (see _build_fused_steps). Constructing the jitted
+    closures per call would re-trace each time (tens of ms of single-core
+    Python per batch — the driver shares that core with the decode
+    thread)."""
+    import jax
+
+    return (jax.jit(_unpack12_impl, static_argnames=("n",)),
+            jax.jit(_d8_impl), jax.jit(_s6_impl), jax.jit(_dequant_impl))
 
 
 def _unpack12(packed_u8, first_n: int):
@@ -993,6 +1008,70 @@ def _wire_groups(system: System, space: AtomSubset):
 def _dequantize(coords_i16, inv_prec):
     """int16 XTC integers → f32 nm, bit-identical to the host conversion."""
     return _device_codecs()[3](coords_i16, inv_prec)
+
+
+def _build_fused_steps(step, *, n_out, use_pallas):
+    """Fused per-batch programs: wire reconstruction traced inline into
+    the order kernel, so XLA compiles ONE program per batch.
+
+    The production loop previously dispatched the wire decoder
+    (_s6_to_f32 / _d8_to_f32 / _unpack12) and the order step as two
+    top-level jits; the boundary between them forces XLA to materialize
+    the (B, A, 3) f32 coordinates in canonical layout — measured ~6x
+    slower than the fused trace on TPU (14 ms vs 2.2 ms for the s6
+    reconstruction at 512×34k).
+
+    Returns get(kind) -> jitted fn(wire_devs, scale, box, normal, mask,
+    map_state, geom_ref) -> (result, map_out), built lazily per payload
+    kind (a mid-run wire fallback switches kinds, e.g. s6 -> i16), or
+    None when `step` exposes no traceable impl (UA steps, for now).
+    """
+    impl = getattr(step, "impl", None)
+    if impl is None:
+        return None
+    import jax
+
+    def build(kind):
+        if kind == "s6":
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                pk, eg, ev, base, gm, vg = w
+                coords = _s6_impl(pk, eg, ev, base, gm, vg, scale)
+                return impl(coords, box, normal, mask, map_state=map_state,
+                            geom_ref=geom_ref, use_pallas=use_pallas)
+        elif kind == "d8":
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                lo, ci, ch, abs0 = w
+                coords = _d8_impl(lo, ci, ch, abs0, scale)
+                return impl(coords, box, normal, mask, map_state=map_state,
+                            geom_ref=geom_ref, use_pallas=use_pallas)
+        elif kind == "i12":
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                (packed,) = w
+                quant = _unpack12_impl(packed, n_out)
+                return impl(quant, box, normal, mask, inv_scale=scale,
+                            map_state=map_state, geom_ref=geom_ref,
+                            use_pallas=use_pallas)
+        elif kind == "i16":
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                (quant,) = w
+                return impl(quant, box, normal, mask, inv_scale=scale,
+                            map_state=map_state, geom_ref=geom_ref,
+                            use_pallas=use_pallas)
+        else:  # f32
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                (coords,) = w
+                return impl(coords, box, normal, mask, map_state=map_state,
+                            geom_ref=geom_ref, use_pallas=use_pallas)
+        return jax.jit(fused)
+
+    cache = {}
+
+    def get(kind):
+        if kind not in cache:
+            cache[kind] = build(kind)
+        return cache[kind]
+
+    return get
 
 
 def _prepare_geometry(system: System, analysis: Analysis):
@@ -1428,6 +1507,22 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # constant per-run device arrays, shipped once instead of per batch
     mask_full_dev = put_frames(np.ones(batch_size, bool))
     vgidx_dev = put_const(vgidx) if wire == "s6" else None
+
+    # Fused per-batch programs (wire reconstruction traced inline into the
+    # order kernel — ONE XLA program per batch) serve the hot
+    # no-classification path; leaflets/normals need host-visible f32
+    # coordinates per batch, so they keep the two-dispatch path.
+    from .parallel.context import active_mesh
+
+    fused_get = None
+    if leaflets is None and normals is None:
+        pallas_ok = getattr(step, "pallas_ok", None)
+        use_pallas = bool(
+            active_mesh() is None and pallas_ok is not None
+            and pallas_ok(batch_size, has_classes=False,
+                          has_geom=geom_mode is not None))
+        fused_get = _build_fused_steps(step, n_out=n_out,
+                                       use_pallas=use_pallas)
     geom_point_dev = None
     if geom_mode == "point":
         geom_point_dev = put_frames(np.tile(geom_point, (batch_size, 1)))
@@ -1467,6 +1562,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             kind = payload[0]
             coords_dev = None      # f32 coords (or None until reconstructed)
             quant_dev = None       # int16 absolutes awaiting dequantization
+            wire_devs = None       # raw wire arrays for the fused programs
             if kind == "s6":
                 _, pk, eg, ev, gm, base = payload
                 pk_dev = put_frames(pk)
@@ -1475,8 +1571,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 gm_dev = put_frames(gm)
                 base_dev = put_const(base)
                 jax.block_until_ready((pk_dev, eg_dev, ev_dev, gm_dev))
-                coords_dev = _s6_to_f32(pk_dev, eg_dev, ev_dev, base_dev,
-                                        gm_dev, vgidx_dev, scale_dev)
+                wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, gm_dev,
+                             vgidx_dev)
+                if fused_get is None:
+                    coords_dev = _s6_to_f32(pk_dev, eg_dev, ev_dev, base_dev,
+                                            gm_dev, vgidx_dev, scale_dev)
             elif kind == "d8":
                 _, lo, ci, ch, abs0 = payload
                 lo_dev = put_frames(lo)
@@ -1484,18 +1583,24 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 ch_dev = put_frames(ch)
                 abs0_dev = put_const(abs0)
                 jax.block_until_ready((lo_dev, ci_dev, ch_dev))
-                coords_dev = _d8_to_f32(lo_dev, ci_dev, ch_dev, abs0_dev,
-                                        scale_dev)
+                wire_devs = (lo_dev, ci_dev, ch_dev, abs0_dev)
+                if fused_get is None:
+                    coords_dev = _d8_to_f32(lo_dev, ci_dev, ch_dev, abs0_dev,
+                                            scale_dev)
             elif kind == "i12":
                 packed_dev = put_frames(payload[1])
                 jax.block_until_ready(packed_dev)
-                quant_dev = _unpack12(packed_dev, n_out)
+                wire_devs = (packed_dev,)
+                if fused_get is None:
+                    quant_dev = _unpack12(packed_dev, n_out)
             elif kind == "i16":
                 quant_dev = put_frames(payload[1])
                 jax.block_until_ready(quant_dev)
+                wire_devs = (quant_dev,)
             else:
                 coords_dev = put_frames(payload[1])
                 jax.block_until_ready(coords_dev)
+                wire_devs = (coords_dev,)
                 scale_dev = None
 
             if analysis.handle_pbc:
@@ -1526,7 +1631,13 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             analyzed = np.arange(shard_start + b * batch_size,
                                  shard_start + b * batch_size + n_valid,
                                  dtype=np.int64)
-            if leaflets is not None or normals is not None:
+            if fused_get is not None:
+                # fully async single dispatch: decode + kernel in one
+                # compiled program; the (tiny) result fetch is deferred
+                result, map_out = fused_get(kind)(
+                    wire_devs, scale_dev, box_dev, normal_dev,
+                    frame_mask_dev, map_zero, geom_ref)
+            elif leaflets is not None or normals is not None:
                 # these subsystems consume f32 coordinates, and their
                 # carried/collected state needs host values per batch
                 if coords_dev is not None:

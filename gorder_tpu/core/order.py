@@ -123,16 +123,11 @@ def _geometry_reference(coords, box_diag, geom_ref, handle_pbc):
     return naive_cog(pts, mask)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
-                     "quantized", "map_spec", "geom_spec"),
-)
-def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
-                bond_mol, onehot, leaflet_classes, inv_scale=None,
-                bond_type_ids=None, map_state=None, geom_ref=None, *,
-                handle_pbc, with_leaflets, normal_mode, quantized=False,
-                map_spec=None, geom_spec=None):
+def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
+                     bond_mol, onehot, leaflet_classes, inv_scale=None,
+                     bond_type_ids=None, map_state=None, geom_ref=None, *,
+                     handle_pbc, with_leaflets, normal_mode, quantized=False,
+                     map_spec=None, geom_spec=None):
     from .geometry import inside_mask
     from .ordermap import map_cells, update_maps
 
@@ -196,12 +191,17 @@ def _order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     return out, map_state
 
 
-@functools.partial(
-    jax.jit,
+# jitted wrapper for direct per-batch use; the fused per-batch programs
+# (analysis.py _build_fused_steps) trace _order_step_impl inline instead —
+# a nested-jit boundary blocks XLA fusion with the wire reconstruction
+_order_step = jax.jit(
+    _order_step_impl,
     static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
-                     "quantized", "map_spec", "n_types"),
+                     "quantized", "map_spec", "geom_spec"),
 )
-def _map_only_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
+
+
+def _map_only_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
                    bond_mol, leaflet_classes, inv_scale, bond_type_ids,
                    map_state, *, handle_pbc, with_leaflets, normal_mode,
                    quantized, map_spec, n_types):
@@ -246,6 +246,13 @@ def _map_only_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     mid = pa + d * 0.5
     cells, _ = map_cells(mid, map_spec, bond_type_ids, n_types)
     return update_maps(map_state, sch, cells, masks)
+
+
+_map_only_step = jax.jit(
+    _map_only_impl,
+    static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
+                     "quantized", "map_spec", "n_types"),
+)
 
 
 def make_order_step(
@@ -330,6 +337,51 @@ def make_order_step(
             map_spec=map_spec, geom_spec=geom_spec,
         )
 
+    def step_impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
+                  inv_scale=None, map_state=None, geom_ref=None, *,
+                  use_pallas=False):
+        """Traceable (unjitted) step body for fused per-batch programs
+        (analysis.py _build_fused_steps): the wire reconstruction and the
+        order kernel trace into ONE XLA program — a nested-jit boundary
+        between them forces canonical-layout materialization of the
+        (B, A, 3) coordinates (measured ~6x slower on TPU). `use_pallas`
+        is a trace-time constant decided by the caller via pallas_ok()."""
+        if use_pallas:
+            assert geom_ref is None
+            out, _ = fast_step.impl(coords, box_diag, normal, frame_mask,
+                                    leaflet_classes=leaflet_classes,
+                                    inv_scale=inv_scale)
+            if map_state is not None:
+                map_state = _map_only_impl(
+                    coords, box_diag, normal, frame_mask,
+                    atom_a_d, atom_b_d, bond_mol_d,
+                    leaflet_classes if leaflet_classes is not None
+                    else dummy_classes,
+                    inv_scale, bond_type_d, map_state,
+                    handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+                    normal_mode=normal_mode,
+                    quantized=inv_scale is not None,
+                    map_spec=map_spec, n_types=n_types)
+            return out, map_state
+        return _order_step_impl(
+            coords, box_diag, normal, frame_mask,
+            atom_a_d, atom_b_d, bond_mol_d, onehot_d,
+            leaflet_classes if leaflet_classes is not None else dummy_classes,
+            inv_scale, bond_type_d, map_state, geom_ref,
+            handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+            normal_mode=normal_mode, quantized=inv_scale is not None,
+            map_spec=map_spec, geom_spec=geom_spec,
+        )
+
+    def pallas_ok(batch_size, has_classes, has_geom):
+        """Host-side predicate: may a fused program built for these batch
+        parameters route through the Pallas kernel? (The caller must also
+        confirm the batch arrays live on a single device.)"""
+        return (fast_step is not None and has_classes == with_leaflets
+                and not has_geom and batch_size % 8 == 0)
+
+    step.impl = step_impl
+    step.pallas_ok = pallas_ok
     return step
 
 

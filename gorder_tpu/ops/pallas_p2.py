@@ -165,14 +165,11 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets):
     _accumulate(out_refs, parts)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("handle_pbc", "quantized", "interpret",
-                                    "n_types", "with_leaflets",
-                                    "per_bond_normal"))
-def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
-                       bond_mol, onehot_pad, leaflet_classes=None,
-                       inv_scale=None, *, handle_pbc, quantized, interpret,
-                       n_types, with_leaflets, per_bond_normal=False):
+def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
+                            atom_b, bond_mol, onehot_pad,
+                            leaflet_classes=None, inv_scale=None, *,
+                            handle_pbc, quantized, interpret, n_types,
+                            with_leaflets, per_bond_normal=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -255,6 +252,15 @@ def _pallas_order_step(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     return {"total": pack(outs)}, None
 
 
+# jitted wrapper for direct per-batch use; fused per-batch programs trace
+# _pallas_order_step_impl inline (nested jit would block fusion with the
+# wire reconstruction feeding the kernel)
+_pallas_order_step = jax.jit(
+    _pallas_order_step_impl,
+    static_argnames=("handle_pbc", "quantized", "interpret", "n_types",
+                     "with_leaflets", "per_bond_normal"))
+
+
 def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
                            n_types: int, *, handle_pbc: bool = True,
                            with_leaflets: bool = False,
@@ -292,4 +298,18 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
         )
 
+    def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
+             inv_scale=None):
+        """Traceable (unjitted) body for fused per-batch programs: the wire
+        reconstruction and the Pallas kernel compile as ONE XLA program."""
+        assert (leaflet_classes is not None) == with_leaflets
+        return _pallas_order_step_impl(
+            coords, box_diag, normal, frame_mask, atom_a_d, atom_b_d,
+            bond_mol_d, onehot_d, leaflet_classes, inv_scale,
+            handle_pbc=handle_pbc, quantized=inv_scale is not None,
+            interpret=interpret, n_types=n_types,
+            with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
+        )
+
+    step.impl = impl
     return step
