@@ -147,10 +147,20 @@ def load_structure(analysis: Analysis) -> System:
     elif ext == ".pqr":
         system = read_pqr(path)
     else:
-        raise ConfigError(f"unsupported structure format '{path}'")
+        # wording: src/errors.rs:338-339 (ConfigError::InvalidStructureFormat)
+        raise ConfigError(
+            f"the provided structure file '{path}' has an unknown, "
+            f"invalid, or unsupported format")
 
     if analysis.bonds is not None:
         read_bnd(analysis.bonds, system)
+    elif not system.has_bonds() and ext not in (".tpr",):
+        # wording: src/errors.rs:331-332 (ConfigError::NoTopology);
+        # raised at structure load like structure.rs:54-88 — a PDB without
+        # CONECT or a GRO/PQR without a bonds file has no topology
+        raise ConfigError(
+            f"the input structure file '{path}' does not contain topology "
+            f"information (hint: provide a `bonds` file)")
 
     if analysis.index is not None:
         read_ndx(analysis.index, system)
@@ -231,15 +241,26 @@ class LeafletRuntime:
         if len(self.manual_table) != expected:
             from .errors import ManualLeafletError, NdxLeafletError
 
-            err = NdxLeafletError if self.manual_source == "ndx" \
-                else ManualLeafletError
-            what = "NDX leaflet assignment provides" \
-                if self.manual_source == "ndx" \
-                else "manual leaflet assignment provides"
-            raise err(
-                f"{what} "
-                f"{len(self.manual_table)} assignment frame(s) but the "
-                f"analysis visits {expected}")
+            n = len(self.manual_table)
+            freq = self.frequency.describe()
+            if self.manual_source == "ndx":
+                # wording: src/errors.rs:471-480
+                # (NdxLeafletClassificationError::UnexpectedNumberOfNdxFiles)
+                raise NdxLeafletError(
+                    f"number of ndx files provided ('{n}') is not "
+                    f"consistent with the number of analyzed frames "
+                    f"('{n_analyzed}')\n(leaflet assignment was supposed to "
+                    f"be performed {freq}, therefore there should be "
+                    f"exactly '{expected}' ndx file(s) provided)")
+            # wording: src/errors.rs:512-521
+            # (ManualLeafletClassificationError::UnexpectedNumberOfFrames)
+            raise ManualLeafletError(
+                f"number of frames specified in the leaflet assignment "
+                f"structure ('{n}') is not consistent with the number of "
+                f"analyzed frames ('{n_analyzed}')\n(leaflet assignment was "
+                f"supposed to be performed {freq}, therefore there should "
+                f"be exactly '{expected}' frame(s) specified in the leaflet "
+                f"assignment structure)")
 
     def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray
                           ) -> np.ndarray:
@@ -334,6 +355,44 @@ def _build_atom_space(system: System, analysis: Analysis, index_arrays):
     return subset, remap
 
 
+# yaml field + section for each reference group name — common.rs:36-58
+# get_hint; drives the EmptyGroup diagnostic below
+_GROUP_HINTS = {
+    "HeavyAtoms": ("heavy_atoms", "analysis_type"),
+    "Hydrogens": ("hydrogens", "analysis_type"),
+    "Beads": ("beads", "analysis_type"),
+    "Membrane": ("membrane", "leaflets"),
+    "Heads": ("heads", "leaflets"),
+    "NormalHeads": ("heads", "membrane_normal"),
+    "ClusterHeads": ("heads", "leaflets"),
+    "Methyls": ("methyls", "leaflets"),
+    "GeomReference": ("reference", "geometry"),
+    "Saturated": ("saturated", "analysis_type"),
+    "Unsaturated": ("unsaturated", "analysis_type"),
+    "Ignore": ("ignore", "analysis_type"),
+}
+
+
+def _empty_group_error(group: str) -> TopologyError:
+    """wording: src/errors.rs:65-66 (TopologyError::EmptyGroup) with the
+    hint table of common.rs:36-58 get_hint."""
+    if group in _GROUP_HINTS:
+        yaml_name, yaml_type = _GROUP_HINTS[group]
+        hint = (f"the query specified for '{yaml_name}' inside "
+                f"'{yaml_type}' selects no atoms; is the query correct?")
+    else:
+        hint = "a query specifying the group selects no atoms"
+    return TopologyError(f"group '{group}' is empty (hint: {hint})")
+
+
+def _overlap_error(n: int, name1: str, query1: str, name2: str,
+                   query2: str) -> TopologyError:
+    """wording: src/errors.rs:68-76 (TopologyError::AtomsOverlap)."""
+    return TopologyError(
+        f"{n} atoms are part of both '{name1}' (query: '{query1}') and "
+        f"'{name2}' (query: '{query2}')")
+
+
 def _single_atom_per_molecule(system: System, kinds: List[MoleculeKind],
                               query: str, what: str) -> np.ndarray:
     """One atom index per molecule instance (e.g. leaflet head), ordered by
@@ -343,11 +402,19 @@ def _single_atom_per_molecule(system: System, kinds: List[MoleculeKind],
     for kind in kinds:
         rel = [r for r in range(kind.n_atoms_per_molecule)
                if mask[kind.min_indices[0] + r]]
-        if len(rel) != 1:
+        if len(rel) > 1:
+            # wording: src/errors.rs:78-80 (TopologyError::MultipleHeads);
+            # the index is the molecule's first atom (leaflets.rs
+            # get_reference_head)
             raise TopologyError(
-                f"molecule type {kind.name}: query '{query}' for {what} "
-                f"matched {len(rel)} atoms per molecule, expected exactly 1"
-            )
+                f"molecule starting with atom index "
+                f"'{kind.min_indices[0]}' contains multiple head group "
+                f"atoms")
+        if len(rel) == 0:
+            # wording: src/errors.rs:82-84 (TopologyError::NoHead)
+            raise TopologyError(
+                f"molecule starting with atom index "
+                f"'{kind.min_indices[0]}' contains no head group atom")
         heads.append(np.asarray(kind.min_indices, np.int64) + rel[0])
     return np.concatenate(heads) if heads else np.zeros(0, np.int64)
 
@@ -364,10 +431,10 @@ def _atoms_per_molecule(system: System, kinds: List[MoleculeKind],
         rel = [r for r in range(kind.n_atoms_per_molecule)
                if mask[kind.min_indices[0] + r]]
         if len(rel) == 0:
+            # wording: src/errors.rs:86-88 (TopologyError::NoMethyl)
             raise TopologyError(
-                f"molecule type {kind.name}: query '{query}' for {what} "
-                f"matched no atoms"
-            )
+                f"molecule starting with atom index "
+                f"'{kind.min_indices[0]}' contains no methyl group atom")
         for m, min_idx in enumerate(kind.min_indices):
             for r in rel:
                 atoms.append(min_idx + r)
@@ -427,8 +494,7 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
     if params.kind in ("global", "local"):
         membrane_mask = select_mask(system, params.membrane)
         if not membrane_mask.any():
-            raise SelectionError(
-                f"no atoms matched the membrane query '{params.membrane}'")
+            raise _empty_group_error("Membrane")
         membrane_idx = np.nonzero(membrane_mask)[0]
         heads = _single_atom_per_molecule(system, kinds, params.heads,
                                           "leaflet heads")
@@ -473,14 +539,18 @@ def build_leaflet_runtime(system: System, analysis: Analysis,
             try:
                 with open(params.file) as fh:
                     assignment = _yaml.safe_load(fh)
-            except OSError as e:
+            except OSError:
+                # wording: src/errors.rs:486-487
+                # (ManualLeafletClassificationError::FileNotFound)
                 raise ManualLeafletError(
-                    f"could not read leaflet assignment file "
-                    f"'{params.file}': {e}") from None
+                    f"could not open the leaflet assignment file "
+                    f"'{params.file}'") from None
             except _yaml.YAMLError as e:
+                # wording: src/errors.rs:489-490
+                # (ManualLeafletClassificationError::CouldNotParse)
                 raise ManualLeafletError(
-                    f"could not parse leaflet assignment file "
-                    f"'{params.file}': {e}") from None
+                    f"could not understand the contents of the leaflet "
+                    f"assignment file '{params.file}' ({e})") from None
         else:
             assignment = params.assignment
         runtime.manual_table = _manual_leaflet_table(assignment, kinds)
@@ -515,19 +585,27 @@ def _manual_leaflet_table(assignment, kinds: List[MoleculeKind]) -> np.ndarray:
     known = {kind.name for kind in kinds}
     extra = [name for name in assignment if name not in known]
     if extra:
+        # wording: src/errors.rs:523-525
+        # (ManualLeafletClassificationError::UnknownMoleculeType)
+        detected = " ".join(kind.name for kind in kinds)
         raise ManualLeafletError(
-            f"molecule type(s) {extra} specified in the leaflet assignment "
-            f"structure not found in the system")
+            f"molecule type '{extra[0]}' specified in the leaflet "
+            f"assignment structure not found in the system (detected "
+            f"molecule types are: '{detected}')")
 
     n_frames = None
     per_kind = []
     for kind in kinds:
         if kind.name not in assignment:
+            # wording: src/errors.rs:492-493
+            # (ManualLeafletClassificationError::MoleculeTypeNotFound)
             raise ManualLeafletError(
                 f"molecule type '{kind.name}' not found in the leaflet "
-                f"assignment")
+                f"assignment structure")
         frames = assignment[kind.name]
         if not frames:  # `NAME:` with no value parses as None
+            # wording: src/errors.rs:509-510
+            # (ManualLeafletClassificationError::EmptyAssignment)
             raise ManualLeafletError(
                 f"no leaflet assignment data provided for molecule type "
                 f"'{kind.name}'")
@@ -538,11 +616,16 @@ def _manual_leaflet_table(assignment, kinds: List[MoleculeKind]) -> np.ndarray:
                 "inconsistent number of assignment frames between molecule "
                 "types in the manual leaflet assignment")
         rows = []
-        for frame in frames:
+        for fidx, frame in enumerate(frames):
             if len(frame) != kind.n_molecules:
+                # wording: src/errors.rs:500-507
+                # (ManualLeafletClassificationError::
+                #  InconsistentNumberOfMolecules)
                 raise ManualLeafletError(
-                    f"molecule type '{kind.name}': assignment frame lists "
-                    f"{len(frame)} molecules, expected {kind.n_molecules}")
+                    f"inconsistent number of molecules specified in the "
+                    f"leaflet assignment: expected '{kind.n_molecules}' "
+                    f"molecules of type '{kind.name}', got '{len(frame)}' "
+                    f"molecules in assignment frame '{fidx}'")
             rows.append([to_class(v) for v in frame])
         per_kind.append(np.asarray(rows, np.int32))
     if n_frames is None or n_frames == 0:
@@ -561,35 +644,48 @@ def _ndx_leaflet_table(system: System, kinds: List[MoleculeKind],
                                       "leaflet heads")
     rows = []
     for path in params.ndx:
+        from .errors import NdxError
+
         try:
             with open(path) as fh:
-                groups = parse_ndx(fh.read(), system.n_atoms, path)
+                groups = parse_ndx(fh.read(), system.n_atoms, path,
+                                   protected=(params.upper_leaflet,
+                                              params.lower_leaflet))
         except OSError as e:
             raise NdxLeafletError(
                 f"could not read leaflet ndx file '{path}': {e}") from None
-        upper = set(groups.get(params.upper_leaflet, np.zeros(0)).tolist())
-        lower = set(groups.get(params.lower_leaflet, np.zeros(0)).tolist())
+        except NdxError as e:
+            raise NdxLeafletError(str(e)) from None
+        # wording: src/errors.rs:461-463
+        # (NdxLeafletClassificationError::GroupNotFound)
         if params.upper_leaflet not in groups:
             raise NdxLeafletError(
-                f"group '{params.upper_leaflet}' not found in ndx file "
+                f"group '{params.upper_leaflet}' for selecting "
+                f"upper-leaflet molecules was not found in the ndx file "
                 f"'{path}'")
         if params.lower_leaflet not in groups:
             raise NdxLeafletError(
-                f"group '{params.lower_leaflet}' not found in ndx file "
+                f"group '{params.lower_leaflet}' for selecting "
+                f"lower-leaflet molecules was not found in the ndx file "
                 f"'{path}'")
+        upper = set(groups[params.upper_leaflet].tolist())
+        lower = set(groups[params.lower_leaflet].tolist())
         row = np.zeros(len(heads), np.int32)
         for m, head in enumerate(heads):
-            in_upper = int(head) in upper
-            in_lower = int(head) in lower
-            if in_upper and in_lower:
+            # upper is checked first and wins on overlap
+            # (leaflets.rs:1152-1170 assign_molecule)
+            if int(head) in upper:
+                row[m] = 0
+            elif int(head) in lower:
+                row[m] = 1
+            else:
+                # wording: src/errors.rs:465-469
+                # (NdxLeafletClassificationError::AssignmentNotFound)
                 raise NdxLeafletError(
-                    f"head atom {int(head) + 1} is in both leaflet groups in "
-                    f"'{path}'")
-            if not in_upper and not in_lower:
-                raise NdxLeafletError(
-                    f"head atom {int(head) + 1} is in neither leaflet group "
-                    f"in '{path}'")
-            row[m] = 0 if in_upper else 1
+                    f"could not find leaflet assignment for molecule index "
+                    f"'{m}' (head index '{int(head)}')\n(hint: head "
+                    f"identifier index '{int(head)}' is missing from both "
+                    f"specified ndx groups)")
         rows.append(row)
     if not rows:
         raise NdxLeafletError("no ndx files given for leaflet assignment")
@@ -629,23 +725,19 @@ def _prepare_bond_kinds(system: System, analysis: Analysis
     if at.kind == "cg":
         beads = select_mask(system, at.beads)
         if not beads.any():
-            raise SelectionError(
-                f"no atoms matched the beads query '{at.beads}'")
+            raise _empty_group_error("Beads")
         kinds = classify_molecules(system, beads, mode="bonds")
     else:
         heavy = select_mask(system, at.heavy_atoms)
         hydrogens = select_mask(system, at.hydrogens)
         if not heavy.any():
-            raise SelectionError(
-                f"no atoms matched the heavy_atoms query '{at.heavy_atoms}'")
+            raise _empty_group_error("HeavyAtoms")
         if not hydrogens.any():
-            raise SelectionError(
-                f"no atoms matched the hydrogens query '{at.hydrogens}'")
+            raise _empty_group_error("Hydrogens")
         overlap = heavy & hydrogens
         if overlap.any():
-            raise AnalysisError(
-                f"heavy_atoms and hydrogens selections share "
-                f"{int(overlap.sum())} atom(s)")
+            raise _overlap_error(int(overlap.sum()), "HeavyAtoms",
+                                 at.heavy_atoms, "Hydrogens", at.hydrogens)
         kinds = classify_molecules(system, heavy, hydrogens, mode="bonds")
 
     for kind in kinds:
@@ -689,9 +781,12 @@ class NormalsRuntime:
         from .errors import ManualNormalError
 
         if self.mode == "manual" and len(self.table) != n_analyzed:
+            # wording: src/errors.rs:226-228
+            # (ManualNormalError::UnexpectedNumberOfFrames)
             raise ManualNormalError(
-                f"manual membrane normals provide {len(self.table)} frame(s) "
-                f"but the analysis visits {n_analyzed}")
+                f"number of frames specified in the normals structure "
+                f"('{len(self.table)}') is not consistent with the number "
+                f"of analyzed frames ('{n_analyzed}')")
 
     def _collect(self, values: np.ndarray, coords_f32, box_dev, geom_ref):
         if self.molecule_inside is not None and geom_ref is not None:
@@ -720,9 +815,15 @@ class NormalsRuntime:
         n_valid = len(analyzed_idx)
         counts_host = np.asarray(counts[:n_valid])
         if (counts_host < 3).any():
+            # wording: src/errors.rs:173-176
+            # (DynamicNormalError::NotEnoughPoints)
+            got = int(counts_host[counts_host < 3].min())
             raise DynamicNormalError(
-                "fewer than 3 head-group atoms within the scanning sphere of "
-                "a molecule — increase the dynamic normal radius")
+                f"not enough points for dynamic local membrane normal "
+                f"calculation: got '{got}', need at least '3' points \n"
+                f"(hint: try increasing the 'radius' in the "
+                f"'membrane_normal' section of your input configuration "
+                f"file)")
         if self.collected is not None:
             self._collect(np.asarray(normals[:n_valid]), coords_f32,
                           box_dev, geom_ref)
@@ -783,10 +884,14 @@ def _build_normals(system: System, analysis: Analysis,
     if analysis.leaflets is not None and analysis.leaflets.kind in (
             "global", "local", "individual"):
         if analysis.leaflets.membrane_normal is None:
+            # wording: src/errors.rs:353-356
+            # (ConfigError::MissingMembraneNormal)
             raise ConfigError(
-                "leaflet classification requires an explicit "
-                "'membrane_normal' axis when the analysis uses dynamic or "
-                "manual membrane normals")
+                "static global membrane normal is not used but leaflet "
+                "classification requires it\n(hint: add 'membrane_normal' "
+                "to the 'leaflets' section of your input configuration "
+                "file or, if analyzing a vesicle, \n assign the lipids into "
+                "leaflets using the clustering method or manually)")
         axis = _AXIS_INDEX[analysis.leaflets.membrane_normal]
 
     runtime = NormalsRuntime(mode="dynamic" if mn.kind == "dynamic"
@@ -812,14 +917,16 @@ def _build_normals(system: System, analysis: Analysis,
         try:
             with open(mn.file) as fh:
                 mapping = _yaml.safe_load(fh)
-        except OSError as e:
+        except OSError:
+            # wording: src/errors.rs:201-202 (ManualNormalError::FileNotFound)
             raise ManualNormalError(
-                f"could not read membrane normals file '{mn.file}': {e}"
-            ) from None
+                f"could not open the normals file '{mn.file}'") from None
         except _yaml.YAMLError as e:
+            # wording: src/errors.rs:204-205
+            # (ManualNormalError::CouldNotParse)
             raise ManualNormalError(
-                f"could not parse membrane normals file '{mn.file}': {e}"
-            ) from None
+                f"could not understand the contents of the normals file "
+                f"'{mn.file}' ({e})") from None
     else:
         mapping = mn.normals_map
     runtime.table = _manual_normals_table(mapping, kinds)
@@ -836,18 +943,25 @@ def _manual_normals_table(mapping, kinds: List[MoleculeKind]) -> np.ndarray:
     known = {kind.name for kind in kinds}
     extra = [name for name in mapping if name not in known]
     if extra:
+        # wording: src/errors.rs:222-224
+        # (ManualNormalError::UnknownMoleculeType)
+        detected = " ".join(kind.name for kind in kinds)
         raise ManualNormalError(
-            f"molecule type(s) {extra} specified in the normals structure "
-            f"not found in the system")
+            f"molecule type '{extra[0]}' specified in the normals "
+            f"structure not found in the system (detected molecule types "
+            f"are: '{detected}')")
     n_frames = None
     per_kind = []
     for kind in kinds:
         if kind.name not in mapping:
+            # wording: src/errors.rs:207-208
+            # (ManualNormalError::MoleculeTypeNotFound)
             raise ManualNormalError(
                 f"molecule type '{kind.name}' not found in the manual "
                 f"normals structure")
         frames = mapping[kind.name]
         if not frames:  # `NAME:` with no value parses as None
+            # wording: src/errors.rs:210-211 (ManualNormalError::NoNormals)
             raise ManualNormalError(
                 f"no membrane normals provided for molecule type "
                 f"'{kind.name}'")
@@ -858,11 +972,15 @@ def _manual_normals_table(mapping, kinds: List[MoleculeKind]) -> np.ndarray:
                 "inconsistent frame counts between molecule types in the "
                 "manual membrane normals")
         rows = []
-        for frame in frames:
+        for fidx, frame in enumerate(frames):
             if len(frame) != kind.n_molecules:
+                # wording: src/errors.rs:213-220
+                # (ManualNormalError::InconsistentNumberOfMolecules)
                 raise ManualNormalError(
-                    f"molecule type '{kind.name}': normals frame lists "
-                    f"{len(frame)} molecules, expected {kind.n_molecules}")
+                    f"inconsistent number of molecules specified in the "
+                    f"normals structure: expected '{kind.n_molecules}' "
+                    f"molecules of type '{kind.name}', got '{len(frame)}' "
+                    f"molecules in frame '{fidx}'")
             rows.append(np.asarray(frame, np.float32))
         per_kind.append(np.stack(rows))
     if not n_frames:
@@ -1086,15 +1204,17 @@ def _prepare_geometry(system: System, analysis: Analysis):
     ref = analysis.geometry.reference
     if ref is None:
         if not analysis.handle_pbc:
+            # wording: src/errors.rs:42-43
+            # (GeometryConfigError::InvalidBoxCenter)
             raise ConfigError(
-                "geometry references the box center, which requires PBC "
-                "handling")
+                "cannot use dynamic center of simulation box as the "
+                "reference position since periodic boundary conditions are "
+                "ignored")
         return spec, "center", None
     if isinstance(ref, str):
         mask = select_mask(system, ref)
         if not mask.any():
-            raise SelectionError(
-                f"no atoms matched the geometry reference query '{ref}'")
+            raise _empty_group_error("GeomReference")
         return spec, "selection", np.nonzero(mask)[0].astype(np.int32)
     return spec, "point", np.asarray(ref, np.float32)
 
@@ -1753,7 +1873,8 @@ def _run_bond_based(analysis: Analysis, shard=None, as_partial=False):
                                                   remap)
     leaflets = build_leaflet_runtime(system, analysis, kinds,
                                      compiled.n_molecules, axis, remap)
-    map_spec = (build_map_spec(analysis.map, system.box)
+    map_spec = (build_map_spec(analysis.map,
+                            system.box if analysis.handle_pbc else None)
                 if analysis.map is not None else None)
     geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
     if geom_mode == "selection":
@@ -1840,13 +1961,26 @@ def _prepare_ua_kinds(system: System, analysis: Analysis):
         else np.zeros(n, bool)
     ignore = select_mask(system, at.ignore) if at.ignore \
         else np.zeros(n, bool)
+    if at.saturated and not sat.any():
+        raise _empty_group_error("Saturated")
+    if at.unsaturated and not unsat.any():
+        raise _empty_group_error("Unsaturated")
     if (sat & unsat).any():
-        raise AnalysisError(
-            "saturated and unsaturated selections share atoms")
+        raise _overlap_error(int((sat & unsat).sum()), "Saturated",
+                             at.saturated, "Unsaturated", at.unsaturated)
+    if at.ignore:
+        if (sat & ignore).any():
+            raise _overlap_error(int((sat & ignore).sum()), "Saturated",
+                                 at.saturated, "Ignore", at.ignore)
+        if (unsat & ignore).any():
+            raise _overlap_error(int((unsat & ignore).sum()), "Unsaturated",
+                                 at.unsaturated, "Ignore", at.ignore)
     satunsat = (sat | unsat) & ~ignore
     if not satunsat.any():
-        raise SelectionError(
-            "no atoms matched the saturated/unsaturated queries")
+        # wording: src/errors.rs:104-105 (TopologyError::NoUACarbons)
+        raise TopologyError(
+            "no carbons for the calculation of united-atom order "
+            "parameters were specified")
 
     with timers.phase("topology"):
         kinds = classify_molecules(system, satunsat, mode="atoms")
@@ -1879,7 +2013,8 @@ def _run_ua(analysis: Analysis, shard=None, as_partial=False):
                                      compiled.n_molecules, axis, remap)
     from .core.ordermap import build_map_spec
 
-    map_spec = (build_map_spec(analysis.map, system.box)
+    map_spec = (build_map_spec(analysis.map,
+                            system.box if analysis.handle_pbc else None)
                 if analysis.map is not None else None)
     geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
     if geom_mode == "selection":
@@ -2053,7 +2188,8 @@ def merge_partial_states(analysis: Analysis, states) -> AnalysisResults:
                 accum.timewise_counts[cls].append(
                     np.asarray(s[f"tw_counts_{cls}"], np.int64))
 
-    map_spec = (build_map_spec(analysis.map, system.box)
+    map_spec = (build_map_spec(analysis.map,
+                            system.box if analysis.handle_pbc else None)
                 if analysis.map is not None else None)
     map_state = None
     if map_spec is not None:

@@ -338,10 +338,20 @@ class SpectralOrienter:
             overlap_lower = (c1 & ~self.prev_upper).sum() / max(c1.sum(), 1)
             if (overlap_upper < CLASSIFICATION_LIMIT
                     and overlap_lower < CLASSIFICATION_LIMIT):
+                # wording: src/errors.rs:531-537
+                # (ClusterError::CouldNotMatchLeaflets); "number of
+                # threads" reads "number of devices" in this architecture
+                pct = int(CLASSIFICATION_LIMIT * 100)
                 raise ClusterError(
-                    f"could not match leaflets between frames: no cluster "
-                    f"matches the previous assignment to at least "
-                    f"{int(CLASSIFICATION_LIMIT * 100)}%")
+                    f"clustering leaflet classification failed\ndetails: "
+                    f"when comparing current frame to previous frame, the "
+                    f"previously identified leaflets show >{pct}% lipid "
+                    f"composition change\nhint: this may be caused by "
+                    f"either of several issues:\n  - leaflets identified "
+                    f"incorrectly => consider manual leaflet assignment,\n"
+                    f"  - too rapid flip-flop => increase classification "
+                    f"frequency,\n  - frames too far apart => increase "
+                    f"classification frequency")
             upper = c1 if overlap_upper >= overlap_lower else c2
         self.prev_upper = upper
         return np.where(upper, 0, 1).astype(np.int32)

@@ -47,22 +47,34 @@ class MapSpec:
 
 def build_map_spec(params, structure_box: Optional[np.ndarray]) -> MapSpec:
     """Resolve grid geometry from OrderMapParams + the structure's box
-    (Auto spans = (0, box[axis]), ordermap.rs Map::new)."""
-    from ..errors import OrderMapError
+    (Auto spans = (0, box[axis]), ordermap.rs Map::new). Pass
+    structure_box=None when PBC handling is disabled (the reference passes
+    simbox: None there, ordermap.rs:55-64)."""
+    from ..errors import OrderMapError, fnum
 
     ax0, ax1 = _PLANE_AXES[params.plane]
     spans = []
     for axis, gridspan in zip((ax0, ax1), params.dim):
         if gridspan.auto:
             if structure_box is None or structure_box[axis, axis] <= 0:
+                # wording: src/errors.rs:399-401
+                # (OrderMapConfigError::InvalidBoxAuto)
                 raise OrderMapError(
-                    "cannot construct an ordermap with automatic dimensions: "
-                    "the structure has no valid simulation box")
+                    "simulation box and periodic boundary conditions are "
+                    "ignored => unable to automatically set ordermap "
+                    "dimensions (hint: set ordermap dimensions manually)")
             spans.append((0.0, float(structure_box[axis, axis])))
         else:
             spans.append((gridspan.start, gridspan.end))
     (s0, e0), (s1, e1) = spans
     b0, b1 = params.bin_size
+    if b0 > e0 - s0 or b1 > e1 - s1:
+        # wording: src/errors.rs:390-397 (OrderMapConfigError::BinTooLarge);
+        # reported spans are the grid maxima, like GridMap::new's check
+        raise OrderMapError(
+            f"invalid bin size of 'ordermap': bin size of "
+            f"'{fnum(b0)}x{fnum(b1)}' is larger than grid span of "
+            f"'{fnum(e0)}x{fnum(e1)}'")
     n0 = int(np.floor((e0 - s0) / b0 + 0.5)) + 1
     n1 = int(np.floor((e1 - s1) / b1 + 0.5)) + 1
     return MapSpec(ax0, ax1, s0, s1, b0, b1, n0, n1, e0, e1)

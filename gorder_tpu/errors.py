@@ -14,6 +14,15 @@ PANIC_MESSAGE = (
 )
 
 
+def fnum(value: float) -> str:
+    """Format a float the way Rust's f32 Display does (reference error
+    messages interpolate numbers with to_string(): 20.0 -> "20",
+    1.5 -> "1.5"), so our diagnostics match the reference text
+    (/root/reference/src/errors.rs) byte for byte."""
+    text = repr(float(value))
+    return text[:-2] if text.endswith(".0") else text
+
+
 class GorderError(Exception):
     """Base class of every error raised by gorder-tpu."""
 

@@ -15,7 +15,8 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import yaml
 
-from ..errors import ConfigError, FrequencyError, GeometryError, OrderMapError
+from ..errors import (ConfigError, ErrorEstimationError, FrequencyError,
+                      GeometryError, OrderMapError, fnum)
 
 # ------------------------------------------------------------- YAML with tags
 
@@ -46,11 +47,14 @@ class _ConfigLoader(yaml.SafeLoader):
 _ConfigLoader.add_multi_constructor("!", _tag_constructor)
 
 
-def load_yaml(text: str):
+def load_yaml(text: str, path: str = "<string>"):
     try:
         return yaml.load(text, Loader=_ConfigLoader)
     except yaml.YAMLError as e:
-        raise ConfigError(f"could not parse yaml configuration: {e}") from None
+        # wording: src/errors.rs:292-294 (ConfigError::CouldNotParseConfig)
+        raise ConfigError(
+            f"could not understand the contents of the configuration file "
+            f"'{path}' ({e})") from None
 
 
 # ------------------------------------------------------------------ utilities
@@ -87,12 +91,25 @@ class Frequency:
     @staticmethod
     def every(n: int) -> "Frequency":
         if n < 1:
-            raise FrequencyError("frequency must be at least 1")
+            # wording: src/errors.rs:49-50 (FrequencyError::EveryZero)
+            raise FrequencyError(
+                f"action cannot be performed once every '{n}' frames "
+                f"(frequency has to be at least 1)")
         return Frequency("every", n)
 
     @staticmethod
     def once() -> "Frequency":
         return Frequency("once", 0)
+
+    def describe(self) -> str:
+        """Human description matching the reference's Display impl
+        (src/presentation/mod.rs:772-782); used inside error messages."""
+        if self.kind == "once":
+            return "once at the start of the analysis"
+        if self.n == 1:
+            return "every analyzed frame"
+        suffix = {2: "nd", 3: "rd"}.get(self.n, "th")
+        return f"every {self.n}{suffix} analyzed frame"
 
     @staticmethod
     def parse(value) -> "Frequency":
@@ -172,9 +189,13 @@ class MembraneNormal:
     @staticmethod
     def dynamic(heads: str, radius: float = 2.0, collect=None) -> "MembraneNormal":
         if radius <= 0:
+            # wording: src/errors.rs:359-363
+            # (ConfigError::InvalidDynamicNormalRadius)
             raise ConfigError(
-                f"radius of the scanning sphere must be positive, not {radius}"
-            )
+                f"the specified radius for dynamic membrane normal "
+                f"calculation must be larger than 0, not '{fnum(radius)}'\n"
+                f"(hint: the recommended value for 'radius' is roughly half "
+                f"of the membrane thickness)")
         return MembraneNormal(
             kind="dynamic", axis=None, heads=heads, radius=radius,
             collect=Collect.parse(collect),
@@ -272,9 +293,12 @@ class AnalysisType:
                 unsaturated: Optional[str] = None,
                 ignore: Optional[str] = None) -> "AnalysisType":
         if saturated is None and unsaturated is None:
+            # wording: src/errors.rs:104-105 (TopologyError::NoUACarbons);
+            # the reference defers this to topology preparation
+            # (uaorder.rs:190), we reject it at config time
             raise ConfigError(
-                "united-atom analysis requires at least one of 'saturated' "
-                "and 'unsaturated'"
+                "no carbons for the calculation of united-atom order "
+                "parameters were specified"
             )
         return AnalysisType("ua", saturated=saturated,
                             unsaturated=unsaturated, ignore=ignore)
@@ -495,9 +519,11 @@ class GridSpan:
     @staticmethod
     def manual(start: float, end: float) -> "GridSpan":
         if start > end:
+            # wording: src/errors.rs:21-23 (GridSpanError::Invalid)
             raise OrderMapError(
-                f"invalid grid span: start ({start}) is greater than end "
-                f"({end})")
+                f"the first coordinate for the grid span ('{fnum(start)}' "
+                f"nm) is higher than the second coordinate for the grid "
+                f"span ('{fnum(end)}' nm)")
         return GridSpan(False, start, end)
 
     @staticmethod
@@ -554,26 +580,40 @@ class OrderMapParams:
             # cwd protects the user's working tree (ordermap.rs:196-214)
             resolved = os.path.realpath(params.output_directory)
             if resolved == os.path.realpath(os.getcwd()):
+                # wording: src/errors.rs:407-408
+                # (OrderMapConfigError::InvalidOutputDirectory)
                 raise OrderMapError(
-                    "the output directory specified for saving ordermaps "
+                    "output directory specified for saving ordermaps "
                     "cannot be the current directory "
-                    f"('{params.output_directory}')")
+                    f"(provided path: '{params.output_directory}')")
         params.min_samples = int(fields.get("min_samples", 1))
         if params.min_samples < 1:
+            # wording: src/errors.rs:372-375
+            # (OrderMapConfigError::InvalidMinSamples)
             raise OrderMapError(
-                f"ordermap min_samples must be at least 1, got "
-                f"{params.min_samples}")
+                "the specified value of 'min_samples' inside 'ordermap' is "
+                "invalid (must be positive)")
         bin_size = fields.get("bin_size", [0.1, 0.1])
         if isinstance(bin_size, (int, float)):
             bin_size = [bin_size, bin_size]
-        if len(bin_size) != 2 or any(float(b) <= 0 for b in bin_size):
+        if len(bin_size) != 2:
             raise OrderMapError(f"invalid ordermap bin size '{bin_size}'")
+        for b in bin_size:
+            if float(b) <= 0:
+                # wording: src/errors.rs:384-388
+                # (OrderMapConfigError::InvalidBinSize)
+                raise OrderMapError(
+                    f"invalid bin size of 'ordermap': value is "
+                    f"'{fnum(float(b))}', must be positive")
         params.bin_size = (float(bin_size[0]), float(bin_size[1]))
         dim = fields.get("dim")
         if dim is not None:
             if len(dim) != 2:
                 raise OrderMapError("ordermap 'dim' must have two entries")
             params.dim = (GridSpan.parse(dim[0]), GridSpan.parse(dim[1]))
+        # note: bin-size-vs-span (BinTooLarge) is validated when the grid is
+        # built, once the simulation box (auto spans) is known —
+        # core/ordermap.py build_map_spec, mirroring ordermap.rs Map::new
         plane = fields.get("plane")
         if plane is not None:
             plane = str(plane).lower()
@@ -612,9 +652,11 @@ class EstimateError:
                               "estimate_error parameters")
         n_blocks = int(fields.get("n_blocks", 5))
         if n_blocks < 2:
-            raise ConfigError(
-                f"at least two blocks are required for error estimation, "
-                f"got {n_blocks}")
+            # wording: src/errors.rs:414-416
+            # (ErrorEstimationError::NotEnoughBlocks)
+            raise ErrorEstimationError(
+                f"number of blocks for error estimation must be at least 2, "
+                f"not '{n_blocks}'")
         return EstimateError(n_blocks=n_blocks,
                              output_convergence=fields.get("output_convergence"))
 
@@ -646,14 +688,25 @@ class Geometry:
             raise GeometryError(
                 f"invalid cylinder orientation '{self.orientation}'")
         if self.radius < 0:
+            # wording: src/errors.rs:32-35 (GeometryConfigError::InvalidRadius)
             raise GeometryError(
-                f"{self.kind} radius must not be negative, got {self.radius}")
+                f"the specified radius for the geometry selection is "
+                f"'{fnum(self.radius)}' but it must be non-negative")
         for what, span in (("xdim", self.xdim), ("ydim", self.ydim),
-                           ("zdim", self.zdim), ("span", self.span)):
+                           ("zdim", self.zdim)):
             if span[0] > span[1]:
+                # wording: src/errors.rs:29-30
+                # (GeometryConfigError::InvalidDimension)
                 raise GeometryError(
-                    f"invalid {what}: start ({span[0]}) is greater than "
-                    f"end ({span[1]})")
+                    f"the first value for dimension ('{fnum(span[0])}' nm) "
+                    f"is higher than the second value for dimension "
+                    f"('{fnum(span[1])}' nm)")
+        if self.span[0] > self.span[1]:
+            # wording: src/errors.rs:37-40 (GeometryConfigError::InvalidSpan)
+            raise GeometryError(
+                f"the first value for span ('{fnum(self.span[0])}' nm) is "
+                f"higher than the second value for span "
+                f"('{fnum(self.span[1])}' nm)")
 
     @staticmethod
     def _parse_reference(value):
@@ -671,11 +724,8 @@ class Geometry:
             return (-float("inf"), float("inf"))
         if not isinstance(value, (list, tuple)) or len(value) != 2:
             raise GeometryError(f"invalid {what} '{value}'")
-        lo, hi = float(value[0]), float(value[1])
-        if lo > hi:
-            raise GeometryError(
-                f"invalid {what}: start ({lo}) is greater than end ({hi})")
-        return (lo, hi)
+        # ordering is validated in __post_init__ with the reference wording
+        return (float(value[0]), float(value[1]))
 
     @staticmethod
     def parse(value) -> Optional["Geometry"]:
@@ -708,9 +758,6 @@ class Geometry:
                  "orientation": [], "invert": []},
                 "!Cylinder geometry")
             radius = float(fields.get("radius", float("inf")))
-            if radius < 0:
-                raise GeometryError(
-                    f"cylinder radius must not be negative, got {radius}")
             orientation = str(fields.get("orientation", "z")).lower()
             if orientation not in _AXES:
                 raise GeometryError(
@@ -728,9 +775,6 @@ class Geometry:
                 dict(value), {"reference": [], "radius": [], "invert": []},
                 "!Sphere geometry")
             radius = float(fields.get("radius", float("inf")))
-            if radius < 0:
-                raise GeometryError(
-                    f"sphere radius must not be negative, got {radius}")
             return Geometry(
                 "sphere",
                 reference=Geometry._parse_reference(fields.get("reference")),
@@ -819,28 +863,40 @@ class Analysis:
 
     def validate(self) -> None:
         if not str(self.structure).lower().endswith(_STRUCTURE_FORMATS):
+            # wording: src/errors.rs:338-339
+            # (ConfigError::InvalidStructureFormat)
             raise ConfigError(
-                f"'{self.structure}' does not have a supported structure "
-                f"format (supported: tpr, pdb, gro, pqr)")
+                f"the provided structure file '{self.structure}' has an "
+                f"unknown, invalid, or unsupported format")
+        # wording: src/errors.rs:304-314 (ConfigError::Invalid{Step,...})
         if self.step < 1:
-            raise ConfigError("step must be at least 1")
-        if self.min_samples < 1:
-            raise ConfigError("min_samples must be at least 1")
-        if self.n_threads < 1:
-            raise ConfigError("n_threads must be at least 1")
-        if self.begin > self.end:
             raise ConfigError(
-                f"begin ({self.begin}) must not be greater than end "
-                f"({self.end})")
+                "the specified value of 'step' is invalid (must be positive)")
+        if self.min_samples < 1:
+            raise ConfigError(
+                "the specified value of 'min_samples' is invalid "
+                "(must be positive)")
+        if self.n_threads < 1:
+            raise ConfigError(
+                "the specified value of 'n_threads' is invalid "
+                "(must be positive)")
+        if self.begin > self.end:
+            # wording: src/errors.rs:316-320 (ConfigError::InvalidBeginEnd)
+            raise ConfigError(
+                "invalid values of 'begin' and 'end' "
+                "(begin is higher than end)")
         if self.map is not None and self.map.plane is None:
             # plane defaults to the plane perpendicular to a static normal
             if self.membrane_normal.kind == "static":
                 axis = self.membrane_normal.axis
                 self.map.plane = {"x": "yz", "y": "xz", "z": "xy"}[axis]
             else:
+                # wording: src/errors.rs:403-405
+                # (OrderMapConfigError::InvalidPlaneAuto)
                 raise OrderMapError(
-                    "an ordermap plane must be specified explicitly when the "
-                    "membrane normal is not a static axis")
+                    "membrane normal is not a static global dimension => "
+                    "unable to automatically set ordermap plane "
+                    "(hint: set ordermap plane manually)")
 
     @staticmethod
     def from_yaml_dict(raw: Dict) -> "Analysis":
@@ -881,10 +937,11 @@ class Analysis:
         try:
             with open(path, "r") as fh:
                 text = fh.read()
-        except OSError as e:
+        except OSError:
+            # wording: src/errors.rs:289-290 (ConfigError::CouldNotOpenConfig)
             raise ConfigError(
-                f"could not read configuration file '{path}': {e}") from None
-        return Analysis.from_yaml_dict(load_yaml(text))
+                f"could not open the configuration file '{path}'") from None
+        return Analysis.from_yaml_dict(load_yaml(text, path))
 
     def run(self):
         from ..analysis import run_analysis

@@ -34,7 +34,11 @@ def read_ndx(path: str, system: System) -> None:
         system.add_group(name, indices)
 
 
-def parse_ndx(content: str, n_atoms: int, path: str = "<ndx>") -> Dict[str, np.ndarray]:
+def parse_ndx(content: str, n_atoms: int, path: str = "<ndx>",
+              protected: tuple = ()) -> Dict[str, np.ndarray]:
+    """`protected` names escalate invalid/duplicate warnings to errors — the
+    NDX leaflet classifier fails when its upper/lower group is invalid or
+    duplicated while ordinary groups only warn (leaflets.rs:1085-1112)."""
     groups: Dict[str, list] = {}
     skipped: set = set()
     current = None
@@ -49,6 +53,14 @@ def parse_ndx(content: str, n_atoms: int, path: str = "<ndx>") -> Dict[str, np.n
                 raise NdxError(f"invalid group header in ndx file '{path}': '{raw}'")
             name = stripped[1:-1].strip()
             if any(c in _INVALID_CHARS for c in name) or not name:
+                if name in protected:
+                    # wording: src/errors.rs:454-456
+                    # (NdxLeafletClassificationError::InvalidName)
+                    raise NdxError(
+                        f"group name '{name}' specified in an ndx file "
+                        f"'{path}' is invalid and cannot be used (hint: "
+                        f"following characters are not allowed in group "
+                        f"names: '\"&|!@()<>=)")
                 log.warning(
                     "groups with invalid names detected in ndx file '%s' (skipped: '%s')",
                     path, name,
@@ -57,6 +69,12 @@ def parse_ndx(content: str, n_atoms: int, path: str = "<ndx>") -> Dict[str, np.n
                 skipped.add(name)
                 continue
             if name in groups:
+                if name in protected:
+                    # wording: src/errors.rs:458-459
+                    # (NdxLeafletClassificationError::DuplicateName)
+                    raise NdxError(
+                        f"group '{name}' is defined multiple times in an "
+                        f"ndx file '{path}'")
                 log.warning(
                     "duplicate groups detected in ndx file '%s' (skipped duplicate: '%s')",
                     path, name,

@@ -81,6 +81,16 @@ def read_pdb(path: str) -> System:
     if not names:
         raise StructureError(f"no atoms found in pdb file '{path}'")
 
+    if conect_pairs and len(serial_to_index) != len(serials):
+        # wording: src/errors.rs:334-336 (ConfigError::InvalidPdbTopology)
+        from ..errors import ConfigError
+
+        raise ConfigError(
+            f"cannot parse topology from the provided PDB file '{path}' - "
+            f"non-unique atom numbers make the CONECT information ambiguous "
+            f"(see: https://www.wwpdb.org/documentation/"
+            f"file-format-content/format33/sect10.html)")
+
     bond_idx = []
     for s1, s2 in conect_pairs:
         if s1 in serial_to_index and s2 in serial_to_index:

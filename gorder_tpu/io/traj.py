@@ -549,21 +549,31 @@ class Trajectory:
             yield coords, boxes, times, steps, analyzed
 
 
+_PBC_HINT = ("(hint: consider setting 'handle_pbc' to false but make sure "
+             "that your lipid molecules are whole)")
+
+
 def check_box(box: np.ndarray, path_hint: str = "") -> None:
-    """Validate an orthogonal, non-zero box (common.rs:186-198)."""
+    """Validate an orthogonal, non-zero box (common.rs:186-198);
+    wording: src/errors.rs:122-132 (AnalysisError box variants)."""
     box = np.asarray(box)
+    if box.size == 0 or not np.isfinite(box).all():
+        raise AnalysisError(
+            f"system has undefined simulation box {_PBC_HINT}")
     off_diag = box.copy()
     off_diag[np.arange(3), np.arange(3)] = 0.0
     if np.any(off_diag != 0.0):
         raise AnalysisError(
-            "the simulation box is not orthogonal; only orthogonal boxes are "
-            "supported (use handle_pbc: false to ignore the box)"
-        )
-    if np.any(np.diag(box) <= 0.0):
+            f"the simulation box is not orthogonal {_PBC_HINT}")
+    if np.all(np.diag(box) == 0.0):
         raise AnalysisError(
-            "the simulation box is invalid (zero or negative dimension); "
-            "use handle_pbc: false to ignore the box"
-        )
+            f"all dimensions of the simulation box are zero {_PBC_HINT}")
+    if np.any(np.diag(box) <= 0.0):
+        # not in the reference taxonomy (groan accepts a partially-zero
+        # box); min-image math would divide by it, so fail loudly
+        raise AnalysisError(
+            "the simulation box has a zero or negative dimension "
+            f"{_PBC_HINT}")
 
 
 _DIAG = np.arange(3)

@@ -49,7 +49,14 @@ def backup_file(path: str) -> None:
         if not os.path.exists(candidate):
             break
         n += 1
-    shutil.move(path, candidate)
+    try:
+        shutil.move(path, candidate)
+    except OSError:
+        # wording: src/errors.rs:240-242 (WriteError::CouldNotBackupFile)
+        from ..errors import WriteError
+
+        raise WriteError(
+            f"could not create a backup for file '{path}'") from None
     log.info("backed up '%s' as '%s'", path, candidate)
 
 
@@ -66,6 +73,8 @@ def prepare_output_path(path: str, overwrite: bool) -> None:
 
 
 def prepare_output_dir(path: str, overwrite: bool) -> None:
+    from ..errors import OrderMapError
+
     if os.path.isdir(path) and not overwrite:
         # back up the whole directory
         parent = os.path.dirname(os.path.abspath(path)) or "."
@@ -76,6 +85,19 @@ def prepare_output_dir(path: str, overwrite: bool) -> None:
             if not os.path.exists(candidate):
                 break
             n += 1
-        shutil.move(path, candidate)
+        try:
+            shutil.move(path, candidate)
+        except OSError:
+            # wording: src/errors.rs:271-273
+            # (OrderMapWriteError::CouldNotBackupDirectory)
+            raise OrderMapError(
+                f"could not create a backup for directory '{path}'"
+            ) from None
         log.info("backed up directory '%s' as '%s'", path, candidate)
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        # wording: src/errors.rs:268-269
+        # (OrderMapWriteError::CouldNotCreateDirectory)
+        raise OrderMapError(
+            f"could not create directory '{path}'") from None

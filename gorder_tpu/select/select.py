@@ -201,9 +201,12 @@ class GroupClause(Node):
             names.extend([g for g in system.groups if compiled.search(g)])
         for name in names:
             if name not in system.groups:
+                # hint wording: src/errors.rs:56-62
+                # (TopologyError::InvalidQuery for SelectError::GroupNotFound)
                 raise SelectionError(
-                    f"group '{name}' does not exist (query references an "
-                    f"unknown group or keyword)"
+                    f"group '{name}' does not exist (hint: one of your atom "
+                    f"selection queries uses a name for a group not defined "
+                    f"in your system; maybe an ndx file is missing?)"
                 )
             mask[system.groups[name]] = True
         return mask

@@ -54,7 +54,7 @@ type: !CGOrder
 """)
     proc = run_cli([str(cfg)], cwd=tmp_path)
     assert proc.returncode == 1
-    assert "output yaml" in proc.stderr.lower()
+    assert "no yaml output file specified" in proc.stderr.lower()
 
 
 def test_cli_invalid_config(tmp_path):

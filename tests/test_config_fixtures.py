@@ -19,7 +19,7 @@ INPUTS = FIXTURES / "inputs"
 # substring our error message must contain.
 EXPECTED_INVALID = {
     "begin_higher.yaml": "begin",
-    "cuboid_invalid_dimension.yaml": "zdim",
+    "cuboid_invalid_dimension.yaml": "first value for dimension",
     "cylinder_invalid_span.yaml": "span",
     "cylinder_negative_radius.yaml": "radius",
     "estimate_error_invalid_n_blocks.yaml": "blocks",
@@ -27,7 +27,7 @@ EXPECTED_INVALID = {
     "incomplete.yaml": "required",
     "invalid_dynamic_normal_radius1.yaml": "radius",
     "invalid_dynamic_normal_radius2.yaml": "radius",
-    "invalid_structure_format.yaml": "structure format",
+    "invalid_structure_format.yaml": "unknown, invalid, or unsupported format",
     "leaflets_zero_frequency.yaml": "frequency",
     "ordermap_invalid_bin_size_x.yaml": "bin size",
     "ordermap_invalid_bin_size_y.yaml": "bin size",
@@ -37,7 +37,7 @@ EXPECTED_INVALID = {
     "ordermap_zero_min_samples.yaml": "min_samples",
     "fail_ordermaps_working_dir.yaml": "current directory",
     "sphere_negative_radius.yaml": "radius",
-    "ua_no_carbons.yaml": "united-atom",
+    "ua_no_carbons.yaml": "united-atom order parameters",
     "zero_min_samples.yaml": "min_samples",
     "zero_n_threads.yaml": "n_threads",
     "zero_step.yaml": "step",

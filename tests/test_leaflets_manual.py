@@ -160,8 +160,8 @@ def test_manual_empty_assignment(fixtures):
 def test_manual_file_nonexistent_and_invalid(fixtures, tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text("not: [valid\n")
-    for path, match in (("/no/such/file.yaml", "could not read"),
-                        (str(bad), "could not parse")):
+    for path, match in (("/no/such/file.yaml", "could not open"),
+                        (str(bad), "could not understand")):
         leaflets = LeafletClassification.from_file(path)
         with pytest.raises(ManualLeafletError, match=match):
             cg_analysis(fixtures, leaflets).run()

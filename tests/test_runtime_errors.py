@@ -49,21 +49,21 @@ def test_dynamic_normal_requires_leaflet_axis(fixtures):
 
 def test_dynamic_normal_multiple_heads(fixtures):
     """test_cg_order_fail_dynamic_multiple_heads"""
-    with pytest.raises(TopologyError, match="2 atoms"):
+    with pytest.raises(TopologyError, match="multiple head group atoms"):
         cg(fixtures,
            membrane_normal=MembraneNormal.dynamic("name PO4 NC3", 2.0)).run()
 
 
 def test_dynamic_normal_no_head(fixtures):
     """test_cg_order_fail_dynamic_no_head"""
-    with pytest.raises(TopologyError, match="0 atoms"):
+    with pytest.raises(TopologyError, match="no head group atom"):
         cg(fixtures,
            membrane_normal=MembraneNormal.dynamic("name W", 2.0)).run()
 
 
 def test_nopbc_rejects_box_center_reference(fixtures):
     """test_aa_order_geometry_no_pbc_fail_box_center"""
-    with pytest.raises(GorderError, match="box center"):
+    with pytest.raises(GorderError, match="center of simulation box"):
         cg(fixtures, handle_pbc=False,
            geometry=Geometry("sphere", radius=2.5)).run()
 
@@ -100,7 +100,7 @@ def test_heavy_hydrogen_overlap_fails(fixtures):
     test_aa_order_basic_fail_overlap)."""
     import pytest
 
-    from gorder_tpu.errors import AnalysisError
+    from gorder_tpu.errors import TopologyError as TErr
     from gorder_tpu.input import Analysis, AnalysisType
 
     analysis = Analysis(
@@ -110,7 +110,7 @@ def test_heavy_hydrogen_overlap_fails(fixtures):
             "@membrane and element name carbon",
             "@membrane and (element name hydrogen or name C22)"),
         silent=True, overwrite=True)
-    with pytest.raises(AnalysisError, match="share"):
+    with pytest.raises(TErr, match="are part of both"):
         analysis.run()
 
 
