@@ -29,9 +29,29 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
+def _host_isa_tag() -> str:
+    """Hash of the host CPU identity (model + feature flags). The library
+    is built with -march=native, and this environment migrates between
+    physical hosts: a binary tuned for one microarchitecture can run an
+    order of magnitude slower on another (measured 24 vs 540 frames/s for
+    the same source), so the cache key must include the host, exactly like
+    XLA's cpuinfo-keyed persistent cache."""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            lines = [ln for ln in fh.read().splitlines()
+                     if ln.startswith(("model name", "flags"))]
+        ident = lines[0] + "|" + (lines[1] if len(lines) > 1 else "")
+    except OSError:
+        import platform
+
+        ident = platform.processor() or platform.machine()
+    return hashlib.sha256(ident.encode()).hexdigest()[:8]
+
+
 def _build_library() -> Path:
     source = _SRC.read_bytes()
-    tag = hashlib.sha256(source).hexdigest()[:16]
+    tag = (hashlib.sha256(source).hexdigest()[:16] + "-"
+           + _host_isa_tag())
     build_dir = _NATIVE_DIR / "_build"
     build_dir.mkdir(exist_ok=True)
     so_path = build_dir / f"libxdr-{tag}.so"
