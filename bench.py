@@ -228,7 +228,7 @@ def measure_wire_bytes(analysis):
                                      _prepare_bond_kinds,
                                      _effective_batch_size, _wire_groups,
                                      load_structure)
-    from gorder_tpu.io.native import i12_stride, s6_stride
+    from gorder_tpu.io.native import b7_stride, i12_stride, s6_stride
     from gorder_tpu.io.traj import Trajectory
 
     system = load_structure(analysis)
@@ -239,10 +239,14 @@ def measure_wire_bytes(analysis):
     frame_indices = traj.select_frames(None, None, 1)
     group_of, n_groups, vgidx = _wire_groups(system, space)
     batch = _effective_batch_size()
+    bond_slots = (remap(compiled.atom_a), remap(compiled.atom_b))
     wire, cap = _pick_wire_format(traj, frame_indices, space, 1, group_of,
-                                  n_groups, batch)
+                                  n_groups, batch, bond_slots=bond_slots)
     n_out = space.n_out
+    n_bonds = len(bond_slots[0])
     per_frame = {
+        "b7": b7_stride(n_bonds) + cap * 4
+              + n_bonds * 12 // max(batch, 1),
         "s6": s6_stride(n_out) + (n_groups + 1) * 6 + cap * 4
               + n_out * 12 // max(batch, 1),
         "d8": n_out * 3 + cap * 6,
@@ -251,51 +255,67 @@ def measure_wire_bytes(analysis):
         "f32": n_out * 12,
     }[wire]
     return wire, per_frame, system, compiled, space, remap, group_of, \
-        n_groups, vgidx, traj, frame_indices
+        n_groups, vgidx, traj, frame_indices, bond_slots, cap
 
 
 def measure_device_resident(probe, batch=512, iters=30):
     """Device-resident compute throughput: one real batch's wire payload
-    staged on the device once, then the full per-batch device path (s6
-    reconstruction → fused P2 kernel → result fetch) timed over `iters`
-    repetitions — no decode and no transfer inside the window. This is the
-    pipeline's speed with local PCIe-attached hardware instead of the
-    sandbox tunnel."""
+    staged on the device once, then the PRODUCTION per-batch device path —
+    the fused program the pipeline dispatches (s6 reconstruction traced
+    inline into the P2 kernel, analysis.py _build_fused_steps) — timed
+    over `iters` repetitions with no decode and no transfer inside the
+    window. This is the pipeline's speed with local PCIe-attached hardware
+    instead of the sandbox tunnel."""
     import jax
 
-    from gorder_tpu.analysis import _s6_to_f32
+    from gorder_tpu.analysis import _b7_impl, _s6_impl
     from gorder_tpu.core.order import make_order_step
-    from gorder_tpu.io.native import s6_stride
+    from gorder_tpu.io.native import b7_stride, s6_stride
 
     (wire, per_frame, system, compiled, space, remap, group_of, n_groups,
-     vgidx, traj, frame_indices) = probe
+     vgidx, traj, frame_indices, bond_slots, wire_cap) = probe
 
     step = make_order_step(
         remap(compiled.atom_a), remap(compiled.atom_b), compiled.bond_type,
         compiled.molecule, compiled.n_types, compiled.n_molecules,
         handle_pbc=True, with_leaflets=False, normal_mode="static",
         map_spec=None, geom_spec=None)
+    use_pallas = bool(step.pallas_ok(batch, has_classes=False,
+                                     has_geom=False))
 
     n_out = space.n_out
     chunk = frame_indices[:batch]
     n = len(chunk)
-    esc_cap = 4096
-    pk = np.zeros((n, s6_stride(n_out)), np.uint8)
-    eg = np.zeros((n, esc_cap), np.uint16)
-    ev = np.zeros((n, esc_cap), np.int16)
-    gm = np.zeros((n, (n_groups + 1) * 3), np.int16)
-    res, _ = traj.read_frames_s6(chunk, space, group_of, n_groups,
-                                 pk, eg, ev, gm)
-    if res is None:  # fall back to f32 staging; kernel timing still valid
-        coords, boxes, _, _ = traj.read_frames(chunk, space)
-        coords_dev = jax.device_put(coords)
-        staged = None
-    else:
-        base, inv_prec, boxes, _, _ = res
-        staged = tuple(jax.device_put(a)
-                       for a in (pk, eg, ev, base, gm,
-                                 vgidx.astype(np.int32), inv_prec))
-        coords_dev = None
+    staged_b7 = staged = coords_dev = scale_dev = None
+    if wire == "b7":
+        esc_cap = max(128, wire_cap)
+        pk = np.zeros((n, b7_stride(len(bond_slots[0]))), np.uint8)
+        eg = np.zeros((n, esc_cap), np.uint16)
+        ev = np.zeros((n, esc_cap), np.int16)
+        res, _ = traj.read_frames_b7(chunk, space, bond_slots[0],
+                                     bond_slots[1], pk, eg, ev)
+        if res is not None:
+            base, inv_prec, boxes, _, _ = res
+            staged_b7 = tuple(jax.device_put(a) for a in (pk, eg, ev, base))
+            scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
+            use_pallas = False  # the b7 fused path runs the einsum kernel
+    if staged_b7 is None:
+        esc_cap = 4096
+        pk = np.zeros((n, s6_stride(n_out)), np.uint8)
+        eg = np.zeros((n, esc_cap), np.uint16)
+        ev = np.zeros((n, esc_cap), np.int16)
+        gm = np.zeros((n, (n_groups + 1) * 3), np.int16)
+        res, _ = traj.read_frames_s6(chunk, space, group_of, n_groups,
+                                     pk, eg, ev, gm)
+        if res is None:  # fall back to f32 staging; kernel timing still valid
+            coords, boxes, _, _ = traj.read_frames(chunk, space)
+            coords_dev = jax.device_put(coords)
+        else:
+            base, inv_prec, boxes, _, _ = res
+            staged = tuple(jax.device_put(a)
+                           for a in (pk, eg, ev, base, gm,
+                                     vgidx.astype(np.int32)))
+            scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
     box_dev = jax.device_put(boxes[:, [0, 1, 2], [0, 1, 2]].copy())
     normal_dev = jax.device_put(np.array([0, 0, 1], np.float32))
     mask_dev = jax.device_put(np.ones(n, bool))
@@ -306,22 +326,37 @@ def measure_device_resident(probe, batch=512, iters=30):
     # Python-level repetition loop. A local PCIe host dispatches in ~10 µs,
     # so the honest device-resident figure runs all `iters` batches inside
     # ONE compiled program: a lax.scan whose carry (eps = 0.0 at runtime,
-    # opaque to the compiler) perturbs each iteration's input, creating a
-    # serial data dependency that defeats loop-invariant hoisting while
-    # adding only one elementwise add per batch. One dispatch, one barrier.
+    # opaque to the compiler) perturbs each iteration's dequantization
+    # scale, creating a serial data dependency that defeats loop-invariant
+    # hoisting while adding only one elementwise add per batch. Each scan
+    # iteration traces exactly the production fused program's body
+    # (_s6_impl -> step.impl). One dispatch, one barrier.
     import jax.numpy as jnp
     from jax import lax
+
+    def one(carry):
+        if staged_b7 is not None:
+            dq = _b7_impl(*staged_b7)
+            return step.impl(dq, box_dev, normal_dev, mask_dev,
+                             inv_scale=scale_dev + carry,
+                             map_state=None, geom_ref=None,
+                             diff_input=True)
+        if staged is not None:
+            c = _s6_impl(*staged, scale_dev + carry)
+        else:
+            c = coords_dev + carry
+        return step.impl(c, box_dev, normal_dev, mask_dev,
+                         map_state=None, geom_ref=None,
+                         use_pallas=use_pallas)
 
     @jax.jit
     def many(eps):
         def body(carry, _):
-            c = _s6_to_f32(*staged) if staged is not None else coords_dev
-            result, _ = step(c + carry, box_dev, normal_dev, mask_dev)
+            result, _ = one(carry)
             return eps * result["total"][0, 0, 0], None
 
         carry, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
-        c = _s6_to_f32(*staged) if staged is not None else coords_dev
-        result, _ = step(c + carry, box_dev, normal_dev, mask_dev)
+        result, _ = one(carry)
         return result
 
     eps0 = jnp.float32(0.0)

@@ -1053,6 +1053,33 @@ def _s6_impl(pk, gp, vl, bs, gm, vg, ip):
         b, nv // 3, 3)
 
 
+def _b7_impl(pk, gp, vl, bs):
+    """Unpack the b7 bond-difference wire (io/traj.py read_frames_b7):
+    7-bit residual codes (8 per 7 bytes), sparse gap-coded escapes, plus
+    the per-batch base → (B, n_bonds, 3) int32 bond integer differences.
+    The caller dequantizes (f32(d) · inv_precision) inside the kernel."""
+    import jax.numpy as jnp
+
+    b = pk.shape[0]
+    sep = pk.reshape(b, -1, 7).astype(jnp.uint32)
+    lo = (sep[..., 0] | (sep[..., 1] << 8) | (sep[..., 2] << 16)
+          | (sep[..., 3] << 24))
+    hi = sep[..., 4] | (sep[..., 5] << 8) | (sep[..., 6] << 16)
+    codes = jnp.stack([
+        lo & 127, (lo >> 7) & 127, (lo >> 14) & 127, (lo >> 21) & 127,
+        ((lo >> 28) | (hi << 4)) & 127,
+        (hi >> 3) & 127, (hi >> 10) & 127, (hi >> 17) & 127,
+    ], axis=-1).reshape(b, -1)
+    codes = ((codes.astype(jnp.int32) + 64) & 127) - 64  # sign-extend
+    nv = bs.shape[0]
+    r = codes[:, :nv]
+    pos = jnp.cumsum(gp.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding -> dropped
+    r = r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int32),
+                                              mode="drop")
+    return (bs.reshape(1, nv).astype(jnp.int32) + r).reshape(b, nv // 3, 3)
+
+
 def _dequant_impl(q, s):
     import jax.numpy as jnp
 
@@ -1150,7 +1177,14 @@ def _build_fused_steps(step, *, n_out, use_pallas):
     import jax
 
     def build(kind):
-        if kind == "s6":
+        if kind == "b7":
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                pk, eg, ev, base = w
+                dq = _b7_impl(pk, eg, ev, base)
+                return impl(dq, box, normal, mask, inv_scale=scale,
+                            map_state=None, geom_ref=None,
+                            diff_input=True)
+        elif kind == "s6":
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 pk, eg, ev, base, gm, vg = w
                 coords = _s6_impl(pk, eg, ev, base, gm, vg, scale)
@@ -1249,14 +1283,39 @@ def _probe_s6(traj, frame_indices, space, group_of, n_groups, n_threads,
     return None
 
 
+def _probe_b7(traj, frame_indices, space, bond_a, bond_b, n_threads,
+              batch_size):
+    """Probe the b7 bond-difference wire format over one batch-sized
+    window. Returns a sized esc_cap or None when unfit."""
+    from .io.native import b7_stride
+
+    n = len(frame_indices)
+    w = frame_indices[:min(batch_size, n)]
+    esc_cap = 512
+    for _attempt in range(2):
+        pack = np.zeros((len(w), b7_stride(len(bond_a))), np.uint8)
+        gaps = np.zeros((len(w), esc_cap), np.uint16)
+        vals = np.zeros((len(w), esc_cap), np.int16)
+        res, nesc = traj.read_frames_b7(w, space, bond_a, bond_b,
+                                        pack, gaps, vals,
+                                        n_threads=n_threads)
+        if res is not None:
+            cap = int(nesc * 1.4) + 64
+            return max(128, min(8192, (cap + 127) // 128 * 128))
+        if nesc <= esc_cap or nesc > 8192:
+            return None  # unfit for reasons other than capacity
+        esc_cap = min(8192, ((int(nesc * 2) + 127) // 128) * 128)
+    return None
+
+
 def _pick_wire_format(traj, frame_indices, space, n_threads, group_of=None,
-                      n_groups=0, batch_size=512):
+                      n_groups=0, batch_size=512, bond_slots=None):
     """Probe the most compact coordinate transfer the trajectory supports:
-    6-bit smoothed-base residuals (~0.77 B/atom·axis) → 8-bit temporal
-    deltas → 12-bit packed absolutes → int16 → f32. s6 and d8 are compared
-    by measured bytes/frame (s6 wins for closely-spaced frames, d8 for
-    long save intervals). Returns ('s6', esc_cap) / ('d8', corr_cap) /
-    ('i12', 0) / ('i16', 0) / ('f32', 0)."""
+    7-bit bond-vector differences (pure bond-order runs only) → 6-bit
+    smoothed-base residuals (~0.77 B/atom·axis) → 8-bit temporal
+    deltas → 12-bit packed absolutes → int16 → f32. b7/s6/d8 are compared
+    by measured bytes/frame. Returns ('b7', esc_cap) / ('s6', esc_cap) /
+    ('d8', corr_cap) / ('i12', 0) / ('i16', 0) / ('f32', 0)."""
     n = len(frame_indices)
     windows = [frame_indices[:min(8, n)]]
     if n > 16:
@@ -1264,6 +1323,28 @@ def _pick_wire_format(traj, frame_indices, space, n_threads, group_of=None,
         windows.append(frame_indices[mid:mid + 8])
 
     forced = os.environ.get("GORDER_TPU_WIRE", "")
+    if bond_slots is not None and forced in ("", "b7"):
+        b7_cap = _probe_b7(traj, frame_indices, space, bond_slots[0],
+                           bond_slots[1], n_threads, batch_size)
+        if b7_cap is not None:
+            # b7 ships ~0.875 B per bond value vs s6's ~0.75 B per ATOM
+            # value; bonds outnumber atoms only in pathological topologies
+            # (every heavy atom bonded to >2 analyzed partners), so when
+            # eligible and fit, b7 is the smallest wire — no byte
+            # comparison needed beyond the stride check below
+            from .io.native import b7_stride, s6_stride
+
+            nb = len(bond_slots[0])
+            b7_bytes = b7_stride(nb) + b7_cap * 4 \
+                + nb * 12 // max(batch_size, 1)
+            s6_bytes_min = s6_stride(space.n_out) + (n_groups + 1) * 6
+            if forced == "b7" or b7_bytes < s6_bytes_min:
+                return "b7", b7_cap
+    if forced == "b7":
+        log.warning("GORDER_TPU_WIRE=b7 requested but the run is not "
+                    "eligible (non-XTC input, escape overflow, or a "
+                    "subsystem needs absolute coordinates); probing the "
+                    "coordinate formats instead")
     if forced in ("i12", "i16", "f32"):
         probe_idx = frame_indices[np.unique([0, n // 2, n - 1])]
         if forced == "i12" and traj.read_frames_packed12(
@@ -1347,7 +1428,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  leaflets: Optional[LeafletRuntime], map_spec=None,
                  geom_mode=None, geom_payload=None,
                  normals: Optional[NormalsRuntime] = None,
-                 shard=None):
+                 shard=None, bond_slots=None):
     """Shared frame-batch loop: decode → device → kernel → accumulate.
 
     The decode of batch k+1 runs in a worker thread (the native codec
@@ -1435,22 +1516,37 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     batch_size_probe = _effective_batch_size()
     group_of, n_groups, vgidx = _wire_groups(system, space)
+    # b7 (bond-vector differences) is eligible only on the pure bond-order
+    # path: every other subsystem consumes absolute coordinates
+    pure_bond = (leaflets is None and normals is None and map_spec is None
+                 and geom_mode is None
+                 and getattr(step, "impl", None) is not None
+                 and bond_slots is not None)
     wire, wire_cap = _pick_wire_format(traj, frame_indices, space, n_threads,
-                                       group_of, n_groups, batch_size_probe)
+                                       group_of, n_groups, batch_size_probe,
+                                       bond_slots=bond_slots if pure_bond
+                                       else None)
     corr_cap = wire_cap if wire == "d8" else 0
-    esc_cap = wire_cap if wire == "s6" else 0
+    esc_cap = wire_cap if wire in ("s6", "b7") else 0
+    n_bonds = len(bond_slots[0]) if bond_slots is not None else 0
+    from .io.native import b7_stride as _b7s
     from .io.native import i12_stride as _i12s
     from .io.native import s6_stride as _s6s
 
     wire_bytes = {
+        "b7": _b7s(n_bonds) + esc_cap * 4,
         "s6": _s6s(n_out) + (n_groups + 1) * 6 + esc_cap * 4,
         "d8": n_out * 3 + corr_cap * 6,
         "i12": _i12s(n_out),
         "i16": n_out * 6,
         "f32": n_out * 12,
     }[wire]
-    log.info("wire format: %s — %d of %d atoms, %.1f KB/frame",
-             wire, space.n_sel, system.n_atoms, wire_bytes / 1024)
+    if wire == "b7":
+        log.info("wire format: b7 — %d bond vectors (of %d selected atoms),"
+                 " %.1f KB/frame", n_bonds, space.n_sel, wire_bytes / 1024)
+    else:
+        log.info("wire format: %s — %d of %d atoms, %.1f KB/frame",
+                 wire, space.n_sel, system.n_atoms, wire_bytes / 1024)
 
     # per-batch zero map state: batch tile sums are fetched and accumulated
     # in int64 on the host every batch (exact like the order sums; carrying
@@ -1486,7 +1582,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # by a serialized decode×transfer product.
     prefetch = max(2, int(os.environ.get("GORDER_TPU_PREFETCH", "4")))
     prefetch = min(prefetch, max(2, n_batches))
-    if wire == "s6":
+    if wire == "b7":
+        from .io.native import b7_stride
+
+        buffers = [
+            (np.zeros((batch_size, b7_stride(n_bonds)), np.uint8),
+             np.zeros((batch_size, esc_cap), np.uint16),
+             np.zeros((batch_size, esc_cap), np.int16))
+            for _ in range(prefetch)
+        ]
+    elif wire == "s6":
         from .io.native import s6_stride
 
         buffers = [
@@ -1542,6 +1647,31 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     def _decode_batch(b):
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % prefetch]
+        if wire == "b7":
+            pk, eg, ev = buf
+            if len(chunk) < batch_size:
+                # padding rows decode to the (masked) base differences
+                pk[len(chunk):] = 0
+                eg[len(chunk):] = 0
+                ev[len(chunk):] = 0
+            res, _ = traj.read_frames_b7(chunk, space, bond_slots[0],
+                                         bond_slots[1], pk, eg, ev,
+                                         n_threads=n_threads)
+            if res is not None:
+                base, inv_prec, boxes, times, steps = res
+                return ("b7", pk, eg, ev, base), inv_prec, boxes, len(chunk)
+            log.warning(
+                "wire fallback: batch %d exceeds the b7 format (escape "
+                "demand or value range changed mid-run); shipping int16",
+                b)
+            res = traj.read_frames_quantized(chunk, space,
+                                             n_threads=n_threads)
+            if res is not None:
+                coords, inv_prec, boxes, times, steps = res
+                out = np.zeros((batch_size, n_out, 3), np.int16)
+                out[:len(chunk)] = coords[:len(chunk)]
+                return ("i16", out), inv_prec, boxes, len(chunk)
+            return _fallback_f32(chunk)
         if wire == "s6":
             pk, eg, ev, gm = buf
             if len(chunk) < batch_size:
@@ -1683,7 +1813,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             coords_dev = None      # f32 coords (or None until reconstructed)
             quant_dev = None       # int16 absolutes awaiting dequantization
             wire_devs = None       # raw wire arrays for the fused programs
-            if kind == "s6":
+            if kind == "b7":
+                _, pk, eg, ev, base = payload
+                pk_dev = put_frames(pk)
+                eg_dev = put_frames(eg)
+                ev_dev = put_frames(ev)
+                base_dev = put_const(base)
+                jax.block_until_ready((pk_dev, eg_dev, ev_dev))
+                wire_devs = (pk_dev, eg_dev, ev_dev, base_dev)
+                assert fused_get is not None, \
+                    "b7 wire requires the fused bond-order path"
+            elif kind == "s6":
                 _, pk, eg, ev, gm, base = payload
                 pk_dev = put_frames(pk)
                 eg_dev = put_frames(eg)
@@ -1899,7 +2039,8 @@ def _run_bond_based(analysis: Analysis, shard=None, as_partial=False):
             analysis, system, step,
             normal_vec if normal_vec is not None else np.zeros(3, np.float32),
             compiled.n_types, compiled.n_molecules, space, leaflets,
-            map_spec, geom_mode, geom_payload, normals_rt, shard=shard)
+            map_spec, geom_mode, geom_payload, normals_rt, shard=shard,
+            bond_slots=(remap(compiled.atom_a), remap(compiled.atom_b)))
     if as_partial:
         return _assemble_partial(analysis, kinds, compiled, accum,
                                  map_state, leaflets, normals_rt,

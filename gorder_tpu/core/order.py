@@ -127,7 +127,7 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
                      bond_mol, onehot, leaflet_classes, inv_scale=None,
                      bond_type_ids=None, map_state=None, geom_ref=None, *,
                      handle_pbc, with_leaflets, normal_mode, quantized=False,
-                     map_spec=None, geom_spec=None):
+                     map_spec=None, geom_spec=None, diff_input=False):
     from .geometry import inside_mask
     from .ordermap import map_cells, update_maps
 
@@ -135,9 +135,17 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
         # XTC fixed-point int16 → f32 nm, fused into the kernel so each
         # batch is a single device execution (matters on high-latency links)
         coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
-    pa = jnp.take(coords, atom_a, axis=1)            # (B, N, 3)
-    pb = jnp.take(coords, atom_b, axis=1)
-    d = pb - pa
+    if diff_input:
+        # `coords` is already the (B, N, 3) bond-vector array (b7 wire:
+        # exact integer differences dequantized on device) — positions
+        # never materialize, so midpoints are unavailable
+        assert map_spec is None and geom_spec is None
+        pa = None
+        d = coords
+    else:
+        pa = jnp.take(coords, atom_a, axis=1)        # (B, N, 3)
+        pb = jnp.take(coords, atom_b, axis=1)
+        d = pb - pa
     if handle_pbc:
         d = min_image(d, box_diag[:, None, :])
 
@@ -197,7 +205,7 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
 _order_step = jax.jit(
     _order_step_impl,
     static_argnames=("handle_pbc", "with_leaflets", "normal_mode",
-                     "quantized", "map_spec", "geom_spec"),
+                     "quantized", "map_spec", "geom_spec", "diff_input"),
 )
 
 
@@ -339,13 +347,27 @@ def make_order_step(
 
     def step_impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
                   inv_scale=None, map_state=None, geom_ref=None, *,
-                  use_pallas=False):
+                  use_pallas=False, diff_input=False):
         """Traceable (unjitted) step body for fused per-batch programs
         (analysis.py _build_fused_steps): the wire reconstruction and the
         order kernel trace into ONE XLA program — a nested-jit boundary
         between them forces canonical-layout materialization of the
         (B, A, 3) coordinates (measured ~6x slower on TPU). `use_pallas`
-        is a trace-time constant decided by the caller via pallas_ok()."""
+        is a trace-time constant decided by the caller via pallas_ok().
+        With diff_input=True, `coords` is the (B, N, 3) bond-vector array
+        (b7 wire) — no Pallas/map/geom support on that path."""
+        if diff_input:
+            assert not use_pallas and map_state is None and geom_ref is None
+            return _order_step_impl(
+                coords, box_diag, normal, frame_mask,
+                atom_a_d, atom_b_d, bond_mol_d, onehot_d,
+                leaflet_classes if leaflet_classes is not None
+                else dummy_classes,
+                inv_scale, bond_type_d, None, None,
+                handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+                normal_mode=normal_mode, quantized=inv_scale is not None,
+                map_spec=None, geom_spec=None, diff_input=True,
+            )
         if use_pallas:
             assert geom_ref is None
             out, _ = fast_step.impl(coords, box_diag, normal, frame_mask,

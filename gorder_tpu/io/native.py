@@ -148,6 +148,23 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            lib.xtc_decode_b7.restype = ctypes.c_int32
+            lib.xtc_decode_b7.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -398,6 +415,53 @@ def xtc_decode_s6(path: str, offsets: np.ndarray, first_n: int,
         _i32p(group_of), n_groups, gmean_stride, w_base,
         _i32p(base_io), int(has_base),
         gmean_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        pack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        esc_gap_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        esc_val_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        esc_cap, _i32p(max_nesc),
+        _f32p(inv_prec_out), _f32p(boxes_out), _f32p(times_out),
+        _i32p(steps_out), n_threads)
+    if rc == -1:
+        raise TrajectoryError(
+            f"could not decode xtc file '{path}': {_err(lib)}")
+    return rc, int(max_nesc[0])
+
+
+def b7_stride(n_bonds: int) -> int:
+    """Bytes per frame for the 7-bit packed bond-difference stream."""
+    nb8 = (n_bonds * 3 + 7) // 8 * 8
+    return nb8 // 8 * 7
+
+
+def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
+                  bond_a: np.ndarray, bond_b: np.ndarray,
+                  w_base: int, base_io: np.ndarray, has_base: bool,
+                  pack_out: np.ndarray, esc_gap_out: np.ndarray,
+                  esc_val_out: np.ndarray, inv_prec_out: np.ndarray,
+                  boxes_out: np.ndarray, times_out: np.ndarray,
+                  steps_out: np.ndarray, slot_of: np.ndarray = None,
+                  n_out: int = None, n_threads: int = 1):
+    """Bond-difference 7-bit residual decode (see native/xdr.cpp
+    xtc_decode_b7): per-batch per-value int32 base over the bond integer
+    differences, packed 7-bit residuals, sparse (gap u16, val i16)
+    escapes. Returns (rc, max_nesc): rc 0 ok / 1 unfit."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
+    n = len(offsets)
+    if n == 0:
+        return 0, 0
+    bond_a = np.ascontiguousarray(bond_a, np.int32)
+    bond_b = np.ascontiguousarray(bond_b, np.int32)
+    n_bonds = len(bond_a)
+    assert len(bond_b) == n_bonds
+    assert pack_out.shape[0] >= n and pack_out.shape[1] == b7_stride(n_bonds)
+    esc_cap = esc_gap_out.shape[1]
+    max_nesc = np.zeros(1, np.int32)
+    rc = lib.xtc_decode_b7(
+        path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
+        _i32p(bond_a), _i32p(bond_b), n_bonds, w_base,
+        _i32p(base_io), int(has_base),
         pack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         esc_gap_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         esc_val_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

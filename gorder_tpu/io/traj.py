@@ -522,6 +522,60 @@ class Trajectory:
             return None, worst_nesc
         return (base, inv_prec, boxes, times, steps), worst_nesc
 
+    def read_frames_b7(self, frame_indices: Sequence[int], subset,
+                       bond_a: np.ndarray, bond_b: np.ndarray,
+                       pack_out: np.ndarray, esc_gap_out: np.ndarray,
+                       esc_val_out: np.ndarray,
+                       n_threads: int = 1, w_base: int = 24):
+        """Decode XTC frames in the bond-difference 7-bit wire format
+        (~0.875 B per bond-vector value): the per-bond integer differences
+        d = c[bond_b] - c[bond_a] (exact int32 arithmetic) coded as 7-bit
+        residuals vs a per-batch median base plus a sparse (gap u16,
+        val i16) escape channel (native/xdr.cpp xtc_decode_b7). Ships only
+        bond VECTORS — the bond-order hot path never sees absolute
+        positions, so per-group drift medians are unnecessary (drift
+        cancels in the difference). The integers are bit-exact; the f32
+        bond vector f32(d)·(1/precision) differs from the position-pair
+        formulation by its last ulp (see xdr.cpp commentary).
+
+        Fills the caller's buffers and returns ((base (n_bonds*3,) int32,
+        inv_precision, boxes, times, steps), max_nesc); None payload when
+        unsupported, like read_frames_s6."""
+        sub = _as_subset(subset)
+        frame_indices = np.asarray(frame_indices, np.int64)
+        if not self._all_xtc(frame_indices):
+            return None, 0
+        n = len(frame_indices)
+        base = np.zeros(len(bond_a) * 3, np.int32)
+        inv_prec = np.empty(n, np.float32)
+        boxes = np.empty((n, 3, 3), np.float32)
+        times = np.empty(n, np.float32)
+        steps = np.empty(n, np.int64)
+        has_base = False
+        prev_inv = None
+        worst_nesc = 0
+        failed = False
+        for sl, f, local in self._segments(frame_indices):
+            st32 = np.empty(sl.stop - sl.start, np.int32)
+            rc, max_nesc = native.xtc_decode_b7(
+                f.path, f.offsets[local], sub.first_n, bond_a, bond_b,
+                w_base, base, has_base,
+                pack_out[sl], esc_gap_out[sl], esc_val_out[sl],
+                inv_prec[sl], boxes[sl], times[sl], st32,
+                slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads)
+            worst_nesc = max(worst_nesc, max_nesc)
+            if rc != 0:
+                failed = True
+                continue  # keep scanning to report the full escape demand
+            if prev_inv is not None and inv_prec[sl.start] != prev_inv:
+                return None, worst_nesc
+            prev_inv = inv_prec[sl.stop - 1]
+            steps[sl] = st32
+            has_base = True
+        if failed:
+            return None, worst_nesc
+        return (base, inv_prec, boxes, times, steps), worst_nesc
+
     def iter_batches(self, frame_indices: Sequence[int], subset,
                      batch_size: int, n_threads: int = 1
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,

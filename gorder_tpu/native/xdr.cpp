@@ -1675,6 +1675,213 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
   return status.load();
 }
 
+// Bond-difference 7-bit wire format ("b7").
+//
+// The bond-order hot path (no leaflets / normals / ordermaps / geometry)
+// consumes only the bond VECTORS, never absolute positions. Shipping the
+// per-bond integer differences d = c[atom_b] - c[atom_a] (exact int32
+// arithmetic on the decoded XTC integers) instead of both endpoint
+// positions cuts the value count by ~1/3 (each heavy atom anchors several
+// bonds) AND removes the whole-molecule drift — the temporal residual of
+// a bond vector is just the two endpoints' relative jitter, no per-group
+// median channel needed. Model: per batch a per-value integer base
+// (median over a centered window), per value a residual
+//   r = d - base
+// coded in 7 bits ([-64, 63]; escapes to the same sparse (gap u16,
+// val i16) side channel as s6 — box-wrap jumps of ±box*precision fit
+// int16 for any box below ~32 nm at precision 1000). Reconstruction is
+// `d = base + r`; the device then computes the bond vector as
+// f32(d) * (1/precision) — one rounding on the EXACT integer difference,
+// vs the f32 position path's difference of two rounded products (whose
+// cancellation costs up to ~2 ulp of the box span, ~1e-5 relative on a
+// 0.1 nm bond). Results therefore differ from the position formulation
+// at the last-ulp level; parity vs the reference stays well inside the
+// 1e-5 target (tests/test_wire_b7.py) while the integers themselves are
+// bit-exact.
+//
+// Returns 0 ok / 1 unfit (escape demand over esc_cap, escape value
+// outside int16, or mixed compression precision) / -1 corruption.
+// out_max_esc always reports the worst per-frame escape demand.
+int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
+                      int64_t n, int32_t first_n, const int32_t *slot_of,
+                      int32_t n_out, const int32_t *bond_a,
+                      const int32_t *bond_b, int32_t n_bonds,
+                      int32_t w_base, int32_t *base_io, int32_t has_base,
+                      uint8_t *pack_out, uint16_t *esc_gap_out,
+                      int16_t *esc_val_out, int32_t esc_cap,
+                      int32_t *out_max_esc, float *out_inv_precision,
+                      float *out_boxes, float *out_times, int32_t *out_steps,
+                      int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  const size_t nv = (size_t)n_out * 3;        // decoded slot values
+  const size_t nb = (size_t)n_bonds * 3;      // bond-difference values
+  const size_t nb8 = (nb + 7) & ~(size_t)7;
+  const size_t stride = nb8 / 8 * 7;
+
+  std::atomic<int32_t> status{0};
+  std::atomic<int32_t> max_esc{0};
+
+  float p_expect = -1.0f;
+  {
+    XtcHeader h;
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[0], &h))
+      return -1;
+    p_expect = h.plain ? 1000.0f : h.precision;
+  }
+
+  auto decode_ints = [&](int64_t f, int32_t *dst, bool meta) -> int {
+    XtcHeader h;
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h))
+      return -1;
+    float p = h.plain ? 1000.0f : h.precision;
+    if (p != p_expect) return 1;  // mixed precision: integers not comparable
+    if (meta) {
+      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h.time;
+      if (out_steps) out_steps[f] = h.step;
+      if (out_inv_precision) out_inv_precision[f] = 1.0f / p;
+    }
+    I32Sink sink{dst, 0.0f};
+    bool ok;
+    if (slot_of) {
+      SlotSink<I32Sink> ss{sink, slot_of};
+      ok = decode_xtc_coords_t(h, first_n, ss);
+    } else {
+      ok = decode_xtc_coords_t(h, first_n, sink);
+    }
+    return ok ? 0 : -1;
+  };
+
+  auto bond_diffs = [&](const int32_t *c, int32_t *d) {
+    for (int32_t j = 0; j < n_bonds; j++) {
+      const int32_t *pa = c + (size_t)bond_a[j] * 3;
+      const int32_t *pb = c + (size_t)bond_b[j] * 3;
+      d[j * 3 + 0] = pb[0] - pa[0];
+      d[j * 3 + 1] = pb[1] - pa[1];
+      d[j * 3 + 2] = pb[2] - pa[2];
+    }
+  };
+
+  // base: per-value median of the bond differences over a centered window
+  // (wrap jumps are rare per bond, so the median ignores them)
+  if (!has_base) {
+    int64_t W = std::min<int64_t>(std::max(1, w_base), n);
+    int64_t c0 = (n - W) / 2;
+    std::vector<int32_t> cur(nv, 0);
+    std::vector<int32_t> dw(W * nb);
+    for (int64_t t = 0; t < W; t++) {
+      int rc = decode_ints(c0 + t, cur.data(), false);
+      if (rc != 0) {
+        if (out_max_esc) *out_max_esc = 0;
+        return rc;
+      }
+      bond_diffs(cur.data(), dw.data() + t * nb);
+    }
+    std::vector<int32_t> vals((size_t)W);
+    for (size_t j = 0; j < nb; j++) {
+      for (int64_t t = 0; t < W; t++) vals[(size_t)t] = dw[t * nb + j];
+      auto mid = vals.begin() + (W - 1) / 2;
+      std::nth_element(vals.begin(), mid, vals.end());
+      base_io[j] = *mid;
+    }
+  }
+
+  auto bump_max = [&](int32_t v) {
+    int32_t cur = max_esc.load(std::memory_order_relaxed);
+    while (v > cur && !max_esc.compare_exchange_weak(
+                          cur, v, std::memory_order_relaxed)) {
+    }
+  };
+
+  auto work = [&](int64_t lo_f, int64_t hi_f) {
+    std::vector<int32_t> cur(nv, 0);
+    std::vector<int32_t> dv(nb, 0);
+    for (int64_t f = lo_f; f < hi_f; f++) {
+      if (status.load() == -1) return;
+      int rc = decode_ints(f, cur.data(), true);
+      if (rc != 0) {
+        status.store(rc == -1 ? -1 : 1);
+        if (rc == -1) return;
+        continue;
+      }
+      bond_diffs(cur.data(), dv.data());
+      uint8_t *pk = pack_out + f * stride;
+      uint16_t *eg = esc_gap_out + (size_t)f * esc_cap;
+      int16_t *ev = esc_val_out + (size_t)f * esc_cap;
+      bool fits = true;
+      int32_t nesc = 0;
+      int64_t last_esc = -1;
+      int64_t next_force = 65534;  // last_esc + 65535: u16 gap ceiling
+      uint64_t acc = 0;
+      int accn = 0;
+      size_t out = 0;
+      auto flush = [&](int32_t code) {
+        acc |= ((uint64_t)((uint32_t)code & 127u)) << (7 * accn);
+        if (++accn == 8) {
+          pk[out + 0] = (uint8_t)(acc & 0xFF);
+          pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
+          pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
+          pk[out + 3] = (uint8_t)((acc >> 24) & 0xFF);
+          pk[out + 4] = (uint8_t)((acc >> 32) & 0xFF);
+          pk[out + 5] = (uint8_t)((acc >> 40) & 0xFF);
+          pk[out + 6] = (uint8_t)((acc >> 48) & 0xFF);
+          out += 7;
+          acc = 0;
+          accn = 0;
+        }
+      };
+      for (size_t j = 0; j < nb; j++) {
+        int32_t r = dv[j] - base_io[j];
+        // single unsigned compare: r < -64 || r > 63
+        if ((uint32_t)(r + 64) <= 127u && (int64_t)j < next_force) {
+          flush(r);
+          continue;
+        }
+        if (r < INT16_MIN || r > INT16_MAX) fits = false;
+        if (nesc < esc_cap) {
+          eg[nesc] = (uint16_t)((int64_t)j - last_esc);
+          ev[nesc] = (int16_t)std::max<int32_t>(
+              INT16_MIN, std::min<int32_t>(INT16_MAX, r));
+        } else {
+          fits = false;
+        }
+        nesc++;
+        last_esc = (int64_t)j;
+        next_force = last_esc + 65535;
+        flush(0);  // ignored: the device scatter overrides this slot
+      }
+      for (size_t j = nb; j < nb8; j++) {
+        flush(0);  // tail padding of the 8-values-per-7-bytes stream
+      }
+      for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
+        eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
+        ev[e] = 0;
+      }
+      bump_max(nesc);
+      if (!fits) {
+        int32_t expect = 0;
+        status.compare_exchange_strong(expect, 1);
+      }
+    }
+  };
+
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  if (out_max_esc) *out_max_esc = max_esc.load();
+  return status.load();
+}
+
 // Append frames to an XTC file (creates it when absent).
 int32_t xtc_write(const char *path, int32_t natoms, int64_t n_frames,
                   const float *coords, const float *boxes, const float *times,

@@ -280,9 +280,17 @@ def test_subset_gather_all_formats(fixtures):
 
 
 def test_pipeline_wire_equivalence(fixtures, tmp_path, monkeypatch):
-    """The analysis result is invariant to the wire format (d8 picked by
-    the probe vs forced f32) — the exactness contract behind every
-    transfer optimization."""
+    """The exactness contract behind every transfer optimization. Two
+    formulation classes:
+
+    - coordinate wires (f32/i16/i12/d8/s6) ship absolute positions; the
+      kernel computes bond vectors as the difference of two dequantized
+      positions — BIT-IDENTICAL results across all of them;
+    - the b7 wire ships exact integer bond differences dequantized once
+      (a single rounding of the exact difference) — bit-identical across
+      b7 runs, and within float ulps of the coordinate formulation
+      (the golden tiers pin the printed output as byte-identical).
+    """
     from gorder_tpu.input import Analysis, AnalysisType
 
     def run(wire):
@@ -302,9 +310,18 @@ def test_pipeline_wire_equivalence(fixtures, tmp_path, monkeypatch):
             for mol in results.molecules for bond in mol.bonds
         ]
 
-    auto = run(None)
     f32 = run("f32")
-    assert auto == f32
+    for wire in ("i16", "s6"):
+        assert run(wire) == f32, wire
+
+    auto = run(None)   # the probe picks b7 for this pure bond-order run
+    b7 = run("b7")
+    assert auto == b7
+    for (av, ae), (fv, fe) in zip(auto, f32):
+        assert abs(av - fv) < 1e-7
+        assert (ae is None) == (fe is None)
+        if ae is not None:
+            assert abs(ae - fe) < 1e-7
 
 
 def test_decoder_thread_fanout_invariance(fixtures):
@@ -512,3 +529,101 @@ def test_s6_pipeline_picked_and_equivalent(tmp_path, monkeypatch, caplog):
         "probe did not pick s6 on closely-spaced synthetic data"
     assert auto == run("f32")
     assert auto == run("s6")
+
+
+def test_wire_fallback_on_midrun_precision_change(tmp_path, monkeypatch,
+                                                  caplog):
+    """A compression-precision change the probe windows never saw (last
+    batch only) must not corrupt or abort the run: the affected batch
+    falls back to int16 with a logged warning, every other batch stays on
+    the compact wire, and results match the forced-f32 run (VERDICT r2
+    'wire-probe blind spot')."""
+    import logging
+
+    from gorder_tpu.input import Analysis, AnalysisType
+    from gorder_tpu.io.gro import write_gro
+    from gorder_tpu.system import System, canonical_bonds
+
+    rng = np.random.default_rng(17)
+    n_mol, per_mol = 20, 24
+    n_atoms = n_mol * per_mol
+    box = np.array([7.0, 7.0, 5.0], np.float32)
+    base = np.empty((n_atoms, 3), np.float32)
+    names, resids, resnames, bonds = [], [], [], []
+    for m in range(n_mol):
+        start = rng.random(3).astype(np.float32) * box
+        for a in range(per_mol):
+            i = m * per_mol + a
+            base[i] = start + rng.normal(0, 0.11, 3).astype(np.float32)
+            names.append(f"C{a + 1}" if a % 2 == 0 else f"H{a + 1}")
+            resids.append(m + 1)
+            resnames.append("MOLX")
+            if a:
+                bonds.append((i - 1, i))
+    system = System(
+        name="midrun", atom_names=np.array(names, dtype="U8"),
+        resids=np.array(resids, np.int64),
+        resnames=np.array(resnames, dtype="U8"),
+        serials=np.arange(1, n_atoms + 1, dtype=np.int64),
+        positions=base % box, box=np.diag(box).astype(np.float32))
+    system.bonds = canonical_bonds(np.asarray(bonds, np.int64))
+    gro, bnd = tmp_path / "m.gro", tmp_path / "m.bnd"
+    write_gro(str(gro), system)
+    bnd.write_text("".join(f"{a + 1} {b + 1}\n" for a, b in system.bonds))
+
+    n_frames = 48
+    frames = np.empty((n_frames, n_atoms, 3), np.float32)
+    pos = base.copy()
+    for t in range(n_frames):
+        pos = pos + rng.normal(0, 0.008, (n_atoms, 3)).astype(np.float32)
+        frames[t] = pos % box
+    xtc = str(tmp_path / "m.xtc")
+    # probe windows (first 8, middle 8) never see the change; 36 is NOT a
+    # batch boundary at batch_size=8 so batch [32, 40) straddles the
+    # precision change (a boundary-aligned change decodes fine: the wire
+    # scales are per-batch)
+    split = 36
+    boxes = np.tile(np.diag(box), (n_frames, 1, 1)).astype(np.float32)
+    times = np.arange(n_frames, dtype=np.float32) * 10
+    steps = np.arange(n_frames, dtype=np.int32)
+    native.xtc_write(xtc, frames[:split], boxes[:split], times[:split],
+                     steps[:split], precision=1000.0)
+    native.xtc_write(xtc, frames[split:], boxes[split:], times[split:],
+                     steps[split:], precision=100.0, append=True)
+
+    monkeypatch.setenv("GORDER_TPU_BATCH_SIZE", "8")
+
+    def run(wire):
+        if wire:
+            monkeypatch.setenv("GORDER_TPU_WIRE", wire)
+        else:
+            monkeypatch.delenv("GORDER_TPU_WIRE", raising=False)
+        analysis = Analysis(
+            structure=str(gro), bonds=str(bnd), trajectory=xtc,
+            analysis_type=AnalysisType.aaorder(
+                "name r'^C'", "name r'^H'"), silent=True)
+        results = analysis.run()
+        return [
+            (bond.order.total.value, bond.order.total.error)
+            for mol in results.molecules
+            for bond in mol.bonds + [b for a in mol.atoms for b in a.bonds]
+        ]
+
+    f32 = run("f32")
+    assert len(f32) > 10
+
+    # s6 (coordinate wire): fallback batch is bit-identical to f32
+    with caplog.at_level(logging.WARNING, logger="gorder"):
+        s6 = run("s6")
+    assert any("wire fallback" in r.getMessage() for r in caplog.records)
+    assert s6 == f32
+
+    # b7 (bond-difference wire): fallback fires too; values agree with the
+    # coordinate formulation within ulps (see test_wire_b7 for the bound)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="gorder"):
+        b7 = run("b7")
+    assert any("wire fallback" in r.getMessage() for r in caplog.records)
+    for (bv, be), (fv, fe) in zip(b7, f32):
+        assert abs(bv - fv) < 1e-6
+        assert (be is None) == (fe is None)

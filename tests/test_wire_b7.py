@@ -1,0 +1,211 @@
+"""The b7 bond-difference wire format (native/xdr.cpp xtc_decode_b7).
+
+b7 ships only the per-bond integer coordinate DIFFERENCES (7-bit residuals
+vs a per-batch median base + a sparse escape channel) — eligible on the
+pure bond-order path where no subsystem needs absolute positions (mirrors
+the reference's hot loop, src/analysis/topology/bond.rs:396-446, which
+consumes only bond vectors). The integers are bit-exact; the f32 bond
+vector is one rounding of the exact integer difference, which differs from
+the position-pair formulation at the last-ulp level — the end-to-end
+assertions below pin the output equality empirically on the
+original-precision AA fixture.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from gorder_tpu.io.native import b7_stride
+from gorder_tpu.io.traj import Trajectory
+
+from .conftest import requires_fixtures
+
+
+def _aa_bond_slots(fixtures):
+    """The production pipeline's compiled bond slot arrays for the AA
+    pcpepg system (what _run_bond_based hands to _run_batches)."""
+    from gorder_tpu.analysis import (_build_atom_space, _prepare_bond_kinds,
+                                     load_structure)
+    from gorder_tpu.input import Analysis, AnalysisType
+
+    analysis = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=str(fixtures / "pcpepg_selected.xtc"),
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        silent=True)
+    system = load_structure(analysis)
+    _, compiled = _prepare_bond_kinds(system, analysis)
+    space, remap = _build_atom_space(system, analysis,
+                                     [compiled.atom_a, compiled.atom_b])
+    return space, remap(compiled.atom_a), remap(compiled.atom_b)
+
+
+@requires_fixtures
+def test_b7_roundtrip_integers(fixtures):
+    """Reconstruction is bit-exact: base + 7-bit residuals + escapes give
+    back exactly the int32 bond differences of the quantized absolutes."""
+    import jax.numpy as jnp
+
+    from gorder_tpu.analysis import _b7_impl
+
+    space, bond_a, bond_b = _aa_bond_slots(fixtures)
+    traj = Trajectory(str(fixtures / "pcpepg_selected.xtc"))
+    idx = traj.select_frames(None, None, 1)
+
+    c16, ip, boxes, times, steps = traj.read_frames_quantized(idx, space)
+    q = c16.astype(np.int64)
+    d_true = (q[:, bond_b] - q[:, bond_a]).astype(np.int32)
+
+    esc_cap = 2048
+    pk = np.zeros((len(idx), b7_stride(len(bond_a))), np.uint8)
+    eg = np.zeros((len(idx), esc_cap), np.uint16)
+    ev = np.zeros((len(idx), esc_cap), np.int16)
+    res, nesc = traj.read_frames_b7(idx, space, bond_a, bond_b, pk, eg, ev)
+    assert res is not None, f"escape demand {nesc} exceeded {esc_cap}"
+    base, inv_prec, b_boxes, b_times, b_steps = res
+
+    d_rec = np.asarray(_b7_impl(jnp.asarray(pk), jnp.asarray(eg),
+                                jnp.asarray(ev), jnp.asarray(base)))
+    np.testing.assert_array_equal(d_rec, d_true)
+    np.testing.assert_array_equal(b_boxes, boxes)
+    np.testing.assert_array_equal(b_steps, steps)
+
+
+@requires_fixtures
+def test_b7_thread_fanout_invariance(fixtures):
+    """Identical packed stream, escapes, and base across decoder thread
+    counts (the reference's thread-invariance model, tests_aa.rs:48-77,
+    applied to the codec's frame fan-out)."""
+    space, bond_a, bond_b = _aa_bond_slots(fixtures)
+    traj = Trajectory(str(fixtures / "pcpepg_selected.xtc"))
+    idx = traj.select_frames(None, None, 1)
+
+    esc_cap = 2048
+    ref = None
+    for nt in (1, 2, 5):
+        pk = np.zeros((len(idx), b7_stride(len(bond_a))), np.uint8)
+        eg = np.zeros((len(idx), esc_cap), np.uint16)
+        ev = np.zeros((len(idx), esc_cap), np.int16)
+        res, _ = traj.read_frames_b7(idx, space, bond_a, bond_b, pk, eg, ev,
+                                     n_threads=nt)
+        assert res is not None
+        if ref is None:
+            ref = (pk, eg, ev, res[0])
+        else:
+            np.testing.assert_array_equal(pk, ref[0])
+            np.testing.assert_array_equal(eg, ref[1])
+            np.testing.assert_array_equal(ev, ref[2])
+            np.testing.assert_array_equal(res[0], ref[3])
+
+
+@requires_fixtures
+def test_b7_escape_capacity_overflow(fixtures):
+    """Undersized escape buffers report the true demand and a None payload
+    (the pipeline then resizes via _probe_b7 or falls back per batch)."""
+    space, bond_a, bond_b = _aa_bond_slots(fixtures)
+    traj = Trajectory(str(fixtures / "pcpepg_selected.xtc"))
+    idx = traj.select_frames(None, None, 1)
+
+    big = np.zeros((len(idx), 2048), np.uint16)
+    pk = np.zeros((len(idx), b7_stride(len(bond_a))), np.uint8)
+    res, demand = traj.read_frames_b7(
+        idx, space, bond_a, bond_b, pk, big,
+        np.zeros((len(idx), 2048), np.int16))
+    assert res is not None and demand > 0
+
+    tiny = max(1, demand // 4)
+    res2, demand2 = traj.read_frames_b7(
+        idx, space, bond_a, bond_b, pk,
+        np.zeros((len(idx), tiny), np.uint16),
+        np.zeros((len(idx), tiny), np.int16))
+    assert res2 is None
+    assert demand2 == demand  # full demand reported, not clipped
+
+
+def _run_aa(fixtures, tmp_path, monkeypatch, wire, **extra):
+    from gorder_tpu.input import Analysis, AnalysisType
+    from gorder_tpu.present import write_yaml
+
+    if wire:
+        monkeypatch.setenv("GORDER_TPU_WIRE", wire)
+    else:
+        monkeypatch.delenv("GORDER_TPU_WIRE", raising=False)
+    analysis = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=str(fixtures / "pcpepg_selected.xtc"),
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        silent=True, overwrite=True, **extra)
+    results = analysis.run()
+    out = tmp_path / f"aa_{wire or 'auto'}.yaml"
+    write_yaml(results, str(out))
+    return out.read_bytes()
+
+
+@requires_fixtures
+def test_b7_pipeline_byte_identical(fixtures, tmp_path, monkeypatch):
+    """End-to-end AA on the original-precision fixture: the b7 wire's
+    output is byte-identical to the f32 wire's, and the auto probe picks
+    b7 for this pure bond-order run (it is the smallest eligible wire)."""
+    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32")
+    y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7")
+    assert y_b7 == y_f32
+
+    import gorder_tpu.analysis as mod
+
+    picked = {}
+    orig = mod._pick_wire_format
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        picked["wire"] = out[0]
+        return out
+
+    monkeypatch.setattr(mod, "_pick_wire_format", spy)
+    y_auto = _run_aa(fixtures, tmp_path, monkeypatch, None)
+    assert picked["wire"] == "b7"
+    assert y_auto == y_f32
+
+
+@requires_fixtures
+def test_b7_forced_but_ineligible_falls_back(fixtures, tmp_path,
+                                             monkeypatch, caplog):
+    """GORDER_TPU_WIRE=b7 on a run that needs absolute coordinates
+    (leaflet classification) warns and probes the coordinate formats —
+    results still match the f32 wire exactly (same formulation)."""
+    from gorder_tpu.input import LeafletClassification
+
+    leaf = dict(leaflets=LeafletClassification.global_(
+        "@membrane", "name P"))
+    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", **leaf)
+    with caplog.at_level(logging.WARNING, logger="gorder"):
+        y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", **leaf)
+    assert y_b7 == y_f32
+    assert any("not" in r.message and "eligible" in r.message
+               for r in caplog.records)
+
+
+@requires_fixtures
+def test_b7_formulation_bound(fixtures):
+    """The single-rounding bond vector f32(d)·s differs from the
+    position-pair formulation fl(fl(qb·s) − fl(qa·s)) by at most ~2 ulp of
+    the box span — the documented numerical contract of the b7 wire
+    (native/xdr.cpp xtc_decode_b7 commentary)."""
+    space, bond_a, bond_b = _aa_bond_slots(fixtures)
+    traj = Trajectory(str(fixtures / "pcpepg_selected.xtc"))
+    idx = traj.select_frames(None, None, 1)
+
+    c16, ip, boxes, *_ = traj.read_frames_quantized(idx, space)
+    pos = c16.astype(np.float32) * ip[:, None, None]
+    d_pair = pos[:, bond_b] - pos[:, bond_a]
+    q = c16.astype(np.int64)
+    d_single = ((q[:, bond_b] - q[:, bond_a]).astype(np.float32)
+                * ip[:, None, None])
+
+    span = float(boxes[:, [0, 1, 2], [0, 1, 2]].max())
+    bound = 2.0 * np.spacing(np.float32(span))
+    assert float(np.abs(d_pair - d_single).max()) <= bound
