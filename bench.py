@@ -372,8 +372,46 @@ def measure_device_resident(probe, batch=512, iters=30):
     return best
 
 
+def preflight_device(timeout_s=150):
+    """Probe the accelerator in a SUBPROCESS with a hard timeout. The
+    sandbox's device tunnel sometimes goes fully unresponsive (observed:
+    jax.devices() blocking >10 min); a blocked main process would hang the
+    whole benchmark harness with no artifact. Returns (ok, detail)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jax.device_put(jnp.ones((256, 256)))\n"
+            "(x @ x).block_until_ready()\n"
+            "print('OK', jax.devices()[0].platform)\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout_s}s"
+    if out.returncode != 0 or "OK" not in out.stdout:
+        return False, (out.stderr or out.stdout).strip()[-300:]
+    return True, out.stdout.strip()
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
+
+    ok, detail = preflight_device()
+    if not ok:
+        # Emit a parseable artifact instead of hanging the harness: the
+        # run is unmeasurable in this window, and that fact is the result.
+        print(f"# device preflight failed: {detail}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "AA 256-lipid 64.5k-atom order analysis, end-to-end "
+                      "(DEVICE UNREACHABLE in this window — tunnel down; "
+                      "see stderr)",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "device_unreachable": True,
+        }))
+        return
 
     from gorder_tpu.input import Analysis, AnalysisType
 

@@ -275,7 +275,8 @@ inline int sizeofints(int n, const uint32_t *sizes) {
 
 // Decode `nbits` as the little-endian byte group used by sendints and return
 // it as a single integer value (valid while the product of sizes < 2^64).
-inline uint64_t read_group_value(BitReader &br, int nbits) {
+__attribute__((always_inline)) inline uint64_t
+read_group_value(BitReader &br, int nbits) {
   br.fill();
   if (br.nbits >= nbits && nbits <= 56) {
     // hot path: extract the whole field at once and byte-reverse it (the
@@ -340,9 +341,9 @@ inline uint64_t _div_correct(uint64_t v, uint32_t d, double inv,
   return q;
 }
 
-inline void read_ints3_fast(BitReader &br, const FastDiv3 &fd,
-                            const uint32_t sizes[3], int32_t *nums) {
-  uint64_t v = read_group_value(br, fd.nbits);
+__attribute__((always_inline)) inline void
+ints3_from_value(uint64_t v, const FastDiv3 &fd, const uint32_t sizes[3],
+                 int32_t *nums) {
   if (fd.fast) {
     int64_t r;
     uint64_t q = _div_correct(v, fd.s2, fd.inv2, &r);
@@ -357,6 +358,38 @@ inline void read_ints3_fast(BitReader &br, const FastDiv3 &fd,
     nums[1] = (int32_t)(q - q2 * sizes[1]);
     nums[0] = (int32_t)q2;
   }
+}
+
+__attribute__((always_inline)) inline void
+read_ints3_fast(BitReader &br, const FastDiv3 &fd,
+                const uint32_t sizes[3], int32_t *nums) {
+  ints3_from_value(read_group_value(br, fd.nbits), fd, sizes, nums);
+}
+
+// Fused read of a large-atom group value plus the FOLLOWING 1-bit runflag
+// in a single bit-buffer extraction (saves one fill/extract round per
+// atom — the per-atom hot cost when runs are rare). Returns false when
+// the single-accumulator fast path cannot serve it (wide groups or
+// buffer tail); the caller then uses the two separate reads.
+__attribute__((always_inline)) inline bool
+read_group_and_flag(BitReader &br, int nbits, uint64_t *group,
+                    uint32_t *flag) {
+  if (nbits + 1 > 56) return false;
+  br.fill();
+  if (br.nbits < nbits + 1) return false;
+  br.nbits -= nbits + 1;
+  uint64_t field =
+      (br.acc >> br.nbits) & ((uint64_t(1) << (nbits + 1)) - 1);
+  *flag = (uint32_t)(field & 1);
+  field >>= 1;
+  // same little-endian-bytes-first reassembly as read_group_value
+  int r = nbits & 7;
+  int k = nbits >> 3;
+  uint64_t value = 0;
+  if (k > 0) value = __builtin_bswap64(field >> r) >> (64 - 8 * k);
+  if (r > 0) value |= (field & ((uint64_t(1) << r) - 1)) << (8 * k);
+  *group = value;
+  return true;
 }
 
 inline void write_group_value(BitWriter &bw, int nbits, uint64_t value) {
@@ -654,12 +687,19 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
   };
 
   while (i < natoms && written < first_n) {
-    if (bitsize == 0) {
-      thiscoord[0] = (int32_t)br.get(bitsizeint[0]);
-      thiscoord[1] = (int32_t)br.get(bitsizeint[1]);
-      thiscoord[2] = (int32_t)br.get(bitsizeint[2]);
+    uint32_t flag;
+    uint64_t fused_v;
+    if (bitsize != 0 && read_group_and_flag(br, bitsize, &fused_v, &flag)) {
+      ints3_from_value(fused_v, fd_large, sizeint, thiscoord);
     } else {
-      read_ints3_fast(br, fd_large, sizeint, thiscoord);
+      if (bitsize == 0) {
+        thiscoord[0] = (int32_t)br.get(bitsizeint[0]);
+        thiscoord[1] = (int32_t)br.get(bitsizeint[1]);
+        thiscoord[2] = (int32_t)br.get(bitsizeint[2]);
+      } else {
+        read_ints3_fast(br, fd_large, sizeint, thiscoord);
+      }
+      flag = br.get(1);
     }
     i++;
     thiscoord[0] += h.minint[0];
@@ -669,7 +709,6 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
     prevcoord[1] = thiscoord[1];
     prevcoord[2] = thiscoord[2];
 
-    uint32_t flag = br.get(1);
     int is_smaller = 0;
     if (flag) {
       run = (int)br.get(5);
@@ -682,38 +721,46 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
       const uint64_t ss_magic = MAGIC_MUL.m[smallidx];
       // exact while the group value < 2^64/ss, i.e. nbits = smallidx ≤ 40
       const bool ss_fast = smallidx <= 40;
-      for (int k = 0; k < run; k += 3) {
-        {
-          uint64_t v = read_group_value(br, smallidx);
-          if (ss_fast) {
-            uint64_t q = mulhi_div(v, ss_magic);
-            thiscoord[2] = (int32_t)(v - q * ss);
-            uint64_t q2 = mulhi_div(q, ss_magic);
-            thiscoord[1] = (int32_t)(q - q2 * ss);
-            thiscoord[0] = (int32_t)q2;
-          } else {
-            uint64_t q = v / ss;
-            thiscoord[2] = (int32_t)(v - q * ss);
-            uint64_t q2 = q / ss;
-            thiscoord[1] = (int32_t)(q - q2 * ss);
-            thiscoord[0] = (int32_t)q2;
-          }
+      auto small3 = [&](int32_t *c) __attribute__((always_inline)) {
+        uint64_t v = read_group_value(br, smallidx);
+        if (ss_fast) {
+          uint64_t q = mulhi_div(v, ss_magic);
+          c[2] = (int32_t)(v - q * ss);
+          uint64_t q2 = mulhi_div(q, ss_magic);
+          c[1] = (int32_t)(q - q2 * ss);
+          c[0] = (int32_t)q2;
+        } else {
+          uint64_t q = v / ss;
+          c[2] = (int32_t)(v - q * ss);
+          uint64_t q2 = q / ss;
+          c[1] = (int32_t)(q - q2 * ss);
+          c[0] = (int32_t)q2;
         }
+      };
+      // first small atom of a run is emitted BEFORE the large atom it was
+      // delta-coded against (the water-pair swap) — peeled so the
+      // steady-state loop below carries no per-group branch
+      small3(thiscoord);
+      i++;
+      thiscoord[0] += prevcoord[0] - smallnum;
+      thiscoord[1] += prevcoord[1] - smallnum;
+      thiscoord[2] += prevcoord[2] - smallnum;
+      emit(thiscoord);   // the small atom, first
+      emit(prevcoord);   // then the large atom
+      // the FIRST SMALL atom (not the large one) is the delta base for
+      // the next group — the original swap left it in prevcoord
+      prevcoord[0] = thiscoord[0];
+      prevcoord[1] = thiscoord[1];
+      prevcoord[2] = thiscoord[2];
+      for (int k = 3; k < run; k += 3) {
+        small3(thiscoord);
         i++;
         thiscoord[0] += prevcoord[0] - smallnum;
         thiscoord[1] += prevcoord[1] - smallnum;
         thiscoord[2] += prevcoord[2] - smallnum;
-        if (k == 0) {
-          // water-pair swap: first small atom is emitted before the large one
-          std::swap(thiscoord[0], prevcoord[0]);
-          std::swap(thiscoord[1], prevcoord[1]);
-          std::swap(thiscoord[2], prevcoord[2]);
-          emit(prevcoord);
-        } else {
-          prevcoord[0] = thiscoord[0];
-          prevcoord[1] = thiscoord[1];
-          prevcoord[2] = thiscoord[2];
-        }
+        prevcoord[0] = thiscoord[0];
+        prevcoord[1] = thiscoord[1];
+        prevcoord[2] = thiscoord[2];
         emit(thiscoord);
       }
     } else {
