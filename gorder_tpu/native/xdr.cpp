@@ -617,76 +617,79 @@ struct I12Sink {
   }
 };
 
-// Decode the compressed coordinates of one frame through `sink`.
-// Returns false on corruption.
+// Resumable per-frame 3dfc decoder: `step()` consumes one large atom plus
+// its attached small-delta run. Exists so two frames' independent
+// bit-stream dependency chains can be interleaved on one core
+// (decode_xtc_coords_pair_t below): the per-value latency chain
+// (bit-buffer refill → field extract → reciprocal-multiply divides) stalls
+// an out-of-order core at IPC well below its width; two frames in flight
+// fill the issue slots. The single-frame path runs the same step() code.
 template <typename Sink>
-bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
-  const int32_t natoms = h.natoms;
-  first_n = std::min(first_n, natoms);
+struct CoordStepper {
+  const XtcHeader *h = nullptr;
+  Sink *sink = nullptr;
+  int32_t natoms = 0, first_n = 0;
+  uint32_t sizeint[3] = {0, 0, 0};
+  uint32_t bitsizeint[3] = {0, 0, 0};
+  int bitsize = 0;
+  int smallidx = 0;
+  int32_t smaller = 0, smallnum = 0;
+  uint32_t sizesmall = 0;
+  BitReader br{nullptr, 0};
+  int32_t prevcoord[3] = {0, 0, 0};
+  int i = 0, written = 0;
+  int run = 0;  // persists across atoms: flag bit 0 = reuse previous length
+  FastDiv3 fd_large;
+  bool failed = false;
+  const char *fail_msg = nullptr;
 
-  if (h.plain) {
-    Reader r{h.payload, h.payload + h.nbytes};
-    for (int i = 0; i < first_n; i++) {
-      float xyz[3];
-      for (int k = 0; k < 3; k++)
-        if (!r.read_f32(&xyz[k])) return false;
-      // plain frames carry floats; convert through the integer grid
-      int32_t c[3];
-      for (int k = 0; k < 3; k++)
-        c[k] = (int32_t)(xyz[k] * (h.precision > 0 ? h.precision : 1000.0f));
-      sink.emit_plain(i, xyz, c);
+  bool init(const XtcHeader &hh, int32_t fn, Sink *s) {
+    h = &hh;
+    sink = s;
+    natoms = hh.natoms;
+    first_n = std::min(fn, natoms);
+    for (int k = 0; k < 3; k++) {
+      int64_t span = (int64_t)hh.maxint[k] - (int64_t)hh.minint[k] + 1;
+      if (span <= 0 || span > (int64_t)UINT32_MAX) {
+        set_error("invalid XTC integer range");
+        return false;
+      }
+      sizeint[k] = (uint32_t)span;
     }
+    if (sizeint[0] > 0xFFFFFF || sizeint[1] > 0xFFFFFF ||
+        sizeint[2] > 0xFFFFFF) {
+      for (int k = 0; k < 3; k++) bitsizeint[k] = sizeofint(sizeint[k]);
+      bitsize = 0;
+    } else {
+      bitsize = sizeofints(3, sizeint);
+    }
+    smallidx = hh.smallidx;
+    if (smallidx < FIRSTIDX || smallidx > LASTIDX) {
+      set_error("invalid XTC smallidx");
+      return false;
+    }
+    int tmpidx = smallidx - 1;
+    tmpidx = (FIRSTIDX > tmpidx) ? FIRSTIDX : tmpidx;
+    smaller = MAGICINTS[tmpidx] / 2;
+    smallnum = MAGICINTS[smallidx] / 2;
+    sizesmall = (uint32_t)MAGICINTS[smallidx];
+    br = BitReader(hh.payload, (size_t)hh.nbytes);
+    if (bitsize != 0) fd_large.set(bitsize, sizeint);
     return true;
   }
 
-  uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
-  for (int i = 0; i < 3; i++) {
-    int64_t span = (int64_t)h.maxint[i] - (int64_t)h.minint[i] + 1;
-    if (span <= 0 || span > (int64_t)UINT32_MAX) {
-      set_error("invalid XTC integer range");
-      return false;
-    }
-    sizeint[i] = (uint32_t)span;
-  }
-  int bitsize;
-  if (sizeint[0] > 0xFFFFFF || sizeint[1] > 0xFFFFFF || sizeint[2] > 0xFFFFFF) {
-    for (int i = 0; i < 3; i++) bitsizeint[i] = sizeofint(sizeint[i]);
-    bitsize = 0;
-  } else {
-    bitsize = sizeofints(3, sizeint);
+  inline bool done() const {
+    return failed || i >= natoms || written >= first_n;
   }
 
-  int smallidx = h.smallidx;
-  if (smallidx < FIRSTIDX || smallidx > LASTIDX) {
-    set_error("invalid XTC smallidx");
-    return false;
-  }
-  int tmpidx = smallidx - 1;
-  tmpidx = (FIRSTIDX > tmpidx) ? FIRSTIDX : tmpidx;
-  int32_t smaller = MAGICINTS[tmpidx] / 2;
-  int32_t smallnum = MAGICINTS[smallidx] / 2;
-  uint32_t sizesmall[3] = {(uint32_t)MAGICINTS[smallidx],
-                           (uint32_t)MAGICINTS[smallidx],
-                           (uint32_t)MAGICINTS[smallidx]};
-
-  BitReader br(h.payload, (size_t)h.nbytes);
-
-  int32_t thiscoord[3], prevcoord[3] = {0, 0, 0};
-  int i = 0;
-  int written = 0;
-  int run = 0;  // persists across atoms: flag bit 0 = reuse previous length
-
-  FastDiv3 fd_large;
-  if (bitsize != 0) fd_large.set(bitsize, sizeint);
-
-  auto emit = [&](const int32_t *c) {
-    if (written < first_n) {
-      sink.emit(written, c);
-    }
+  __attribute__((always_inline)) inline void emit(const int32_t *c) {
+    if (written < first_n) sink->emit(written, c);
     written++;
-  };
+  }
 
-  while (i < natoms && written < first_n) {
+  // one large atom + its small-delta run
+  inline void step() {
+    int32_t thiscoord[3];
     uint32_t flag;
     uint64_t fused_v;
     if (bitsize != 0 && read_group_and_flag(br, bitsize, &fused_v, &flag)) {
@@ -702,9 +705,9 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
       flag = br.get(1);
     }
     i++;
-    thiscoord[0] += h.minint[0];
-    thiscoord[1] += h.minint[1];
-    thiscoord[2] += h.minint[2];
+    thiscoord[0] += h->minint[0];
+    thiscoord[1] += h->minint[1];
+    thiscoord[2] += h->minint[2];
     prevcoord[0] = thiscoord[0];
     prevcoord[1] = thiscoord[1];
     prevcoord[2] = thiscoord[2];
@@ -717,7 +720,7 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
       is_smaller--;
     }
     if (run > 0) {
-      const uint32_t ss = sizesmall[0];
+      const uint32_t ss = sizesmall;
       const uint64_t ss_magic = MAGIC_MUL.m[smallidx];
       // exact while the group value < 2^64/ss, i.e. nbits = smallidx ≤ 40
       const bool ss_fast = smallidx <= 40;
@@ -774,17 +777,92 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
       smaller = smallnum;
       smallnum = MAGICINTS[smallidx] / 2;
     }
-    if (smallidx < FIRSTIDX || smallidx > LASTIDX || MAGICINTS[smallidx] == 0) {
-      set_error("corrupted XTC run encoding");
+    if (smallidx < FIRSTIDX || smallidx > LASTIDX ||
+        MAGICINTS[smallidx] == 0) {
+      failed = true;
+      fail_msg = "corrupted XTC run encoding";
+      return;
+    }
+    sizesmall = (uint32_t)MAGICINTS[smallidx];
+  }
+
+  bool finish() {
+    if (failed) {
+      set_error(fail_msg);
       return false;
     }
-    sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)MAGICINTS[smallidx];
+    if (br.overrun) {
+      set_error("XTC payload overrun");
+      return false;
+    }
+    return true;
   }
-  if (br.overrun) {
-    set_error("XTC payload overrun");
-    return false;
+};
+
+// Decode the compressed coordinates of one frame through `sink`.
+// Returns false on corruption.
+template <typename Sink>
+bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
+  const int32_t natoms = h.natoms;
+  first_n = std::min(first_n, natoms);
+
+  if (h.plain) {
+    Reader r{h.payload, h.payload + h.nbytes};
+    for (int i = 0; i < first_n; i++) {
+      float xyz[3];
+      for (int k = 0; k < 3; k++)
+        if (!r.read_f32(&xyz[k])) return false;
+      // plain frames carry floats; convert through the integer grid
+      int32_t c[3];
+      for (int k = 0; k < 3; k++)
+        c[k] = (int32_t)(xyz[k] * (h.precision > 0 ? h.precision : 1000.0f));
+      sink.emit_plain(i, xyz, c);
+    }
+    return true;
   }
-  return true;
+
+  CoordStepper<Sink> d;
+  if (!d.init(h, first_n, &sink)) return false;
+  while (!d.done()) d.step();
+  return d.finish();
+}
+
+// Decode TWO compressed frames with their bit-stream work interleaved at
+// large-atom granularity — one core, two independent dependency chains in
+// flight (see CoordStepper). Both sinks receive exactly what the
+// sequential path would produce; falls back to sequential decoding for
+// plain (uncompressed) frames. Returns false if either frame fails.
+// runtime escape hatch (and A/B lever for tools/decode_bench.py):
+// GORDER_XDR_PAIR=0 disables interleaved pair decoding
+inline bool pair_decode_enabled() {
+  // read per call (a few ns per frame pair): lets a process toggle it,
+  // which the A/B measurement in tools/decode_bench.py relies on
+  const char *e = getenv("GORDER_XDR_PAIR");
+  return !(e && e[0] == '0');
+}
+
+template <typename Sink>
+bool decode_xtc_coords_pair_t(const XtcHeader &ha, Sink &sa,
+                              const XtcHeader &hb, Sink &sb,
+                              int32_t first_n) {
+  if (ha.plain || hb.plain || !pair_decode_enabled()) {
+    bool oka = decode_xtc_coords_t(ha, first_n, sa);
+    bool okb = decode_xtc_coords_t(hb, first_n, sb);
+    return oka && okb;
+  }
+  CoordStepper<Sink> A, B;
+  bool oka = A.init(ha, first_n, &sa);
+  bool okb = B.init(hb, first_n, &sb);
+  if (!oka || !okb) return false;
+  while (!A.done() && !B.done()) {
+    A.step();
+    B.step();
+  }
+  while (!A.done()) A.step();
+  while (!B.done()) B.step();
+  oka = A.finish();
+  okb = B.finish();
+  return oka && okb;
 }
 
 bool decode_xtc_coords(const XtcHeader &h, int32_t first_n, float *out) {
@@ -808,33 +886,63 @@ int32_t decode_frames_common(const char *path, const int64_t *frame_offsets,
 
   std::atomic<int32_t> status{0};
   auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t f = lo; f < hi; f++) {
-      XtcHeader h;
-      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], &h)) {
-        status.store(-1);
-        return;
-      }
-      if (out_boxes) memcpy(out_boxes + f * 9, h.box, 9 * sizeof(float));
-      if (out_times) out_times[f] = h.time;
-      if (out_steps) out_steps[f] = h.step;
+    auto prep = [&](int64_t f, XtcHeader *h) -> bool {
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], h))
+        return false;
+      if (out_boxes) memcpy(out_boxes + f * 9, h->box, 9 * sizeof(float));
+      if (out_times) out_times[f] = h->time;
+      if (out_steps) out_steps[f] = h->step;
       if (out_inv_precision)
-        out_inv_precision[f] = h.plain ? (1.0f / 1000.0f) : 1.0f / h.precision;
-      auto sink = make_sink(f, h);
-      bool ok;
-      if (slot_of) {
-        SlotSink<decltype(sink)> ss{sink, slot_of};
-        ok = decode_xtc_coords_t(h, first_n, ss);
-      } else {
-        ok = decode_xtc_coords_t(h, first_n, sink);
-      }
-      if (!ok) {
+        out_inv_precision[f] =
+            h->plain ? (1.0f / 1000.0f) : 1.0f / h->precision;
+      return true;
+    };
+    auto record = [&](bool decode_ok, bool sink_ok) -> bool {
+      if (!decode_ok) {
         status.store(-1);
-        return;
+        return false;
       }
-      if (!sink.ok) {
+      if (!sink_ok) {
         int32_t expected = 0;
         status.compare_exchange_strong(expected, 1);
       }
+      return true;
+    };
+    // frames decode in interleaved pairs: two independent bit-stream
+    // dependency chains keep the out-of-order core's issue slots full
+    // (decode_xtc_coords_pair_t) — ~frame order and results are untouched
+    for (int64_t f = lo; f < hi; f += 2) {
+      XtcHeader ha, hb;
+      if (!prep(f, &ha)) {
+        status.store(-1);
+        return;
+      }
+      auto sa = make_sink(f, ha);
+      if (f + 1 >= hi) {
+        bool ok;
+        if (slot_of) {
+          SlotSink<decltype(sa)> ssa{sa, slot_of};
+          ok = decode_xtc_coords_t(ha, first_n, ssa);
+        } else {
+          ok = decode_xtc_coords_t(ha, first_n, sa);
+        }
+        if (!record(ok, sa.ok)) return;
+        break;
+      }
+      if (!prep(f + 1, &hb)) {
+        status.store(-1);
+        return;
+      }
+      auto sb = make_sink(f + 1, hb);
+      bool ok;
+      if (slot_of) {
+        SlotSink<decltype(sa)> ssa{sa, slot_of};
+        SlotSink<decltype(sb)> ssb{sb, slot_of};
+        ok = decode_xtc_coords_pair_t(ha, ssa, hb, ssb, first_n);
+      } else {
+        ok = decode_xtc_coords_pair_t(ha, sa, hb, sb, first_n);
+      }
+      if (!record(ok, sa.ok && sb.ok)) return;
     }
   };
 
@@ -1841,74 +1949,140 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
     }
   };
 
-  auto work = [&](int64_t lo_f, int64_t hi_f) {
-    std::vector<int32_t> cur(nv, 0);
-    std::vector<int32_t> dv(nb, 0);
-    for (int64_t f = lo_f; f < hi_f; f++) {
-      if (status.load() == -1) return;
-      int rc = decode_ints(f, cur.data(), true);
-      if (rc != 0) {
-        status.store(rc == -1 ? -1 : 1);
-        if (rc == -1) return;
+  // header parse + per-frame precision check + metadata write; rc mirrors
+  // decode_ints: 0 ok, 1 mixed precision (meta NOT written), -1 corrupt
+  auto prep_hdr = [&](int64_t f, XtcHeader *h) -> int {
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], h))
+      return -1;
+    float p = h->plain ? 1000.0f : h->precision;
+    if (p != p_expect) return 1;
+    if (out_boxes) memcpy(out_boxes + f * 9, h->box, 9 * sizeof(float));
+    if (out_times) out_times[f] = h->time;
+    if (out_steps) out_steps[f] = h->step;
+    if (out_inv_precision) out_inv_precision[f] = 1.0f / p;
+    return 0;
+  };
+
+  auto pack_frame = [&](int64_t f, const int32_t *dv) {
+    uint8_t *pk = pack_out + f * stride;
+    uint16_t *eg = esc_gap_out + (size_t)f * esc_cap;
+    int16_t *ev = esc_val_out + (size_t)f * esc_cap;
+    bool fits = true;
+    int32_t nesc = 0;
+    int64_t last_esc = -1;
+    int64_t next_force = 65534;  // last_esc + 65535: u16 gap ceiling
+    uint64_t acc = 0;
+    int accn = 0;
+    size_t out = 0;
+    auto flush = [&](int32_t code) {
+      acc |= ((uint64_t)((uint32_t)code & 127u)) << (7 * accn);
+      if (++accn == 8) {
+        pk[out + 0] = (uint8_t)(acc & 0xFF);
+        pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
+        pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
+        pk[out + 3] = (uint8_t)((acc >> 24) & 0xFF);
+        pk[out + 4] = (uint8_t)((acc >> 32) & 0xFF);
+        pk[out + 5] = (uint8_t)((acc >> 40) & 0xFF);
+        pk[out + 6] = (uint8_t)((acc >> 48) & 0xFF);
+        out += 7;
+        acc = 0;
+        accn = 0;
+      }
+    };
+    for (size_t j = 0; j < nb; j++) {
+      int32_t r = dv[j] - base_io[j];
+      // single unsigned compare: r < -64 || r > 63
+      if ((uint32_t)(r + 64) <= 127u && (int64_t)j < next_force) {
+        flush(r);
         continue;
       }
-      bond_diffs(cur.data(), dv.data());
-      uint8_t *pk = pack_out + f * stride;
-      uint16_t *eg = esc_gap_out + (size_t)f * esc_cap;
-      int16_t *ev = esc_val_out + (size_t)f * esc_cap;
-      bool fits = true;
-      int32_t nesc = 0;
-      int64_t last_esc = -1;
-      int64_t next_force = 65534;  // last_esc + 65535: u16 gap ceiling
-      uint64_t acc = 0;
-      int accn = 0;
-      size_t out = 0;
-      auto flush = [&](int32_t code) {
-        acc |= ((uint64_t)((uint32_t)code & 127u)) << (7 * accn);
-        if (++accn == 8) {
-          pk[out + 0] = (uint8_t)(acc & 0xFF);
-          pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
-          pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
-          pk[out + 3] = (uint8_t)((acc >> 24) & 0xFF);
-          pk[out + 4] = (uint8_t)((acc >> 32) & 0xFF);
-          pk[out + 5] = (uint8_t)((acc >> 40) & 0xFF);
-          pk[out + 6] = (uint8_t)((acc >> 48) & 0xFF);
-          out += 7;
-          acc = 0;
-          accn = 0;
-        }
-      };
-      for (size_t j = 0; j < nb; j++) {
-        int32_t r = dv[j] - base_io[j];
-        // single unsigned compare: r < -64 || r > 63
-        if ((uint32_t)(r + 64) <= 127u && (int64_t)j < next_force) {
-          flush(r);
-          continue;
-        }
-        if (r < INT16_MIN || r > INT16_MAX) fits = false;
-        if (nesc < esc_cap) {
-          eg[nesc] = (uint16_t)((int64_t)j - last_esc);
-          ev[nesc] = (int16_t)std::max<int32_t>(
-              INT16_MIN, std::min<int32_t>(INT16_MAX, r));
+      if (r < INT16_MIN || r > INT16_MAX) fits = false;
+      if (nesc < esc_cap) {
+        eg[nesc] = (uint16_t)((int64_t)j - last_esc);
+        ev[nesc] = (int16_t)std::max<int32_t>(
+            INT16_MIN, std::min<int32_t>(INT16_MAX, r));
+      } else {
+        fits = false;
+      }
+      nesc++;
+      last_esc = (int64_t)j;
+      next_force = last_esc + 65535;
+      flush(0);  // ignored: the device scatter overrides this slot
+    }
+    for (size_t j = nb; j < nb8; j++) {
+      flush(0);  // tail padding of the 8-values-per-7-bytes stream
+    }
+    for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
+      eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
+      ev[e] = 0;
+    }
+    bump_max(nesc);
+    if (!fits) {
+      int32_t expect = 0;
+      status.compare_exchange_strong(expect, 1);
+    }
+  };
+
+  auto work = [&](int64_t lo_f, int64_t hi_f) {
+    std::vector<int32_t> cur(nv, 0);
+    std::vector<int32_t> cur2(nv, 0);
+    std::vector<int32_t> dv(nb, 0);
+    int64_t f = lo_f;
+    while (f < hi_f) {
+      if (status.load() == -1) return;
+      XtcHeader ha, hb;
+      int rca = prep_hdr(f, &ha);
+      if (rca != 0) {
+        status.store(rca == -1 ? -1 : 1);
+        if (rca == -1) return;
+        f++;
+        continue;  // unfit frame skipped; keep scanning for escape demand
+      }
+      // pair f with f+1 when possible: interleaved decode keeps two
+      // independent bit-stream chains in flight (decode_xtc_coords_pair_t)
+      int rcb = (f + 1 < hi_f) ? prep_hdr(f + 1, &hb) : 2;
+      if (rcb == -1) {
+        status.store(-1);
+        return;
+      }
+      bool ok;
+      if (rcb == 0) {
+        I32Sink sa{cur.data(), 0.0f}, sb{cur2.data(), 0.0f};
+        if (slot_of) {
+          SlotSink<I32Sink> ssa{sa, slot_of}, ssb{sb, slot_of};
+          ok = decode_xtc_coords_pair_t(ha, ssa, hb, ssb, first_n);
         } else {
-          fits = false;
+          ok = decode_xtc_coords_pair_t(ha, sa, hb, sb, first_n);
         }
-        nesc++;
-        last_esc = (int64_t)j;
-        next_force = last_esc + 65535;
-        flush(0);  // ignored: the device scatter overrides this slot
-      }
-      for (size_t j = nb; j < nb8; j++) {
-        flush(0);  // tail padding of the 8-values-per-7-bytes stream
-      }
-      for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
-        eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
-        ev[e] = 0;
-      }
-      bump_max(nesc);
-      if (!fits) {
-        int32_t expect = 0;
-        status.compare_exchange_strong(expect, 1);
+        if (!ok) {
+          status.store(-1);
+          return;
+        }
+        bond_diffs(cur.data(), dv.data());
+        pack_frame(f, dv.data());
+        bond_diffs(cur2.data(), dv.data());
+        pack_frame(f + 1, dv.data());
+        f += 2;
+      } else {
+        I32Sink sa{cur.data(), 0.0f};
+        if (slot_of) {
+          SlotSink<I32Sink> ss{sa, slot_of};
+          ok = decode_xtc_coords_t(ha, first_n, ss);
+        } else {
+          ok = decode_xtc_coords_t(ha, first_n, sa);
+        }
+        if (!ok) {
+          status.store(-1);
+          return;
+        }
+        bond_diffs(cur.data(), dv.data());
+        pack_frame(f, dv.data());
+        if (rcb == 1) {
+          status.store(1);  // partner frame has mixed precision
+          f += 2;
+        } else {
+          f += 1;
+        }
       }
     }
   };

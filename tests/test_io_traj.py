@@ -375,6 +375,31 @@ def _s6_vgidx(group_of, n_groups):
                     n_groups * 3 + k_rep).astype(np.int32)
 
 
+def test_pair_decode_invariance(fixtures, monkeypatch):
+    """Interleaved two-frame decoding (native GORDER_XDR_PAIR, the default)
+    is byte-identical to sequential decoding for every wire format —
+    including odd frame counts (tail frame) and sparse slot subsets."""
+    from gorder_tpu.io.traj import AtomSubset
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    idx = traj.select_frames(None, None, 1)[:41]  # odd: exercises the tail
+    sel = np.unique(np.concatenate([
+        np.arange(3, 900, 11), np.arange(1200, 1900, 7)]))
+    sub = AtomSubset.from_indices(sel)
+
+    def snap():
+        f32, *_ = traj.read_frames(idx, sub)
+        i16 = traj.read_frames_quantized(idx, sub)
+        return f32.copy(), i16[0].copy()
+
+    monkeypatch.setenv("GORDER_XDR_PAIR", "0")
+    f32_s, i16_s = snap()
+    monkeypatch.setenv("GORDER_XDR_PAIR", "1")
+    f32_p, i16_p = snap()
+    np.testing.assert_array_equal(f32_p, f32_s)
+    np.testing.assert_array_equal(i16_p, i16_s)
+
+
 def test_s6_bit_identical_sparse_subset(fixtures):
     """s6 wire (smoothed-base 6-bit residuals): device reconstruction is
     bit-identical to the f32 decode on a sparse subset with padding
