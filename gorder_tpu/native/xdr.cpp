@@ -1730,19 +1730,28 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
     }
   };
 
+  // header parse + per-frame precision check + metadata write; rc mirrors
+  // decode_ints: 0 ok, 1 mixed precision (meta NOT written), -1 corrupt
+  auto prep_hdr = [&](int64_t f, XtcHeader *h) -> int {
+    if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f], h))
+      return -1;
+    float p = h->plain ? 1000.0f : h->precision;
+    if (p != p_expect) return 1;
+    if (out_boxes) memcpy(out_boxes + f * 9, h->box, 9 * sizeof(float));
+    if (out_times) out_times[f] = h->time;
+    if (out_steps) out_steps[f] = h->step;
+    if (out_inv_precision) out_inv_precision[f] = 1.0f / p;
+    return 0;
+  };
+
   auto work = [&](int64_t lo_f, int64_t hi_f) {
     std::vector<int32_t> cur(nv, 0);
+    std::vector<int32_t> cur2(nv, 0);
     std::vector<int32_t> med((size_t)n_groups * 3);
     std::vector<int32_t> scratch;
-    for (int64_t f = lo_f; f < hi_f; f++) {
-      if (status.load() == -1) return;
-      int rc = decode_ints(f, cur.data(), true);
-      if (rc != 0) {
-        status.store(rc == -1 ? -1 : 1);
-        if (rc == -1) return;
-        continue;
-      }
-      group_medians(cur.data(), base_io, med.data(), scratch);
+
+    auto post = [&](int64_t f, const int32_t *c) {
+      group_medians(c, base_io, med.data(), scratch);
       int16_t *gm = gmean_out + f * (size_t)gmean_stride;
       bool fits = true;
       for (int32_t g = 0; g < n_groups * 3; g++) {
@@ -1778,7 +1787,7 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
                                 : kZero3;
         for (int k = 0; k < 3; k++) {
           // XTC ints are < 2^24 and |median| <= 2^15, so int32 is exact
-          int32_t r = cur[j + k] - base_io[j + k] - mg[k];
+          int32_t r = c[j + k] - base_io[j + k] - mg[k];
           // single unsigned compare: r < -32 || r > 31
           if ((uint32_t)(r + 32) <= 63u &&
               (int64_t)(j + k) < next_force) {
@@ -1810,6 +1819,61 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
       if (!fits) {
         int32_t expect = 0;
         status.compare_exchange_strong(expect, 1);
+      }
+    };
+
+    // frames decode in interleaved pairs (see decode_xtc_coords_pair_t)
+    int64_t f = lo_f;
+    while (f < hi_f) {
+      if (status.load() == -1) return;
+      XtcHeader ha, hb;
+      int rca = prep_hdr(f, &ha);
+      if (rca != 0) {
+        status.store(rca == -1 ? -1 : 1);
+        if (rca == -1) return;
+        f++;
+        continue;  // unfit frame skipped; keep scanning for escape demand
+      }
+      int rcb = (f + 1 < hi_f) ? prep_hdr(f + 1, &hb) : 2;
+      if (rcb == -1) {
+        status.store(-1);
+        return;
+      }
+      bool ok;
+      if (rcb == 0) {
+        I32Sink sa{cur.data(), 0.0f}, sb{cur2.data(), 0.0f};
+        if (slot_of) {
+          SlotSink<I32Sink> ssa{sa, slot_of}, ssb{sb, slot_of};
+          ok = decode_xtc_coords_pair_t(ha, ssa, hb, ssb, first_n);
+        } else {
+          ok = decode_xtc_coords_pair_t(ha, sa, hb, sb, first_n);
+        }
+        if (!ok) {
+          status.store(-1);
+          return;
+        }
+        post(f, cur.data());
+        post(f + 1, cur2.data());
+        f += 2;
+      } else {
+        I32Sink sa{cur.data(), 0.0f};
+        if (slot_of) {
+          SlotSink<I32Sink> ss{sa, slot_of};
+          ok = decode_xtc_coords_t(ha, first_n, ss);
+        } else {
+          ok = decode_xtc_coords_t(ha, first_n, sa);
+        }
+        if (!ok) {
+          status.store(-1);
+          return;
+        }
+        post(f, cur.data());
+        if (rcb == 1) {
+          status.store(1);  // partner frame has mixed precision
+          f += 2;
+        } else {
+          f += 1;
+        }
       }
     }
   };
