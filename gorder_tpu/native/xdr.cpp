@@ -833,12 +833,51 @@ bool decode_xtc_coords_t(const XtcHeader &h, int32_t first_n, Sink &sink) {
 // sequential path would produce; falls back to sequential decoding for
 // plain (uncompressed) frames. Returns false if either frame fails.
 // runtime escape hatch (and A/B lever for tools/decode_bench.py):
-// GORDER_XDR_PAIR=0 disables interleaved pair decoding
-inline bool pair_decode_enabled() {
-  // read per call (a few ns per frame pair): lets a process toggle it,
+// GORDER_XDR_PAIR=0 disables interleaved decoding, =2 pairs (default),
+// =4 interleaves four frames
+inline int interleave_width() {
+  // read per call (a few ns per frame group): lets a process toggle it,
   // which the A/B measurement in tools/decode_bench.py relies on
   const char *e = getenv("GORDER_XDR_PAIR");
-  return !(e && e[0] == '0');
+  if (!e) return 2;
+  if (e[0] == '0') return 1;
+  if (e[0] == '4') return 4;
+  return 2;
+}
+
+inline bool pair_decode_enabled() { return interleave_width() >= 2; }
+
+// Interleave up to W frames' decoding round-robin at large-atom
+// granularity (see CoordStepper). All-or-nothing: falls back to
+// sequential when any frame is plain or fails init.
+template <typename Sink, int W>
+bool decode_xtc_coords_multi_t(const XtcHeader *const *hs, Sink *const *sinks,
+                               int m, int32_t first_n) {
+  CoordStepper<Sink> S[W];
+  bool plain = false;
+  for (int i = 0; i < m; i++) plain = plain || hs[i]->plain;
+  if (plain) {
+    bool ok = true;
+    for (int i = 0; i < m; i++)
+      ok = decode_xtc_coords_t(*hs[i], first_n, *sinks[i]) && ok;
+    return ok;
+  }
+  bool init_ok = true;
+  for (int i = 0; i < m; i++)
+    init_ok = S[i].init(*hs[i], first_n, sinks[i]) && init_ok;
+  if (!init_ok) return false;
+  for (bool active = true; active;) {
+    active = false;
+    for (int i = 0; i < m; i++) {
+      if (!S[i].done()) {
+        S[i].step();
+        active = true;
+      }
+    }
+  }
+  bool ok = true;
+  for (int i = 0; i < m; i++) ok = S[i].finish() && ok;
+  return ok;
 }
 
 template <typename Sink>
@@ -908,41 +947,52 @@ int32_t decode_frames_common(const char *path, const int64_t *frame_offsets,
       }
       return true;
     };
-    // frames decode in interleaved pairs: two independent bit-stream
-    // dependency chains keep the out-of-order core's issue slots full
-    // (decode_xtc_coords_pair_t) — ~frame order and results are untouched
-    for (int64_t f = lo; f < hi; f += 2) {
-      XtcHeader ha, hb;
-      if (!prep(f, &ha)) {
-        status.store(-1);
-        return;
-      }
-      auto sa = make_sink(f, ha);
-      if (f + 1 >= hi) {
-        bool ok;
-        if (slot_of) {
-          SlotSink<decltype(sa)> ssa{sa, slot_of};
-          ok = decode_xtc_coords_t(ha, first_n, ssa);
-        } else {
-          ok = decode_xtc_coords_t(ha, first_n, sa);
+    // frames decode in interleaved groups of up to 4: independent
+    // bit-stream dependency chains keep the out-of-order core's issue
+    // slots full (decode_xtc_coords_multi_t) — frame order and results
+    // are untouched
+    using SinkT = decltype(make_sink((int64_t)0,
+                                     *(const XtcHeader *)nullptr));
+    for (int64_t f = lo; f < hi;) {
+      int m = (int)std::min<int64_t>((int64_t)interleave_width(), hi - f);
+      XtcHeader hs[4];
+      SinkT sk[4];
+      const XtcHeader *hp[4];
+      for (int i = 0; i < m; i++) {
+        if (!prep(f + i, &hs[i])) {
+          status.store(-1);
+          return;
         }
-        if (!record(ok, sa.ok)) return;
-        break;
+        sk[i] = make_sink(f + i, hs[i]);
+        hp[i] = &hs[i];
       }
-      if (!prep(f + 1, &hb)) {
-        status.store(-1);
-        return;
-      }
-      auto sb = make_sink(f + 1, hb);
       bool ok;
       if (slot_of) {
-        SlotSink<decltype(sa)> ssa{sa, slot_of};
-        SlotSink<decltype(sb)> ssb{sb, slot_of};
-        ok = decode_xtc_coords_pair_t(ha, ssa, hb, ssb, first_n);
+        SlotSink<SinkT> ss[4] = {{sk[0], slot_of}, {sk[1], slot_of},
+                                 {sk[2], slot_of}, {sk[3], slot_of}};
+        if (m == 1) {
+          ok = decode_xtc_coords_t(hs[0], first_n, ss[0]);
+        } else if (m == 2) {
+          ok = decode_xtc_coords_pair_t(hs[0], ss[0], hs[1], ss[1], first_n);
+        } else {
+          SlotSink<SinkT> *sp[4] = {&ss[0], &ss[1], &ss[2], &ss[3]};
+          ok = decode_xtc_coords_multi_t<SlotSink<SinkT>, 4>(hp, sp, m,
+                                                             first_n);
+        }
       } else {
-        ok = decode_xtc_coords_pair_t(ha, sa, hb, sb, first_n);
+        if (m == 1) {
+          ok = decode_xtc_coords_t(hs[0], first_n, sk[0]);
+        } else if (m == 2) {
+          ok = decode_xtc_coords_pair_t(hs[0], sk[0], hs[1], sk[1], first_n);
+        } else {
+          SinkT *sp[4] = {&sk[0], &sk[1], &sk[2], &sk[3]};
+          ok = decode_xtc_coords_multi_t<SinkT, 4>(hp, sp, m, first_n);
+        }
       }
-      if (!record(ok, sa.ok && sb.ok)) return;
+      bool sink_ok = true;
+      for (int i = 0; i < m; i++) sink_ok = sink_ok && sk[i].ok;
+      if (!record(ok, sink_ok)) return;
+      f += m;
     }
   };
 

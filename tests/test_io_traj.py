@@ -376,9 +376,10 @@ def _s6_vgidx(group_of, n_groups):
 
 
 def test_pair_decode_invariance(fixtures, monkeypatch):
-    """Interleaved two-frame decoding (native GORDER_XDR_PAIR, the default)
-    is byte-identical to sequential decoding for every wire format —
-    including odd frame counts (tail frame) and sparse slot subsets."""
+    """Interleaved frame decoding (native GORDER_XDR_PAIR: pairs by
+    default, groups of four opt-in) is byte-identical to sequential
+    decoding for every wire format — including non-multiple frame counts
+    (tail frames: 41 = 4·10 + 1) and sparse slot subsets."""
     from gorder_tpu.io.traj import AtomSubset
 
     traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
@@ -394,10 +395,11 @@ def test_pair_decode_invariance(fixtures, monkeypatch):
 
     monkeypatch.setenv("GORDER_XDR_PAIR", "0")
     f32_s, i16_s = snap()
-    monkeypatch.setenv("GORDER_XDR_PAIR", "1")
-    f32_p, i16_p = snap()
-    np.testing.assert_array_equal(f32_p, f32_s)
-    np.testing.assert_array_equal(i16_p, i16_s)
+    for width in ("1", "4"):
+        monkeypatch.setenv("GORDER_XDR_PAIR", width)
+        f32_p, i16_p = snap()
+        np.testing.assert_array_equal(f32_p, f32_s)
+        np.testing.assert_array_equal(i16_p, i16_s)
 
 
 def test_s6_bit_identical_sparse_subset(fixtures):
