@@ -460,8 +460,6 @@ def main():
     # in the same window, so the recorded number comes with its measured
     # physical ceiling (tunnel MB/s ÷ wire KB/frame) rather than an
     # asserted one.
-    import sys
-
     from gorder_tpu.utils.timers import timers
 
     probe = measure_wire_bytes(analysis)
