@@ -372,26 +372,37 @@ def measure_device_resident(probe, batch=512, iters=30):
     return best
 
 
-def preflight_device(timeout_s=150):
+def preflight_device(timeout_s=100, attempts=3, retry_wait_s=60):
     """Probe the accelerator in a SUBPROCESS with a hard timeout. The
     sandbox's device tunnel sometimes goes fully unresponsive (observed:
     jax.devices() blocking >10 min); a blocked main process would hang the
-    whole benchmark harness with no artifact. Returns (ok, detail)."""
+    whole benchmark harness with no artifact. Outages are usually shorter
+    than the probe budget, so a failed probe retries a couple of times
+    before the run is declared unmeasurable. Returns (ok, detail)."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp\n"
             "x = jax.device_put(jnp.ones((256, 256)))\n"
             "(x @ x).block_until_ready()\n"
             "print('OK', jax.devices()[0].platform)\n")
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return False, f"device probe timed out after {timeout_s}s"
-    if out.returncode != 0 or "OK" not in out.stdout:
-        return False, (out.stderr or out.stdout).strip()[-300:]
-    return True, out.stdout.strip()
+    detail = ""
+    for attempt in range(attempts):
+        if attempt:
+            print(f"# device preflight retry {attempt} after: {detail}",
+                  file=sys.stderr)
+            time.sleep(retry_wait_s)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            detail = f"device probe timed out after {timeout_s}s"
+            continue
+        if out.returncode != 0 or "OK" not in out.stdout:
+            detail = (out.stderr or out.stdout).strip()[-300:]
+            continue
+        return True, out.stdout.strip()
+    return False, detail
 
 
 def main():
