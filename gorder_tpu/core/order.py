@@ -177,10 +177,17 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
         ones = ones * geo
 
     def reduce(mask):
+        # Exact bf16 MXU path: every operand is a small integer — limbs
+        # are |v| < 128 (7 bits) and masks are {0, 1} — so the cast to
+        # bf16 (8-bit mantissa: integers ≤ 256 exact), the bf16×bf16
+        # products, and the f32 accumulation are all error-free, while
+        # the matmul runs at the MXU's single-pass bf16 rate instead of
+        # the multi-pass f32 rate.
         stacked = jnp.stack(
-            [l2 * mask, l1 * mask, l0 * mask, mask], axis=1)  # (B,4,N)
+            [l2 * mask, l1 * mask, l0 * mask, mask],
+            axis=1).astype(jnp.bfloat16)              # (B,4,N)
         return jnp.einsum(
-            "bcn,nt->bct", stacked, onehot,
+            "bcn,nt->bct", stacked, onehot.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
 

@@ -155,13 +155,18 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets):
         masks = (m, m * (cls == 0.0), m * (cls == 1.0))
     else:
         masks = (m,)
-    oh = oh_ref[:]                                     # (Nt, TP)
+    # Exact bf16 MXU path (mirrors core/order.py reduce): limbs are
+    # |v| < 128 and masks {0, 1}, so the bf16 casts, bf16×bf16 products
+    # and f32 accumulation are all error-free while the matmuls run at
+    # the MXU's single-pass bf16 rate.
+    oh = oh_ref[:].astype(jnp.bfloat16)                # (Nt, TP)
     parts = []
     for mk in masks:
         for row in (l2, l1, l0):
-            parts.append(jnp.dot(row * mk, oh,
+            parts.append(jnp.dot((row * mk).astype(jnp.bfloat16), oh,
                                  preferred_element_type=jnp.float32))
-        parts.append(jnp.dot(mk, oh, preferred_element_type=jnp.float32))
+        parts.append(jnp.dot(mk.astype(jnp.bfloat16), oh,
+                             preferred_element_type=jnp.float32))
     _accumulate(out_refs, parts)
 
 
