@@ -1,0 +1,311 @@
+#!/usr/bin/env python3
+"""CG and UA benchmark modes — the rest of the reference's published
+benchmark table (performance/main_benchmarks.md §Coarse-grained and
+§United-atom; BASELINE.md rows 4-8).
+
+Synthesizes systems at the reference benchmark's scale and times the
+complete end-to-end analysis the same way bench.py does for the AA
+headline (best-of-N trials, each paired with a raw tunnel probe so the
+recorded figure comes with its measured physical ceiling):
+
+- CG: 512-lipid Martini-like POPC (12 beads each) + single-bead water
+  to 16.8k beads total, 10,000 XTC frames. Reference (8T): 1.912 s
+  -> 5,230 frames/s.
+- UA: 256-lipid Berger-like POPC (51 united atoms each) + 3-point
+  water to 44.3k atoms total, 3,000 XTC frames. Reference (8T):
+  1.749 s -> 1,715 frames/s.
+
+Usage:
+  python tools/bench_modes.py synth        # CPU-only: build the inputs
+  python tools/bench_modes.py cg|ua        # run one mode on the device
+Prints one JSON line per run (same shape as bench.py's) plus a
+markdown row for docs/BENCHMARKS.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+CACHE = os.environ.get("GORDER_BENCH_CACHE", "/tmp/gorder_tpu_bench")
+
+CG_LIPIDS = 512
+CG_TOTAL_BEADS = 16800
+CG_FRAMES = int(os.environ.get("GORDER_BENCH_CG_FRAMES", "10000"))
+CG_BOX = np.array([12.8, 12.8, 10.0], np.float32)
+CG_BASELINE_8T = 10000 / 1.912          # frames/s, BASELINE.md row 5
+
+UA_LIPIDS = 256
+UA_TOTAL_ATOMS = 44300
+UA_FRAMES = int(os.environ.get("GORDER_BENCH_UA_FRAMES", "3000"))
+UA_BOX = np.array([9.2, 9.2, 9.0], np.float32)
+UA_BASELINE_8T = 3000 / 1.749           # frames/s, BASELINE.md row 7
+
+
+def _cg_template():
+    """Martini-like POPC: NC3-PO4-GL1(-GL2)-C1A..C4A / C1B..C4B."""
+    names = ["NC3", "PO4", "GL1", "GL2",
+             "C1A", "C2A", "C3A", "C4A", "C1B", "C2B", "C3B", "C4B"]
+    bonds = [(0, 1), (1, 2), (2, 3), (2, 4), (4, 5), (5, 6), (6, 7),
+             (3, 8), (8, 9), (9, 10), (10, 11)]
+    return names, bonds
+
+
+def _ua_template():
+    """Berger-like united-atom POPC: polar head + glycerol + 16-carbon
+    saturated chain A + 18-carbon chain B with a CB9=CB10 double bond.
+    Chain carbons carry no explicit hydrogens (that is the UA point)."""
+    names, bonds = [], []
+
+    def add(name, parent=None):
+        names.append(name)
+        if parent is not None:
+            bonds.append((parent, len(names) - 1))
+        return len(names) - 1
+
+    n = add("N")
+    c_prev = n
+    for i in (1, 2, 3, 4):               # choline + linker carbons (CH2/CH3)
+        c_prev = add(f"CN{i}", c_prev)
+    p = add("P", c_prev)
+    for i in (1, 2, 3):                  # phosphate oxygens
+        add(f"O{i}", p)
+    g1 = add("CG1", p)                   # glycerol backbone
+    g2 = add("CG2", g1)
+    g3 = add("CG3", g2)
+    oa = add("OA", g2)                   # ester links
+    ob = add("OB", g3)
+    ca_prev = oa
+    for i in range(2, 18):               # chain A: CA2..CA17 saturated
+        ca_prev = add(f"CA{i}", ca_prev)
+    cb_prev = ob
+    for i in range(2, 20):               # chain B: CB2..CB19, CB9=CB10
+        cb_prev = add(f"CB{i}", cb_prev)
+    return names, bonds
+
+
+def _synthesize(tag, template, n_mols, total_atoms, box, resname,
+                water_names, frames, seed):
+    """bench.py's layout/motion model at this mode's scale: bonded
+    random-walk lipids on a leaflet grid + water fill, then rigid
+    per-molecule drift with per-atom jitter, written through our own
+    XTC encoder."""
+    from gorder_tpu.io import native
+    from gorder_tpu.io.gro import write_gro
+    from gorder_tpu.system import System, canonical_bonds
+
+    gro = os.path.join(CACHE, f"{tag}_bench.gro")
+    bnd = os.path.join(CACHE, f"{tag}_bench.bnd")
+    xtc = os.path.join(CACHE, f"{tag}_bench_{frames}.xtc")
+
+    lipid_names, lipid_bonds = template()
+    per = len(lipid_names)
+    n_lipid_atoms = per * n_mols
+    n_water = (total_atoms - n_lipid_atoms) // len(water_names)
+
+    need_struct = not (os.path.exists(gro) and os.path.exists(bnd))
+    need_traj = True
+    if os.path.exists(xtc):
+        info = native.xtc_scan(xtc)
+        need_traj = len(info["offsets"]) != frames
+        if need_traj:
+            os.remove(xtc)
+
+    rng = np.random.default_rng(seed)
+    names, resids, resnames = [], [], []
+    bonds = []
+    n_atoms = n_lipid_atoms + n_water * len(water_names)
+    positions = np.zeros((n_atoms, 3), np.float32)
+    grid = int(np.ceil(np.sqrt(n_mols / 2)))
+    spacing = box[0] / grid
+    idx = 0
+    for m in range(n_mols):
+        leaflet = m % 2
+        cell = m // 2
+        gx, gy = cell % grid, (cell // grid) % grid
+        base = np.array([(gx + 0.5) * spacing, (gy + 0.5) * spacing,
+                         box[2] / 2 + (1.0 if leaflet == 0 else -1.0) * 0.4],
+                        np.float32)
+        z_dir = 1.0 if leaflet == 0 else -1.0
+        walk = base.copy()
+        for name in lipid_names:
+            names.append(name)
+            resids.append(m + 1)
+            resnames.append(resname)
+            step = rng.normal(0, 1, 3).astype(np.float32)
+            step[2] += z_dir * 1.2
+            step /= max(np.linalg.norm(step), 1e-6)
+            walk = walk + step * (0.3 if tag == "cg" else 0.14)
+            positions[idx] = walk
+            idx += 1
+        off = m * per
+        bonds += [(off + a, off + b) for a, b in lipid_bonds]
+    for w in range(n_water):
+        base = rng.random(3).astype(np.float32) * box
+        for k, name in enumerate(water_names):
+            names.append(name)
+            resids.append(n_mols + w + 1)
+            resnames.append("W" if tag == "cg" else "SOL")
+            d = rng.normal(0, 1, 3).astype(np.float32)
+            d /= max(np.linalg.norm(d), 1e-6)
+            positions[idx] = base + (0.0957 * k) * d
+            idx += 1
+        if len(water_names) > 1:
+            o = n_lipid_atoms + w * len(water_names)
+            bonds += [(o, o + k) for k in range(1, len(water_names))]
+    positions %= box
+
+    system = System(
+        name=f"gorder-tpu {tag} benchmark",
+        atom_names=np.array(names, dtype="U8"),
+        resids=np.array(resids, np.int64),
+        resnames=np.array(resnames, dtype="U8"),
+        serials=np.arange(1, n_atoms + 1, dtype=np.int64),
+        positions=positions,
+        box=np.diag(box).astype(np.float32),
+    )
+    system.bonds = canonical_bonds(np.asarray(bonds, np.int64))
+    if need_struct:
+        write_gro(gro, system)
+        with open(bnd, "w") as fh:
+            for a, b in system.bonds:
+                fh.write(f"{a + 1} {b + 1}\n")
+
+    if need_traj:
+        mol_of_atom = np.asarray(system.resids, np.int64) - 1
+        n_mols_total = int(mol_of_atom.max()) + 1
+        drift = np.zeros((n_mols_total, 3), np.float32)
+        chunk = 200
+        boxes = np.tile(np.diag(box).astype(np.float32), (chunk, 1, 1))
+        written = 0
+        t0 = time.perf_counter()
+        while written < frames:
+            n = min(chunk, frames - written)
+            coords = np.empty((n, n_atoms, 3), np.float32)
+            for i in range(n):
+                drift += rng.standard_normal(
+                    (n_mols_total, 3), dtype=np.float32) * 0.015
+                drift *= 0.995
+                jitter = rng.standard_normal(
+                    (n_atoms, 3), dtype=np.float32) * 0.012
+                coords[i] = (positions + drift[mol_of_atom] + jitter) % box
+            times = (np.arange(written, written + n) * 10.0).astype(
+                np.float32)
+            steps = (np.arange(written, written + n) * 100).astype(np.int32)
+            native.xtc_write(xtc, coords, boxes[:n], times, steps,
+                             precision=1000.0, append=written > 0)
+            written += n
+        sys.stderr.write(f"[bench-{tag}] synthesized {frames} frames in "
+                         f"{time.perf_counter() - t0:.1f}s\n")
+    return gro, bnd, xtc
+
+
+def synth_cg():
+    return _synthesize("cg", _cg_template, CG_LIPIDS, CG_TOTAL_BEADS,
+                       CG_BOX, "POPC", ["W"], CG_FRAMES, seed=23)
+
+
+def synth_ua():
+    return _synthesize("ua", _ua_template, UA_LIPIDS, UA_TOTAL_ATOMS,
+                       UA_BOX, "POPC", ["OW", "HW1", "HW2"], UA_FRAMES,
+                       seed=29)
+
+
+def _make_analysis(mode):
+    from gorder_tpu.input import Analysis, AnalysisType
+
+    if mode == "cg":
+        gro, bnd, xtc = synth_cg()
+        atype = AnalysisType.cgorder("resname POPC")
+        out = os.path.join(CACHE, "cg_bench_order.yaml")
+    else:
+        gro, bnd, xtc = synth_ua()
+        atype = AnalysisType.uaorder(
+            saturated="resname POPC and name r'^CA\\d+$' or "
+                      "(resname POPC and name r'^CB\\d+$' and "
+                      "not name CB9 CB10)",
+            unsaturated="resname POPC and name CB9 CB10",
+        )
+        out = os.path.join(CACHE, "ua_bench_order.yaml")
+    return Analysis(structure=gro, bonds=bnd, trajectory=xtc,
+                    analysis_type=atype, output_yaml=out,
+                    silent=True, overwrite=True)
+
+
+def run_mode(mode):
+    import bench  # the AA harness: preflight + tunnel probe
+
+    ok, detail = bench.preflight_device()
+    if not ok:
+        print(f"# device preflight failed: {detail}", file=sys.stderr)
+        print(json.dumps({"metric": f"{mode.upper()} order (DEVICE "
+                          "UNREACHABLE)", "value": 0.0,
+                          "unit": "frames/s", "vs_baseline": 0.0,
+                          "device_unreachable": True}))
+        return
+
+    analysis = _make_analysis(mode)
+    baseline = CG_BASELINE_8T if mode == "cg" else UA_BASELINE_8T
+
+    # warm: compile + first-execution tunnel stall excluded, like bench.py
+    warm = _make_analysis(mode)
+    warm.begin, warm.end = 0.0, 10_230.0
+    warm.run()
+
+    budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "390"))
+    max_trials = int(os.environ.get("GORDER_BENCH_TRIALS", "3"))
+    t_start = time.perf_counter()
+    best_rate, best_tunnel, worst = 0.0, 0.0, 0.0
+    n_frames = None
+    for trial in range(max_trials):
+        t0 = time.perf_counter()
+        r = analysis.run()
+        r.write()
+        dt = time.perf_counter() - t0
+        tunnel = bench.measure_tunnel_mbps()
+        n_frames = r.n_analyzed_frames
+        rate = n_frames / dt
+        print(f"# {mode} trial {trial}: {rate:.1f} frames/s | tunnel "
+              f"{tunnel:.1f} MB/s | {dt:.1f}s", file=sys.stderr)
+        if rate > best_rate:
+            best_rate, best_tunnel = rate, tunnel
+        worst = max(worst, dt)
+        if time.perf_counter() - t_start + worst * 1.15 > budget_s:
+            break
+
+    desc = {"cg": f"CG 512-lipid Martini-like {CG_TOTAL_BEADS / 1000:.1f}k-"
+                  f"bead order analysis, end-to-end ({n_frames} XTC frames)",
+            "ua": f"UA 256-lipid Berger-like {UA_TOTAL_ATOMS / 1000:.1f}k-"
+                  f"atom order analysis, end-to-end ({n_frames} XTC frames)"
+            }[mode]
+    print(json.dumps({
+        "metric": desc,
+        "value": round(best_rate, 1),
+        "unit": "frames/s",
+        "vs_baseline_8T": round(best_rate / baseline, 4),
+        "tunnel_MBps": round(best_tunnel, 1),
+    }))
+    print(f"| {mode.upper()} | {best_rate:.0f} frames/s | "
+          f"{baseline:.0f} frames/s (8T reference) | "
+          f"{best_rate / baseline:.2f}x |")
+
+
+def main():
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "synth"
+    if cmd == "synth":
+        synth_cg()
+        synth_ua()
+        print("synthesized CG + UA benchmark inputs")
+    elif cmd in ("cg", "ua"):
+        run_mode(cmd)
+    else:
+        raise SystemExit(f"unknown mode {cmd!r} (use synth|cg|ua)")
+
+
+if __name__ == "__main__":
+    main()
