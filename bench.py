@@ -298,7 +298,6 @@ def measure_device_resident(probe, batch=512, iters=30):
             base, inv_prec, boxes, _, _ = res
             staged_b7 = tuple(jax.device_put(a) for a in (pk, eg, ev, base))
             scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
-            use_pallas = False  # the b7 fused path runs the einsum kernel
     if staged_b7 is None:
         esc_cap = 4096
         pk = np.zeros((n, s6_stride(n_out)), np.uint8)
@@ -340,7 +339,7 @@ def measure_device_resident(probe, batch=512, iters=30):
             return step.impl(dq, box_dev, normal_dev, mask_dev,
                              inv_scale=scale_dev + carry,
                              map_state=None, geom_ref=None,
-                             diff_input=True)
+                             diff_input=True, use_pallas=use_pallas)
         if staged is not None:
             c = _s6_impl(*staged, scale_dev + carry)
         else:

@@ -1183,7 +1183,7 @@ def _build_fused_steps(step, *, n_out, use_pallas):
                 dq = _b7_impl(pk, eg, ev, base)
                 return impl(dq, box, normal, mask, inv_scale=scale,
                             map_state=None, geom_ref=None,
-                            diff_input=True)
+                            diff_input=True, use_pallas=use_pallas)
         elif kind == "s6":
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 pk, eg, ev, base, gm, vg = w

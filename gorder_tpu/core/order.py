@@ -306,6 +306,7 @@ def make_order_step(
     dummy_classes = put_const(np.zeros((1, 1), np.int32))
 
     fast_step = None
+    fast_diff_step = None
     from ..ops.pallas_p2 import make_pallas_order_step, pallas_supported
 
     if pallas_supported(with_leaflets=with_leaflets, normal_mode=normal_mode,
@@ -316,6 +317,16 @@ def make_order_step(
             np.asarray(bond_type, np.int32), np.asarray(bond_mol, np.int32),
             n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets,
             normal_mode=normal_mode)
+        if not with_leaflets and normal_mode == "static":
+            # b7 wire variant: consumes bond vectors directly (b7 is only
+            # eligible for pure bond-order runs, so this combination is
+            # the only one the diff path can meet)
+            fast_diff_step = make_pallas_order_step(
+                np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
+                np.asarray(bond_type, np.int32),
+                np.asarray(bond_mol, np.int32),
+                n_types, handle_pbc=handle_pbc, with_leaflets=False,
+                normal_mode="static", diff_input=True)
 
     def _single_device(x):
         s = getattr(x, "sharding", None)
@@ -362,9 +373,13 @@ def make_order_step(
         (B, A, 3) coordinates (measured ~6x slower on TPU). `use_pallas`
         is a trace-time constant decided by the caller via pallas_ok().
         With diff_input=True, `coords` is the (B, N, 3) bond-vector array
-        (b7 wire) — no Pallas/map/geom support on that path."""
+        (b7 wire; no map/geom — b7 eligibility excludes them); use_pallas
+        routes it through the diff-input Pallas kernel."""
         if diff_input:
-            assert not use_pallas and map_state is None and geom_ref is None
+            assert map_state is None and geom_ref is None
+            if use_pallas and fast_diff_step is not None:
+                return fast_diff_step.impl(coords, box_diag, normal,
+                                           frame_mask, inv_scale=inv_scale)
             return _order_step_impl(
                 coords, box_diag, normal, frame_mask,
                 atom_a_d, atom_b_d, bond_mol_d, onehot_d,

@@ -27,7 +27,8 @@ Scope: bond-based analysis with a static OR per-molecule (dynamic /
 manual / vesicle) membrane normal, with or without leaflet
 classification (leaflets.rs Global/Local/Individual/manual →
 per-molecule classes; normal.rs:179-199 → per-molecule normals gathered
-to a per-bond (Bt × Nt) plane outside the kernel). Ordermap
+to a per-bond (Bt × Nt) plane outside the kernel), from positions or
+directly from the b7 wire's bond-vector array (diff_input). Ordermap
 configurations also ride this kernel for the per-type reduction; the
 map-tile accumulation itself stays on XLA's scatter engine
 (core/ordermap.py segment_sum) because a one-sample-one-cell scatter is
@@ -174,15 +175,24 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
                             atom_b, bond_mol, onehot_pad,
                             leaflet_classes=None, inv_scale=None, *,
                             handle_pbc, quantized, interpret, n_types,
-                            with_leaflets, per_bond_normal=False):
+                            with_leaflets, per_bond_normal=False,
+                            diff_input=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if quantized:
         coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
-    pa = jnp.take(coords, atom_a, axis=1)              # (B, Np, 3)
-    pb = jnp.take(coords, atom_b, axis=1)
-    d = pb - pa
+    if diff_input:
+        # `coords` is already the (B, N, 3) bond-vector array (b7 wire) —
+        # pad the bond axis to the tile width; padded rows are zero
+        # vectors whose one-hot membership row is zero (no contribution,
+        # and P2 of a zero vector is finite: cos² = 0/1e-18 = 0)
+        n_pad = onehot_pad.shape[0]
+        d = jnp.pad(coords, ((0, 0), (0, n_pad - coords.shape[1]), (0, 0)))
+    else:
+        pa = jnp.take(coords, atom_a, axis=1)          # (B, Np, 3)
+        pb = jnp.take(coords, atom_b, axis=1)
+        d = pb - pa
     B, Np = d.shape[0], d.shape[1]
 
     dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]       # (B, Np) planes
@@ -263,16 +273,23 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
 _pallas_order_step = jax.jit(
     _pallas_order_step_impl,
     static_argnames=("handle_pbc", "quantized", "interpret", "n_types",
-                     "with_leaflets", "per_bond_normal"))
+                     "with_leaflets", "per_bond_normal", "diff_input"))
 
 
 def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
                            n_types: int, *, handle_pbc: bool = True,
                            with_leaflets: bool = False,
-                           normal_mode: str = "static"):
+                           normal_mode: str = "static",
+                           diff_input: bool = False):
     """Fused fast-path variant of core.order.make_order_step (same call
-    signature and output layout for the configurations it supports)."""
+    signature and output layout for the configurations it supports).
+
+    With diff_input=True the step consumes the (B, N, 3) bond-vector
+    array directly (b7 wire) instead of gathering positions; b7 is only
+    eligible for pure bond-order runs, so that variant is static-normal,
+    no-leaflet only."""
     per_bond_normal = normal_mode == "per_molecule"
+    assert not diff_input or (not per_bond_normal and not with_leaflets)
     n = len(atom_a)
     n_pad = max(_NT, ((n + _NT - 1) // _NT) * _NT)
     atom_a_p = np.zeros(n_pad, np.int32)
@@ -301,6 +318,7 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
             handle_pbc=handle_pbc, quantized=inv_scale is not None,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
+            diff_input=diff_input,
         )
 
     def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
@@ -314,6 +332,7 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
             handle_pbc=handle_pbc, quantized=inv_scale is not None,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
+            diff_input=diff_input,
         )
 
     step.impl = impl

@@ -248,3 +248,30 @@ def test_pallas_ordermap_hybrid_matches_einsum(monkeypatch):
     assert (np.abs(sum_f - sum_r) <= ct_r).all()
     for a, b in zip(jtu.tree_leaves(st_f), jtu.tree_leaves(st_r)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_diff_input_matches_einsum(monkeypatch):
+    """b7 wire path: the kernel consumes the (B, N, 3) bond-vector array
+    directly (no position gather). Quantized integer diffs like the b7
+    reconstruction produces, routed via step.impl(use_pallas=True), must
+    match the einsum diff path within one quantum per sample."""
+    coords, box, atom_a, atom_b, btype, bmol, mask, T = _random_problem(5)
+    normal = np.array([0, 0, 1], np.float32)
+    prec = 100.0
+    q = np.round(coords * prec)
+    d = (q[:, atom_b, :] - q[:, atom_a, :]).astype(np.float32)
+    inv = np.full(len(coords), 1.0 / prec, np.float32)
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, 1)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, 1)
+
+    out_f, _ = fast.impl(d, box, normal, mask, inv_scale=inv,
+                         diff_input=True, use_pallas=True)
+    out_r, _ = ref.impl(d, box, normal, mask, inv_scale=inv,
+                        diff_input=True)
+    sum_f, ct_f = _decode(np.asarray(out_f["total"]))
+    sum_r, ct_r = _decode(np.asarray(out_r["total"]))
+    np.testing.assert_array_equal(ct_f, ct_r)
+    assert (np.abs(sum_f - sum_r) <= ct_r).all(), (sum_f, sum_r, ct_r)
