@@ -509,10 +509,22 @@ def main():
             break
 
     # device-resident throughput: the same per-batch device path with the
-    # wire payload pre-staged — the pipeline's speed without the tunnel
-    device_rate = measure_device_resident(probe)
-    print(f"# device-resident compute: {device_rate:.0f} frames/s "
-          f"(wire payload staged, no decode/transfer)", file=sys.stderr)
+    # wire payload pre-staged — the pipeline's speed without the tunnel.
+    # Larger batches amortize per-dispatch overhead; report the best.
+    device_rate = 0.0
+    dr_batches = (512, 2048) if os.environ.get(
+        "GORDER_BENCH_DR_SWEEP", "1") != "0" else (512,)
+    for dr_batch in dr_batches:
+        try:
+            r = measure_device_resident(probe, batch=dr_batch)
+        except Exception as exc:  # e.g. HBM limit at the largest batch
+            print(f"# device-resident batch {dr_batch}: failed ({exc})",
+                  file=sys.stderr)
+            break
+        print(f"# device-resident compute @ batch {dr_batch}: {r:.0f} "
+              f"frames/s (wire payload staged, no decode/transfer)",
+              file=sys.stderr)
+        device_rate = max(device_rate, r)
 
     frames_per_s = results.n_analyzed_frames / elapsed
     print(json.dumps({
