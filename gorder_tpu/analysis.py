@@ -1169,7 +1169,7 @@ def _build_fused_steps(step, *, n_out, use_pallas):
     Returns get(kind) -> jitted fn(wire_devs, scale, box, normal, mask,
     map_state, geom_ref) -> (result, map_out), built lazily per payload
     kind (a mid-run wire fallback switches kinds, e.g. s6 -> i16), or
-    None when `step` exposes no traceable impl (UA steps, for now).
+    None when `step` exposes no traceable impl.
     """
     impl = getattr(step, "impl", None)
     if impl is None:

@@ -116,16 +116,11 @@ def predict_ch1_saturated(t, h1, h2, h3, box, handle_pbc):
     return [t + _normalize(hv) * BOND_LENGTH]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("handle_pbc", "with_leaflets", "normal_mode", "layout",
-                     "quantized", "map_spec", "geom_spec"),
-)
-def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
-             leaflet_classes, inv_scale=None, bond_type_ids=None,
-             map_state=None, geom_ref=None, *, handle_pbc, with_leaflets,
-             normal_mode, layout, quantized=False, map_spec=None,
-             geom_spec=None):
+def _ua_step_impl(coords, box_diag, normal, frame_mask, indices, bond_mol,
+                  onehot, leaflet_classes, inv_scale=None,
+                  bond_type_ids=None, map_state=None, geom_ref=None, *,
+                  handle_pbc, with_leaflets, normal_mode, layout,
+                  quantized=False, map_spec=None, geom_spec=None):
     """layout: tuple of (category, n_atoms) pairs in concatenation order.
 
     `indices` is a dict of per-category index arrays; each category yields
@@ -201,9 +196,14 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
         ones = ones * geo
 
     def reduce(mask):
+        # exact bf16 MXU path — same argument as core/order.py reduce:
+        # limbs |v| < 128 and masks {0, 1} are bf16-exact, products are
+        # exact, accumulation stays f32
         stacked = jnp.stack(
-            [l2 * mask, l1 * mask, l0 * mask, mask], axis=1)
-        return jnp.einsum("bcn,nt->bct", stacked, onehot,
+            [l2 * mask, l1 * mask, l0 * mask, mask],
+            axis=1).astype(jnp.bfloat16)
+        return jnp.einsum("bcn,nt->bct", stacked,
+                          onehot.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
 
     masks = {"total": ones}
@@ -219,6 +219,13 @@ def _ua_step(coords, box_diag, normal, frame_mask, indices, bond_mol, onehot,
         cells, _ = map_cells(bond_pos, map_spec, bond_type_ids, n_types)
         map_state = update_maps(map_state, sch, cells, masks)
     return out, map_state
+
+
+_ua_step = jax.jit(
+    _ua_step_impl,
+    static_argnames=("handle_pbc", "with_leaflets", "normal_mode", "layout",
+                     "quantized", "map_spec", "geom_spec"),
+)
 
 
 def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
@@ -257,4 +264,24 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
             map_spec=map_spec, geom_spec=geom_spec,
         )
 
+    def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
+             inv_scale=None, map_state=None, geom_ref=None, *,
+             use_pallas=False, diff_input=False):
+        """Traceable (unjitted) body for fused per-batch programs
+        (analysis.py _build_fused_steps): wire reconstruction and the UA
+        kernel compile as ONE XLA program. No Pallas/diff variants — the
+        virtual-H geometry needs absolute positions."""
+        assert not use_pallas and not diff_input
+        return _ua_step_impl(
+            coords, box_diag, normal, frame_mask, indices, bond_mol_d,
+            onehot_d,
+            leaflet_classes if leaflet_classes is not None else dummy,
+            inv_scale, bond_type_d, map_state, geom_ref,
+            handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+            normal_mode=normal_mode, layout=layout,
+            quantized=inv_scale is not None,
+            map_spec=map_spec, geom_spec=geom_spec,
+        )
+
+    step.impl = impl
     return step
