@@ -46,6 +46,10 @@ UA_FRAMES = int(os.environ.get("GORDER_BENCH_UA_FRAMES", "3000"))
 UA_BOX = np.array([9.2, 9.2, 9.0], np.float32)
 UA_BASELINE_8T = 3000 / 1.749           # frames/s, BASELINE.md row 7
 
+# AA with global leaflets every frame: 9.86 s / 10k frames at 8 threads
+# (performance/leaflets_benchmarks.md §Atomistic; BASELINE.md row 17)
+AA_LEAFLETS_BASELINE_8T = 10000 / 9.86
+
 
 def _cg_template():
     """Martini-like POPC: NC3-PO4-GL1(-GL2)-C1A..C4A / C1B..C4B."""
@@ -223,6 +227,27 @@ def _make_analysis(mode):
         gro, bnd, xtc = synth_cg()
         atype = AnalysisType.cgorder("resname POPC")
         out = os.path.join(CACHE, "cg_bench_order.yaml")
+    elif mode == "aa-leaflets":
+        # leaflet-overhead row (performance/leaflets_benchmarks.md
+        # §Atomistic, global method, every frame): the AA headline system
+        # with global leaflet classification
+        from gorder_tpu.input.config import LeafletClassification
+
+        gro = os.path.join(CACHE, "bench.gro")
+        bnd = os.path.join(CACHE, "bench.bnd")
+        xtc = os.path.join(CACHE, f"bench_{10000}.xtc")
+        if not all(os.path.exists(p) for p in (gro, bnd, xtc)):
+            raise SystemExit("run bench.py once first (synthesizes the AA "
+                             "inputs this mode reuses)")
+        return Analysis(
+            structure=gro, bonds=bnd, trajectory=xtc,
+            analysis_type=AnalysisType.aaorder(
+                "resname POPC and name r'^C'",
+                "resname POPC and name r'^H'"),
+            leaflets=LeafletClassification.global_(
+                "resname POPC", "resname POPC and name P"),
+            output_yaml=os.path.join(CACHE, "aa_leaflets_order.yaml"),
+            silent=True, overwrite=True)
     else:
         gro, bnd, xtc = synth_ua()
         atype = AnalysisType.uaorder(
@@ -250,7 +275,8 @@ def run_mode(mode):
         return
 
     analysis = _make_analysis(mode)
-    baseline = CG_BASELINE_8T if mode == "cg" else UA_BASELINE_8T
+    baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T,
+                "aa-leaflets": AA_LEAFLETS_BASELINE_8T}[mode]
 
     # warm: compile + first-execution tunnel stall excluded, like bench.py
     warm = _make_analysis(mode)
@@ -281,7 +307,10 @@ def run_mode(mode):
     desc = {"cg": f"CG 512-lipid Martini-like {CG_TOTAL_BEADS / 1000:.1f}k-"
                   f"bead order analysis, end-to-end ({n_frames} XTC frames)",
             "ua": f"UA 256-lipid Berger-like {UA_TOTAL_ATOMS / 1000:.1f}k-"
-                  f"atom order analysis, end-to-end ({n_frames} XTC frames)"
+                  f"atom order analysis, end-to-end ({n_frames} XTC frames)",
+            "aa-leaflets": "AA 256-lipid order analysis with global "
+                           "leaflet classification every frame, "
+                           f"end-to-end ({n_frames} XTC frames)",
             }[mode]
     print(json.dumps({
         "metric": desc,
@@ -301,10 +330,11 @@ def main():
         synth_cg()
         synth_ua()
         print("synthesized CG + UA benchmark inputs")
-    elif cmd in ("cg", "ua"):
+    elif cmd in ("cg", "ua", "aa-leaflets"):
         run_mode(cmd)
     else:
-        raise SystemExit(f"unknown mode {cmd!r} (use synth|cg|ua)")
+        raise SystemExit(
+            f"unknown mode {cmd!r} (use synth|cg|ua|aa-leaflets)")
 
 
 if __name__ == "__main__":
