@@ -262,6 +262,40 @@ class LeafletRuntime:
                 f"be exactly '{expected}' frame(s) specified in the leaflet "
                 f"assignment structure)")
 
+    def fused_classify_impl(self):
+        """Traceable per-batch classification for fused programs, or None
+        when the batch path must stay host-visible: carried state
+        (frequency > every-frame), manual lookup tables, sequential
+        cluster matching (orienter), or collection buffers. Eligible
+        methods (global / local / individual at every-frame frequency)
+        are pure functions of the batch, so classes never leave the
+        device."""
+        impl = getattr(self.classify, "impl", None)
+        if (impl is None or self.manual_table is not None
+                or self.orienter is not None
+                or self.collect_frames is not None
+                or self.frequency.kind != "every" or self.frequency.n != 1):
+            return None
+        if self.cloud_to_mol is None and not self.flip:
+            return impl
+        import jax.numpy as jnp
+
+        from .parallel.context import put_const
+
+        cloud_d = (put_const(np.asarray(self.cloud_to_mol, np.int32))
+                   if self.cloud_to_mol is not None else None)
+        flip = self.flip
+
+        def wrapped(coords, box_diag):
+            classes = impl(coords, box_diag)
+            if cloud_d is not None:
+                classes = jnp.take(classes, cloud_d, axis=1)
+            if flip:
+                classes = 1 - classes
+            return classes
+
+        return wrapped
+
     def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray
                           ) -> np.ndarray:
         """(B, M) leaflet classes for the analyzed frames of the batch."""
@@ -797,6 +831,19 @@ class NormalsRuntime:
             values[~keep] = np.nan
         self.collected.append(values)
 
+    def fused_impl(self):
+        """Traceable per-batch normal computation for fused programs, or
+        None when the batch path must stay host-visible (manual tables,
+        collection buffers). The dynamic PCA is a pure function of the
+        batch; the ≥3-points validation moves to a device-computed
+        min-count guard checked when results drain (same error, possibly
+        a few batches later)."""
+        impl = getattr(self.compute, "impl", None)
+        if impl is None or self.mode != "dynamic" or \
+                self.collected is not None:
+            return None
+        return impl
+
     def normals_for_batch(self, coords_f32, box_dev,
                           analyzed_idx: np.ndarray, batch_size: int,
                           geom_ref=None):
@@ -1155,7 +1202,27 @@ def _dequantize(coords_i16, inv_prec):
     return _device_codecs()[3](coords_i16, inv_prec)
 
 
-def _build_fused_steps(step, *, n_out, use_pallas):
+def _pop_normal_guard(result) -> None:
+    """Validate the fused dynamic-normal min-count guard (the ≥3-points
+    check of NormalsRuntime.normals_for_batch, deferred to result-drain
+    time; wording: src/errors.rs:173-176)."""
+    guard = result.pop("_normal_guard", None)
+    if guard is None:
+        return
+    got = float(np.asarray(guard))
+    if got < 3:
+        from .errors import DynamicNormalError
+
+        raise DynamicNormalError(
+            f"not enough points for dynamic local membrane normal "
+            f"calculation: got '{int(got)}', need at least '3' points \n"
+            f"(hint: try increasing the 'radius' in the "
+            f"'membrane_normal' section of your input configuration "
+            f"file)")
+
+
+def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
+                       normals_impl=None):
     """Fused per-batch programs: wire reconstruction traced inline into
     the order kernel, so XLA compiles ONE program per batch.
 
@@ -1166,6 +1233,13 @@ def _build_fused_steps(step, *, n_out, use_pallas):
     slower than the fused trace on TPU (14 ms vs 2.2 ms for the s6
     reconstruction at 512×34k).
 
+    With classify_impl (LeafletRuntime.fused_classify_impl: every-frame
+    global/local/individual leaflet classification), the classes are
+    computed inside the same program and consumed directly by the
+    kernel's upper/lower reductions — they never leave the device (the
+    two-dispatch path fetches the (B, M) classes to the host and ships
+    them back: two tunnel round-trips plus ~0.5 MB of traffic per batch).
+
     Returns get(kind) -> jitted fn(wire_devs, scale, box, normal, mask,
     map_state, geom_ref) -> (result, map_out), built lazily per payload
     kind (a mid-run wire fallback switches kinds, e.g. s6 -> i16), or
@@ -1175,9 +1249,40 @@ def _build_fused_steps(step, *, n_out, use_pallas):
     if impl is None:
         return None
     import jax
+    import jax.numpy as jnp
+
+    def run(coords, box, normal, mask, map_state, geom_ref, inv_scale=None):
+        """Shared tail: optional in-program classification / dynamic
+        normals + the kernel. When either consumer is present,
+        coordinates are dequantized once up front (the multiply is fused
+        either way; traces identically to inv_scale)."""
+        classes = guard = None
+        if classify_impl is not None or normals_impl is not None:
+            if inv_scale is not None:
+                coords = coords.astype(jnp.float32) \
+                    * inv_scale[:, None, None]
+                inv_scale = None
+        if classify_impl is not None:
+            classes = classify_impl(coords, box)
+        if normals_impl is not None:
+            normal, counts = normals_impl(coords, box)
+            # min cloud size over the valid frames — the ≥3-points
+            # validation, checked host-side when the result drains
+            guard = jnp.min(jnp.where(mask[:, None], counts,
+                                      jnp.float32(1e9)))
+        result, map_out = impl(
+            coords, box, normal, mask, leaflet_classes=classes,
+            inv_scale=inv_scale, map_state=map_state,
+            geom_ref=geom_ref, use_pallas=use_pallas)
+        if guard is not None:
+            result["_normal_guard"] = guard
+        return result, map_out
 
     def build(kind):
         if kind == "b7":
+            assert classify_impl is None, \
+                "b7 is gated to pure bond-order runs"
+
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 pk, eg, ev, base = w
                 dq = _b7_impl(pk, eg, ev, base)
@@ -1188,32 +1293,27 @@ def _build_fused_steps(step, *, n_out, use_pallas):
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 pk, eg, ev, base, gm, vg = w
                 coords = _s6_impl(pk, eg, ev, base, gm, vg, scale)
-                return impl(coords, box, normal, mask, map_state=map_state,
-                            geom_ref=geom_ref, use_pallas=use_pallas)
+                return run(coords, box, normal, mask, map_state, geom_ref)
         elif kind == "d8":
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 lo, ci, ch, abs0 = w
                 coords = _d8_impl(lo, ci, ch, abs0, scale)
-                return impl(coords, box, normal, mask, map_state=map_state,
-                            geom_ref=geom_ref, use_pallas=use_pallas)
+                return run(coords, box, normal, mask, map_state, geom_ref)
         elif kind == "i12":
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 (packed,) = w
                 quant = _unpack12_impl(packed, n_out)
-                return impl(quant, box, normal, mask, inv_scale=scale,
-                            map_state=map_state, geom_ref=geom_ref,
-                            use_pallas=use_pallas)
+                return run(quant, box, normal, mask, map_state, geom_ref,
+                           inv_scale=scale)
         elif kind == "i16":
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 (quant,) = w
-                return impl(quant, box, normal, mask, inv_scale=scale,
-                            map_state=map_state, geom_ref=geom_ref,
-                            use_pallas=use_pallas)
+                return run(quant, box, normal, mask, map_state, geom_ref,
+                           inv_scale=scale)
         else:  # f32
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
                 (coords,) = w
-                return impl(coords, box, normal, mask, map_state=map_state,
-                            geom_ref=geom_ref, use_pallas=use_pallas)
+                return run(coords, box, normal, mask, map_state, geom_ref)
         return jax.jit(fused)
 
     cache = {}
@@ -1758,21 +1858,43 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     mask_full_dev = put_frames(np.ones(batch_size, bool))
     vgidx_dev = put_const(vgidx) if wire == "s6" else None
 
-    # Fused per-batch programs (wire reconstruction traced inline into the
-    # order kernel — ONE XLA program per batch) serve the hot
-    # no-classification path; leaflets/normals need host-visible f32
-    # coordinates per batch, so they keep the two-dispatch path.
+    # Fused per-batch programs: wire reconstruction (+ eligible leaflet
+    # classification / dynamic normals) traced inline into the order
+    # kernel — ONE XLA program per batch. Runtimes with carried or
+    # collected host state keep the two-dispatch path.
     from .parallel.context import active_mesh
 
     fused_get = None
-    if leaflets is None and normals is None:
+    # every-frame global/local/individual leaflet classification and
+    # dynamic normals are pure functions of the batch: trace them into the
+    # fused program so the (B, M) classes / (B, M, 3) normals never leave
+    # the device (the two-dispatch path round-trips them through the host)
+    fused_classify = (leaflets.fused_classify_impl()
+                      if leaflets is not None else None)
+    fused_normals = normals.fused_impl() if normals is not None else None
+    if ((leaflets is None or fused_classify is not None)
+            and (normals is None or fused_normals is not None)):
         pallas_ok = getattr(step, "pallas_ok", None)
         use_pallas = bool(
             active_mesh() is None and pallas_ok is not None
-            and pallas_ok(batch_size, has_classes=False,
+            and pallas_ok(batch_size, has_classes=leaflets is not None,
                           has_geom=geom_mode is not None))
         fused_get = _build_fused_steps(step, n_out=n_out,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       classify_impl=fused_classify,
+                                       normals_impl=fused_normals)
+        if (fused_get is not None and leaflets is not None
+                and not leaflets._logged_stats):
+            # the fused path never materializes classes on the host;
+            # reproduce the reference's first-frame population log
+            # (topology/mod.rs:178-225) from one cheap frame-0 read
+            c0, b0, _, _ = traj.read_frames(frame_indices[:1], space,
+                                            n_threads=n_threads)
+            cls0 = np.asarray(
+                leaflets.classify(c0, b0[:, [0, 1, 2], [0, 1, 2]]))[0]
+            if leaflets.flip:
+                cls0 = 1 - cls0
+            leaflets._log_first_stats(cls0.astype(np.int32))
     geom_point_dev = None
     if geom_mode == "point":
         geom_point_dev = put_frames(np.tile(geom_point, (batch_size, 1)))
@@ -1946,6 +2068,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                        geom_ref=geom_ref)
             if sync_fetch:
                 with timers.phase("compute"):
+                    result = dict(result)
+                    _pop_normal_guard(result)
                     accum.add_batch(
                         {k: np.asarray(v) for k, v in result.items()},
                         n_valid)
@@ -1987,6 +2111,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     with timers.phase("compute"):
         for result, map_out, n_valid in in_flight:
+            result = dict(result)
+            _pop_normal_guard(result)
             accum.add_batch({k: np.asarray(v) for k, v in result.items()},
                             n_valid)
             if map_out is not None:

@@ -19,7 +19,6 @@ XLA compile times low; flags are the only static arguments.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +29,8 @@ from ..parallel.context import put_const
 from .pbc import circular_mean_cog, min_image, naive_cog
 
 
-@functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
-def _global_classify(coords, box_diag, membrane_idx, head_idx, *,
-                     normal_axis, handle_pbc):
+def _global_classify_impl(coords, box_diag, membrane_idx, head_idx, *,
+                          normal_axis, handle_pbc):
     membrane = jnp.take(coords, membrane_idx, axis=1)      # (B, Nm, 3)
     mask = jnp.ones(membrane.shape[:-1], coords.dtype)
     if handle_pbc:
@@ -47,6 +45,10 @@ def _global_classify(coords, box_diag, membrane_idx, head_idx, *,
     return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
 
 
+_global_classify = jax.jit(
+    _global_classify_impl, static_argnames=("normal_axis", "handle_pbc"))
+
+
 def make_global_classifier(membrane_indices, head_indices, normal_axis,
                            handle_pbc=True):
     """Global method: head above/below the whole-membrane center of geometry
@@ -59,12 +61,18 @@ def make_global_classifier(membrane_indices, head_indices, normal_axis,
                                 normal_axis=int(normal_axis),
                                 handle_pbc=handle_pbc)
 
+    def impl(coords, box_diag):
+        """Traceable body for fused per-batch programs."""
+        return _global_classify_impl(coords, box_diag, membrane_d, heads_d,
+                                     normal_axis=int(normal_axis),
+                                     handle_pbc=handle_pbc)
+
+    classify.impl = impl
     return classify
 
 
-@functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
-def _local_classify(coords, box_diag, membrane_idx, head_idx, radius, *,
-                    normal_axis, handle_pbc):
+def _local_classify_impl(coords, box_diag, membrane_idx, head_idx, radius, *,
+                         normal_axis, handle_pbc):
     plane_axes = tuple(a for a in range(3) if a != normal_axis)
 
     def per_frame(args):
@@ -96,6 +104,10 @@ def _local_classify(coords, box_diag, membrane_idx, head_idx, radius, *,
     return jax.lax.map(per_frame, (coords, box_diag))
 
 
+_local_classify = jax.jit(
+    _local_classify_impl, static_argnames=("normal_axis", "handle_pbc"))
+
+
 def make_local_classifier(membrane_indices, head_indices, normal_axis,
                           radius, handle_pbc=True):
     """Local method: reference center = center of geometry of membrane atoms
@@ -112,12 +124,19 @@ def make_local_classifier(membrane_indices, head_indices, normal_axis,
                                radius_d, normal_axis=int(normal_axis),
                                handle_pbc=handle_pbc)
 
+    def impl(coords, box_diag):
+        """Traceable body for fused per-batch programs."""
+        return _local_classify_impl(coords, box_diag, membrane_d, heads_d,
+                                    radius_d, normal_axis=int(normal_axis),
+                                    handle_pbc=handle_pbc)
+
+    classify.impl = impl
     return classify
 
 
-@functools.partial(jax.jit, static_argnames=("normal_axis", "handle_pbc"))
-def _individual_classify(coords, box_diag, head_idx, methyl_idx, methyl_mol,
-                         onehot, *, normal_axis, handle_pbc):
+def _individual_classify_impl(coords, box_diag, head_idx, methyl_idx,
+                              methyl_mol, onehot, *, normal_axis,
+                              handle_pbc):
     heads = jnp.take(coords, head_idx, axis=1)             # (B, M, 3)
     methyls = jnp.take(coords, methyl_idx, axis=1)         # (B, K, 3)
     head_of_methyl = jnp.take(heads, methyl_mol, axis=1)   # (B, K, 3)
@@ -127,6 +146,10 @@ def _individual_classify(coords, box_diag, head_idx, methyl_idx, methyl_mol,
         delta = delta - length * jnp.round(delta / length)
     total = jnp.einsum("bk,km->bm", delta, onehot)         # (B, M)
     return jnp.where(total >= 0, 0, 1).astype(jnp.int32)
+
+
+_individual_classify = jax.jit(
+    _individual_classify_impl, static_argnames=("normal_axis", "handle_pbc"))
 
 
 def make_individual_classifier(head_indices, methyl_indices, methyl_mol,
@@ -146,4 +169,11 @@ def make_individual_classifier(head_indices, methyl_indices, methyl_mol,
                                     normal_axis=int(normal_axis),
                                     handle_pbc=handle_pbc)
 
+    def impl(coords, box_diag):
+        """Traceable body for fused per-batch programs."""
+        return _individual_classify_impl(
+            coords, box_diag, heads_d, methyls_d, mol_d, onehot_d,
+            normal_axis=int(normal_axis), handle_pbc=handle_pbc)
+
+    classify.impl = impl
     return classify

@@ -31,9 +31,8 @@ def _smallest_eigvec_3x3(cov):
     return vecs[..., :, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("handle_pbc",))
-def _dynamic_normals(coords, box_diag, head_idx, cloud_idx, radius, *,
-                     handle_pbc):
+def _dynamic_normals_impl(coords, box_diag, head_idx, cloud_idx, radius, *,
+                          handle_pbc):
     """(B, A, 3) coords → (B, M, 3) unit normals (+ (B, M) cloud sizes)."""
 
     def per_frame(args):
@@ -56,6 +55,10 @@ def _dynamic_normals(coords, box_diag, head_idx, cloud_idx, radius, *,
     return jax.lax.map(per_frame, (coords, box_diag))
 
 
+_dynamic_normals = jax.jit(
+    _dynamic_normals_impl, static_argnames=("handle_pbc",))
+
+
 def make_dynamic_normals(head_indices, cloud_indices, radius,
                          handle_pbc=True):
     head_d = put_const(np.asarray(head_indices, np.int32))
@@ -66,4 +69,10 @@ def make_dynamic_normals(head_indices, cloud_indices, radius,
         return _dynamic_normals(coords, box_diag, head_d, cloud_d, radius_d,
                                 handle_pbc=handle_pbc)
 
+    def impl(coords, box_diag):
+        """Traceable body for fused per-batch programs."""
+        return _dynamic_normals_impl(coords, box_diag, head_d, cloud_d,
+                                     radius_d, handle_pbc=handle_pbc)
+
+    compute.impl = impl
     return compute
