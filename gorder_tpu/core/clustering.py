@@ -360,8 +360,7 @@ class SpectralOrienter:
 # ------------------------------------------------------------------ spherical
 
 
-@functools.partial(jax.jit, static_argnames=("handle_pbc",))
-def _spherical_classes(coords, box_diag, head_idx, *, handle_pbc):
+def _spherical_classes_impl(coords, box_diag, head_idx, *, handle_pbc):
     """(B, A, 3) → (B, M) classes (0 = outer/upper, 1 = inner/lower)."""
 
     def per_frame(args):
@@ -431,6 +430,10 @@ def _spherical_classes(coords, box_diag, head_idx, *, handle_pbc):
     return jax.lax.map(per_frame, (coords, box_diag))
 
 
+_spherical_classes = jax.jit(
+    _spherical_classes_impl, static_argnames=("handle_pbc",))
+
+
 def make_spherical_classifier(head_indices, handle_pbc=True):
     head_d = put_const(np.asarray(head_indices, np.int32))
 
@@ -438,4 +441,11 @@ def make_spherical_classifier(head_indices, handle_pbc=True):
         return _spherical_classes(coords, box_diag, head_d,
                                   handle_pbc=handle_pbc)
 
+    def impl(coords, box_diag):
+        """Traceable body for fused per-batch programs (the GMM EM is
+        pure lax device code)."""
+        return _spherical_classes_impl(coords, box_diag, head_d,
+                                       handle_pbc=handle_pbc)
+
+    classify.impl = impl
     return classify
