@@ -35,6 +35,10 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ----------------------------------------------------------------- constants
@@ -2085,31 +2089,14 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
     int32_t nesc = 0;
     int64_t last_esc = -1;
     int64_t next_force = 65534;  // last_esc + 65535: u16 gap ceiling
-    uint64_t acc = 0;
-    int accn = 0;
     size_t out = 0;
-    auto flush = [&](int32_t code) {
-      acc |= ((uint64_t)((uint32_t)code & 127u)) << (7 * accn);
-      if (++accn == 8) {
-        pk[out + 0] = (uint8_t)(acc & 0xFF);
-        pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
-        pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
-        pk[out + 3] = (uint8_t)((acc >> 24) & 0xFF);
-        pk[out + 4] = (uint8_t)((acc >> 32) & 0xFF);
-        pk[out + 5] = (uint8_t)((acc >> 40) & 0xFF);
-        pk[out + 6] = (uint8_t)((acc >> 48) & 0xFF);
-        out += 7;
-        acc = 0;
-        accn = 0;
-      }
-    };
-    for (size_t j = 0; j < nb; j++) {
+    // One value through the escape-aware path; returns its 7-bit code
+    // (escaped slots code 0 — the device scatter overrides them).
+    auto code_one = [&](size_t j) -> uint32_t {
       int32_t r = dv[j] - base_io[j];
       // single unsigned compare: r < -64 || r > 63
-      if ((uint32_t)(r + 64) <= 127u && (int64_t)j < next_force) {
-        flush(r);
-        continue;
-      }
+      if ((uint32_t)(r + 64) <= 127u && (int64_t)j < next_force)
+        return (uint32_t)r & 127u;
       if (r < INT16_MIN || r > INT16_MAX) fits = false;
       if (nesc < esc_cap) {
         eg[nesc] = (uint16_t)((int64_t)j - last_esc);
@@ -2121,10 +2108,65 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
       nesc++;
       last_esc = (int64_t)j;
       next_force = last_esc + 65535;
-      flush(0);  // ignored: the device scatter overrides this slot
+      return 0;
+    };
+    // Store one packed 8-code group (56 bits) as 7 little-endian bytes.
+    // An 8-byte store writes one zero byte past the group, which the next
+    // group's store overwrites — legal everywhere except the row end.
+    auto store7 = [&](uint64_t packed) {
+      if (out + 8 <= stride) {
+        memcpy(pk + out, &packed, 8);
+      } else {
+        memcpy(pk + out, &packed, 7);
+      }
+      out += 7;
+    };
+    // `codes` holds 8 codes as 8 little-endian BYTES; pext with the
+    // 0x7f-per-byte mask compacts them to the wire's 7-bit layout (bit
+    // k*7.. of the group = bits 0-6 of byte k), identical to the previous
+    // shift-accumulate coder.
+    constexpr uint64_t PEXT_MASK = 0x7f7f7f7f7f7f7f7fULL;
+    size_t j = 0;
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__BMI2__)
+    // Fast path: 8 residuals per iteration. The subtract/range-check/
+    // narrow runs vector-wide; a group containing any escape (or one that
+    // crosses the forced-escape horizon) falls back to the scalar coder
+    // for just those 8 values, so the 7-byte output alignment never
+    // drifts.
+    const __m256i c64 = _mm256_set1_epi32(64);
+    const __m256i c127 = _mm256_set1_epi32(127);
+    for (; j + 8 <= nb; j += 8) {
+      __m256i r = _mm256_sub_epi32(
+          _mm256_loadu_si256((const __m256i *)(dv + j)),
+          _mm256_loadu_si256((const __m256i *)(base_io + j)));
+      __mmask8 esc =
+          _mm256_cmpgt_epu32_mask(_mm256_add_epi32(r, c64), c127);
+      uint64_t codes;
+      if (__builtin_expect(!esc && (int64_t)(j + 8) <= next_force, 1)) {
+        codes = (uint64_t)_mm_cvtsi128_si64(_mm256_cvtepi32_epi8(r));
+      } else {
+        codes = 0;
+        for (int k = 0; k < 8; k++)
+          codes |= (uint64_t)code_one(j + k) << (8 * k);
+      }
+      store7(_pext_u64(codes, PEXT_MASK));
     }
-    for (size_t j = nb; j < nb8; j++) {
-      flush(0);  // tail padding of the 8-values-per-7-bytes stream
+#endif
+    // Scalar tail (and the whole loop without AVX-512): same 8-value
+    // groups, zero-padded past nb to the nb8 stream end.
+    for (; j < nb8; j += 8) {
+      uint64_t codes = 0;
+      const size_t hi = std::min(nb, j + 8);
+      for (size_t jj = j; jj < hi; jj++)
+        codes |= (uint64_t)code_one(jj) << (8 * (jj - j));
+#if defined(__BMI2__)
+      store7(_pext_u64(codes, PEXT_MASK));
+#else
+      uint64_t packed = 0;
+      for (int k = 0; k < 8; k++)
+        packed |= ((codes >> (8 * k)) & 127u) << (7 * k);
+      store7(packed);
+#endif
     }
     for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
       eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
