@@ -1803,6 +1803,7 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
     std::vector<int32_t> cur2(nv, 0);
     std::vector<int32_t> med((size_t)n_groups * 3);
     std::vector<int32_t> scratch;
+    std::vector<int32_t> subv(nv, 0);
 
     auto post = [&](int64_t f, const int32_t *c) {
       group_medians(c, base_io, med.data(), scratch);
@@ -1819,51 +1820,89 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
       int32_t nesc = 0;
       int64_t last_esc = -1;
       int64_t next_force = 65534;  // last_esc + 65535: u16 gap ceiling
-      uint32_t acc = 0;
-      int accn = 0;
       size_t out = 0;
       static const int32_t kZero3[3] = {0, 0, 0};
-      auto flush = [&](int32_t code) {
-        acc |= ((uint32_t)code & 63u) << (6 * accn);
-        if (++accn == 4) {
-          pk[out + 0] = (uint8_t)(acc & 0xFF);
-          pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
-          pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
-          out += 3;
-          acc = 0;
-          accn = 0;
-        }
-      };
-      for (size_t j = 0; j < nv; j += 3) {
-        int32_t g = group_of[j / 3];
+      // per-frame subtrahend per slot value: base + this frame's group
+      // median (XTC ints are < 2^24 and |median| <= 2^15, so int32 is
+      // exact). Built once so the 6-bit coder below runs vector-wide
+      // with a single subtract.
+      for (size_t a = 0; a < (size_t)n_out; a++) {
+        int32_t g = group_of[a];
         const int32_t *mg = (g >= 0 && g < n_groups)
                                 ? med.data() + (size_t)g * 3
                                 : kZero3;
-        for (int k = 0; k < 3; k++) {
-          // XTC ints are < 2^24 and |median| <= 2^15, so int32 is exact
-          int32_t r = c[j + k] - base_io[j + k] - mg[k];
-          // single unsigned compare: r < -32 || r > 31
-          if ((uint32_t)(r + 32) <= 63u &&
-              (int64_t)(j + k) < next_force) {
-            flush(r);
-            continue;
-          }
-          if (r < INT16_MIN || r > INT16_MAX) fits = false;
-          if (nesc < esc_cap) {
-            eg[nesc] = (uint16_t)((int64_t)(j + k) - last_esc);
-            ev[nesc] = (int16_t)std::max<int32_t>(
-                INT16_MIN, std::min<int32_t>(INT16_MAX, r));
+        subv[a * 3 + 0] = base_io[a * 3 + 0] + mg[0];
+        subv[a * 3 + 1] = base_io[a * 3 + 1] + mg[1];
+        subv[a * 3 + 2] = base_io[a * 3 + 2] + mg[2];
+      }
+      // One value through the escape-aware path; returns its 6-bit code
+      // (escaped slots code 0 — the device scatter overrides them).
+      auto code_one = [&](size_t j) -> uint32_t {
+        int32_t r = c[j] - subv[j];
+        // single unsigned compare: r < -32 || r > 31
+        if ((uint32_t)(r + 32) <= 63u && (int64_t)j < next_force)
+          return (uint32_t)r & 63u;
+        if (r < INT16_MIN || r > INT16_MAX) fits = false;
+        if (nesc < esc_cap) {
+          eg[nesc] = (uint16_t)((int64_t)j - last_esc);
+          ev[nesc] = (int16_t)std::max<int32_t>(
+              INT16_MIN, std::min<int32_t>(INT16_MAX, r));
+        } else {
+          fits = false;
+        }
+        nesc++;
+        last_esc = (int64_t)j;
+        next_force = last_esc + 65535;
+        return 0;
+      };
+      size_t j = 0;
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__BMI2__)
+      // Fast path: 8 residuals (= two wire groups of 4) per iteration;
+      // one _pext_u64 against the 0x3f-per-byte mask emits both 3-byte
+      // groups at once, identical to the scalar shift-accumulate coder.
+      // A group with any escape falls back to the scalar coder for just
+      // those 8 values, so the 3-byte output alignment never drifts. The
+      // 8-byte store writes 2 zero bytes past the 6-byte group, which
+      // the next group's store overwrites — legal except at the row end.
+      {
+        const __m256i s32 = _mm256_set1_epi32(32);
+        const __m256i s63 = _mm256_set1_epi32(63);
+        for (; j + 8 <= nv; j += 8) {
+          __m256i r = _mm256_sub_epi32(
+              _mm256_loadu_si256((const __m256i *)(c + j)),
+              _mm256_loadu_si256((const __m256i *)(subv.data() + j)));
+          __mmask8 esc =
+              _mm256_cmpgt_epu32_mask(_mm256_add_epi32(r, s32), s63);
+          uint64_t codes;
+          if (__builtin_expect(!esc && (int64_t)(j + 8) <= next_force,
+                               1)) {
+            codes = (uint64_t)_mm_cvtsi128_si64(_mm256_cvtepi32_epi8(r));
           } else {
-            fits = false;
+            codes = 0;
+            for (int k = 0; k < 8; k++)
+              codes |= (uint64_t)code_one(j + k) << (8 * k);
           }
-          nesc++;
-          last_esc = (int64_t)(j + k);
-          next_force = last_esc + 65535;
-          flush(0);  // ignored: the device scatter overrides this slot
+          uint64_t packed = _pext_u64(codes, 0x3f3f3f3f3f3f3f3fULL);
+          if (out + 8 <= stride) {
+            memcpy(pk + out, &packed, 8);
+          } else {
+            memcpy(pk + out, &packed, 6);
+          }
+          out += 6;
         }
       }
-      for (size_t j = nv; j < nv4; j++) {
-        flush(0);  // tail padding of the 4-values-per-3-bytes stream
+#endif
+      // Scalar tail (and the whole loop without AVX-512): 4 codes per
+      // 3 bytes, zero-padded past nv to the nv4 stream end.
+      for (; j < nv4; j += 4) {
+        uint32_t acc = 0;
+        const size_t hi = std::min(nv, j + 4);
+        for (size_t jj = j; jj < hi; jj++)
+          acc |= code_one(jj) << (6 * (jj - j));
+        pk[out + 0] = (uint8_t)(acc & 0xFF);
+        pk[out + 1] = (uint8_t)((acc >> 8) & 0xFF);
+        pk[out + 2] = (uint8_t)((acc >> 16) & 0xFF);
+        out += 3;
       }
       for (int32_t e = std::min(nesc, esc_cap); e < esc_cap; e++) {
         eg[e] = 0;  // gap 0 = padding (real gaps are always >= 1)
