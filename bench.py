@@ -337,33 +337,46 @@ def measure_device_resident(probe, batch=512, iters=30):
     import jax.numpy as jnp
     from jax import lax
 
-    def one(carry):
-        if staged_b7 is not None:
-            dq = _b7_impl(*staged_b7)
-            return step.impl(dq, box_dev, normal_dev, mask_dev,
-                             inv_scale=scale_dev + carry,
+    def build_many(use_pallas):
+        def one(carry):
+            if staged_b7 is not None:
+                dq = _b7_impl(*staged_b7)
+                return step.impl(dq, box_dev, normal_dev, mask_dev,
+                                 inv_scale=scale_dev + carry,
+                                 map_state=None, geom_ref=None,
+                                 diff_input=True, use_pallas=use_pallas)
+            if staged is not None:
+                c = _s6_impl(*staged, scale_dev + carry)
+            else:
+                c = coords_dev + carry
+            return step.impl(c, box_dev, normal_dev, mask_dev,
                              map_state=None, geom_ref=None,
-                             diff_input=True, use_pallas=use_pallas)
-        if staged is not None:
-            c = _s6_impl(*staged, scale_dev + carry)
-        else:
-            c = coords_dev + carry
-        return step.impl(c, box_dev, normal_dev, mask_dev,
-                         map_state=None, geom_ref=None,
-                         use_pallas=use_pallas)
+                             use_pallas=use_pallas)
 
-    @jax.jit
-    def many(eps):
-        def body(carry, _):
+        @jax.jit
+        def many(eps):
+            def body(carry, _):
+                result, _ = one(carry)
+                return eps * result["total"][0, 0, 0], None
+
+            carry, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
             result, _ = one(carry)
-            return eps * result["total"][0, 0, 0], None
+            return result
 
-        carry, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
-        result, _ = one(carry)
-        return result
+        return many
 
     eps0 = jnp.float32(0.0)
-    jax.block_until_ready(many(eps0))  # warm: compile + first execution
+    many = build_many(use_pallas)
+    try:
+        jax.block_until_ready(many(eps0))  # warm: compile + first execution
+    except Exception as exc:
+        if not use_pallas:
+            raise
+        print(f"# device-resident: Pallas kernel rejected by this backend "
+              f"({str(exc).splitlines()[0][:120]}); timing the XLA path",
+              file=sys.stderr)
+        many = build_many(False)
+        jax.block_until_ready(many(eps0))
     best = 0.0
     for _rep in range(3):
         t0 = time.perf_counter()

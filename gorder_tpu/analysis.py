@@ -1895,6 +1895,28 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if leaflets.flip:
                 cls0 = 1 - cls0
             leaflets._log_first_stats(cls0.astype(np.int32))
+    def _pallas_fallback(exc):
+        """A backend whose Mosaic compiler rejects the fused Pallas kernel
+        (observed: 'Bad lhs type' from an older libtpu) must not kill the
+        run — the XLA path computes identical output (tests/test_pallas.py).
+        Returns True when the dispatch should be retried."""
+        nonlocal fused_get
+        disable = getattr(step, "disable_pallas", None)
+        active = getattr(step, "pallas_active", None)
+        if disable is None or active is None or not active():
+            return False
+        log.warning(
+            "device kernel compilation failed (%s); retrying on the XLA "
+            "path for the rest of this run",
+            str(exc).splitlines()[0][:160] if str(exc) else type(exc).__name__)
+        disable()
+        if fused_get is not None:
+            fused_get = _build_fused_steps(step, n_out=n_out,
+                                           use_pallas=False,
+                                           classify_impl=fused_classify,
+                                           normals_impl=fused_normals)
+        return True
+
     geom_point_dev = None
     if geom_mode == "point":
         geom_point_dev = put_frames(np.tile(geom_point, (batch_size, 1)))
@@ -2016,9 +2038,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if fused_get is not None:
                 # fully async single dispatch: decode + kernel in one
                 # compiled program; the (tiny) result fetch is deferred
-                result, map_out = fused_get(kind)(
-                    wire_devs, scale_dev, box_dev, normal_dev,
-                    frame_mask_dev, map_zero, geom_ref)
+                try:
+                    result, map_out = fused_get(kind)(
+                        wire_devs, scale_dev, box_dev, normal_dev,
+                        frame_mask_dev, map_zero, geom_ref)
+                except Exception as exc:
+                    if not _pallas_fallback(exc):
+                        raise
+                    result, map_out = fused_get(kind)(
+                        wire_devs, scale_dev, box_dev, normal_dev,
+                        frame_mask_dev, map_zero, geom_ref)
             elif leaflets is not None or normals is not None:
                 # these subsystems consume f32 coordinates, and their
                 # carried/collected state needs host values per batch
@@ -2047,25 +2076,51 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     classes_dev = put_frames(classes_arr)
                 else:
                     classes_dev = None
-                result, map_out = step(coords_f32, box_dev, normal_arg,
-                                       frame_mask_dev,
-                                       classes_dev,
-                                       map_state=map_zero,
-                                       geom_ref=geom_ref)
+                try:
+                    result, map_out = step(coords_f32, box_dev, normal_arg,
+                                           frame_mask_dev,
+                                           classes_dev,
+                                           map_state=map_zero,
+                                           geom_ref=geom_ref)
+                except Exception as exc:
+                    if not _pallas_fallback(exc):
+                        raise
+                    result, map_out = step(coords_f32, box_dev, normal_arg,
+                                           frame_mask_dev,
+                                           classes_dev,
+                                           map_state=map_zero,
+                                           geom_ref=geom_ref)
             elif coords_dev is not None:
-                result, map_out = step(coords_dev, box_dev, normal_dev,
-                                       frame_mask_dev,
-                                       map_state=map_zero,
-                                       geom_ref=geom_ref)
+                try:
+                    result, map_out = step(coords_dev, box_dev, normal_dev,
+                                           frame_mask_dev,
+                                           map_state=map_zero,
+                                           geom_ref=geom_ref)
+                except Exception as exc:
+                    if not _pallas_fallback(exc):
+                        raise
+                    result, map_out = step(coords_dev, box_dev, normal_dev,
+                                           frame_mask_dev,
+                                           map_state=map_zero,
+                                           geom_ref=geom_ref)
             else:
                 # fully async: dispatch and defer the (tiny) result fetch —
                 # the device and link work on batch b while b+1 decodes;
                 # dequantization fuses into the kernel
-                result, map_out = step(quant_dev, box_dev, normal_dev,
-                                       frame_mask_dev,
-                                       inv_scale=scale_dev,
-                                       map_state=map_zero,
-                                       geom_ref=geom_ref)
+                try:
+                    result, map_out = step(quant_dev, box_dev, normal_dev,
+                                           frame_mask_dev,
+                                           inv_scale=scale_dev,
+                                           map_state=map_zero,
+                                           geom_ref=geom_ref)
+                except Exception as exc:
+                    if not _pallas_fallback(exc):
+                        raise
+                    result, map_out = step(quant_dev, box_dev, normal_dev,
+                                           frame_mask_dev,
+                                           inv_scale=scale_dev,
+                                           map_state=map_zero,
+                                           geom_ref=geom_ref)
             if sync_fetch:
                 with timers.phase("compute"):
                     result = dict(result)

@@ -424,8 +424,19 @@ def make_order_step(
         return (fast_step is not None and has_classes == with_leaflets
                 and not has_geom and batch_size % 8 == 0)
 
+    def disable_pallas():
+        """Permanently route this step through the XLA path — the
+        production fallback when the backend's Mosaic compiler rejects
+        the fused kernel (e.g. a libtpu without a supported matmul
+        lowering). Output is identical (tests/test_pallas.py)."""
+        nonlocal fast_step, fast_diff_step
+        fast_step = None
+        fast_diff_step = None
+
     step.impl = step_impl
     step.pallas_ok = pallas_ok
+    step.disable_pallas = disable_pallas
+    step.pallas_active = lambda: fast_step is not None
     return step
 
 

@@ -156,17 +156,20 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets):
         masks = (m, m * (cls == 0.0), m * (cls == 1.0))
     else:
         masks = (m,)
-    # Exact bf16 MXU path (mirrors core/order.py reduce): limbs are
-    # |v| < 128 and masks {0, 1}, so the bf16 casts, bf16×bf16 products
-    # and f32 accumulation are all error-free while the matmuls run at
-    # the MXU's single-pass bf16 rate.
-    oh = oh_ref[:].astype(jnp.bfloat16)                # (Nt, TP)
+    # f32 MXU dots: limbs are |v| < 128 and masks {0, 1}, so the products
+    # and f32 accumulation are error-free. (A bf16-operand variant — also
+    # exact for these integer ranges, and single-pass on the MXU — was
+    # measured and reverted: this sandbox's Mosaic rejects mixed
+    # bf16×bf16→f32 `tpu.matmul` with "Bad lhs type", and the kernel is
+    # >10³× from mattering end-to-end; the XLA einsum path keeps its bf16
+    # casts, which XLA lowers natively. See docs/PERFORMANCE.md.)
+    oh = oh_ref[:]                                     # (Nt, TP)
     parts = []
     for mk in masks:
         for row in (l2, l1, l0):
-            parts.append(jnp.dot((row * mk).astype(jnp.bfloat16), oh,
+            parts.append(jnp.dot(row * mk, oh,
                                  preferred_element_type=jnp.float32))
-        parts.append(jnp.dot(mk.astype(jnp.bfloat16), oh,
+        parts.append(jnp.dot(mk, oh,
                              preferred_element_type=jnp.float32))
     _accumulate(out_refs, parts)
 

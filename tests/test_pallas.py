@@ -98,6 +98,7 @@ def test_pallas_end_to_end_golden(monkeypatch, fixtures, tmp_path):
     from .golden import assert_eq_order
 
     monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    monkeypatch.setenv("GORDER_TPU_MESH", "0")
     analysis = Analysis(
         structure=str(fixtures / "cg.tpr"),
         trajectory=str(fixtures / "split" / "cg*.xtc"),
@@ -157,6 +158,7 @@ def test_pallas_end_to_end_leaflets_golden(monkeypatch, fixtures, tmp_path):
     from .golden import assert_eq_order
 
     monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    monkeypatch.setenv("GORDER_TPU_MESH", "0")
     analysis = Analysis(
         structure=str(fixtures / "cg.tpr"),
         trajectory=str(fixtures / "split" / "cg*.xtc"),
@@ -275,3 +277,57 @@ def test_pallas_diff_input_matches_einsum(monkeypatch):
     sum_r, ct_r = _decode(np.asarray(out_r["total"]))
     np.testing.assert_array_equal(ct_f, ct_r)
     assert (np.abs(sum_f - sum_r) <= ct_r).all(), (sum_f, sum_r, ct_r)
+
+
+def test_disable_pallas_reroutes_to_xla(monkeypatch):
+    """step.disable_pallas() — the production fallback for backends whose
+    Mosaic compiler rejects the fused kernel — must reroute through the
+    XLA path with identical output."""
+    coords, box, atom_a, atom_b, btype, bmol, mask, T = _random_problem(7)
+    normal = np.array([0, 0, 1], np.float32)
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    step = make_order_step(atom_a, atom_b, btype, bmol, T, 1)
+    assert step.pallas_active()
+    out_p, _ = step(coords, box, normal, mask)
+    step.disable_pallas()
+    assert not step.pallas_active()
+    out_x, _ = step(coords, box, normal, mask)
+    sum_p, ct_p = _decode(np.asarray(out_p["total"]))
+    sum_x, ct_x = _decode(np.asarray(out_x["total"]))
+    np.testing.assert_array_equal(ct_p, ct_x)
+    assert (np.abs(sum_p - sum_x) <= ct_x).all()
+
+
+def test_pipeline_survives_pallas_compile_failure(monkeypatch, fixtures,
+                                                  tmp_path):
+    """A Mosaic compile failure at the first fused dispatch must fall back
+    to the XLA path mid-run and still produce the golden output
+    (analysis.py _pallas_fallback)."""
+    import gorder_tpu.ops.pallas_p2 as pallas_p2
+    from gorder_tpu.input import Analysis, AnalysisType
+    from gorder_tpu.present import write_yaml
+
+    from .golden import assert_eq_order
+
+    calls = {"n": 0}
+
+    def exploding(*args, **kwargs):
+        calls["n"] += 1
+        raise RuntimeError("INTERNAL: Mosaic failed to compile TPU kernel: "
+                           "Bad lhs type (simulated)")
+
+    monkeypatch.setattr(pallas_p2, "_pallas_order_step_impl", exploding)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    monkeypatch.setenv("GORDER_TPU_MESH", "0")
+    analysis = Analysis(
+        structure=str(fixtures / "cg.tpr"),
+        trajectory=str(fixtures / "split" / "cg*.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        silent=True, overwrite=True,
+    )
+    results = analysis.run()
+    assert calls["n"] >= 1, "the Pallas path was never attempted"
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out), str(fixtures / "cg_order_basic.yaml"))
