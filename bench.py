@@ -225,9 +225,10 @@ def measure_tunnel_mbps(size_mb=8, reps=2):
     return float(np.median(rates))
 
 
-def measure_wire_bytes(analysis):
+def measure_wire_bytes(analysis, link_mbps=None):
     """Bytes/frame the pipeline will put on the wire for this run (same
-    probe the pipeline uses)."""
+    probe the pipeline uses, including the rate-aware selection when
+    link_mbps is given)."""
     from gorder_tpu.analysis import (_build_atom_space, _pick_wire_format,
                                      _prepare_bond_kinds,
                                      _effective_batch_size, _wire_groups,
@@ -245,7 +246,8 @@ def measure_wire_bytes(analysis):
     batch = _effective_batch_size()
     bond_slots = (remap(compiled.atom_a), remap(compiled.atom_b))
     wire, cap = _pick_wire_format(traj, frame_indices, space, 1, group_of,
-                                  n_groups, batch, bond_slots=bond_slots)
+                                  n_groups, batch, bond_slots=bond_slots,
+                                  link_mbps=link_mbps)
     n_out = space.n_out
     n_bonds = len(bond_slots[0])
     per_frame = {
@@ -503,9 +505,11 @@ def main():
     # asserted one.
     from gorder_tpu.utils.timers import timers
 
-    probe = measure_wire_bytes(analysis)
+    link_now = measure_tunnel_mbps()
+    probe = measure_wire_bytes(analysis, link_mbps=link_now)
     wire_fmt, wire_per_frame = probe[0], probe[1]
-    print(f"# wire: {wire_fmt}, {wire_per_frame / 1024:.1f} KB/frame",
+    print(f"# wire: {wire_fmt}, {wire_per_frame / 1024:.1f} KB/frame "
+          f"(link at selection time: {link_now:.0f} MB/s)",
           file=sys.stderr)
 
     budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "390"))

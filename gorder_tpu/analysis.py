@@ -1408,14 +1408,156 @@ def _probe_b7(traj, frame_indices, space, bond_a, bond_b, n_threads,
     return None
 
 
+def _measure_link_mbps(size_mb=6):
+    """One-shot host→device transfer rate (MB/s) for wire-format selection.
+    Costs a single `size_mb` device_put (~10 ms in good weather, ~1.2 s at
+    a 5 MB/s slump) once per run. Returns None when it cannot be measured
+    (e.g. the CPU backend, where device_put aliases host memory)."""
+    import time as _time
+
+    import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+        buf = np.random.default_rng(0).integers(
+            0, 255, size=(size_mb << 20,), dtype=np.uint8)
+        jax.block_until_ready(jax.device_put(buf[: 1 << 18]))  # warm path
+        t0 = _time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        return size_mb / (_time.perf_counter() - t0)
+    except Exception:  # never let a probe failure kill the run
+        return None
+
+
+# Host-side decode+encode throughput of each wire format relative to the
+# plain quantized-int16 decode (measured, tools/decode_bench.py on the
+# headline AA system; the ratios are set by the residual-coding work on
+# top of the shared 3dfc decode and are stable across systems).
+_WIRE_HOST_FACTOR = {"b7": 0.80, "s6": 0.55, "d8": 0.75,
+                     "i12": 0.90, "i16": 1.00, "f32": 0.85}
+
+
+def _probe_d8(traj, windows, space, n_threads):
+    """d8 eligibility probe: correction capacity (rounded up, with 2×
+    headroom for unseen batches) or None when the windows do not fit."""
+    corr_cap = 64
+    for _attempt in range(2):
+        demand = 0
+        ok = True
+        for w in windows:
+            lo = np.zeros((len(w), space.n_out, 3), np.int8)
+            ci = np.zeros((len(w), corr_cap), np.int32)
+            ch = np.zeros((len(w), corr_cap), np.int16)
+            res, ncorr = traj.read_frames_delta8(w, space, lo, ci, ch,
+                                                 n_threads=n_threads)
+            demand = max(demand, ncorr)
+            if res is None:
+                ok = False
+        if ok:
+            # headroom for batches the probe did not see (box wraps vary)
+            corr_cap = max(64, min(4096, int(demand * 2) + 32))
+            return ((corr_cap + 63) // 64) * 64
+        if demand <= corr_cap or demand > 4096:
+            return None  # unfit for reasons other than capacity
+        corr_cap = min(4096, ((int(demand * 2) + 63) // 64) * 64)
+    return None
+
+
+def _pick_wire_by_rate(traj, frame_indices, space, n_threads, group_of,
+                       n_groups, batch_size, bond_slots, link_mbps):
+    """Rate-aware wire selection (see _pick_wire_format): maximize the
+    modeled end-to-end rate min(host decode+encode f/s, link bytes/s ÷
+    bytes/frame) over the eligible formats. Returns (format, cap) or None
+    to defer to the bytes-minimizing policy (non-XTC input)."""
+    import time as _time
+
+    from .io.native import b7_stride, i12_stride, s6_stride
+
+    n = len(frame_indices)
+    anchor = frame_indices[:min(16, n)]
+    t0 = _time.perf_counter()
+    if traj.read_frames_quantized(anchor, space,
+                                  n_threads=n_threads) is None:
+        return None  # not uniform-precision XTC; bytes policy handles it
+    host_i16 = len(anchor) / max(_time.perf_counter() - t0, 1e-9)
+
+    n_out = space.n_out
+    candidates = {"i16": (0, n_out * 6), "f32": (0, n_out * 12)}
+
+    def rate(fmt, bpf):
+        return min(host_i16 * _WIRE_HOST_FACTOR[fmt],
+                   link_mbps * 1024 * 1024 / bpf)
+
+    # fast-link short-circuit: when the link does not bind even for the
+    # plain int16 wire, no compact format can model faster (all their
+    # host factors are < 1) — skip their probe decodes entirely
+    if rate("i16", candidates["i16"][1]) >= host_i16 * 0.999:
+        log.info("wire: i16 (link %.0f MB/s does not bind; host decode "
+                 "~%.0f frames/s is the wall)", link_mbps, host_i16)
+        return "i16", 0
+
+    nv = n_out * 3
+    if bond_slots is not None:
+        b7_cap = _probe_b7(traj, frame_indices, space, bond_slots[0],
+                           bond_slots[1], n_threads, batch_size)
+        if b7_cap is not None:
+            nb = len(bond_slots[0])
+            candidates["b7"] = (b7_cap, b7_stride(nb) + b7_cap * 4
+                                + nb * 12 // max(batch_size, 1))
+    if group_of is not None and n_groups > 0:
+        esc_cap = _probe_s6(traj, frame_indices, space, group_of, n_groups,
+                            n_threads, batch_size)
+        if esc_cap is not None:
+            candidates["s6"] = (esc_cap,
+                                s6_stride(n_out) + (n_groups + 1) * 6
+                                + esc_cap * 4 + nv * 4 // max(batch_size, 1))
+    windows = [frame_indices[:min(8, n)]]
+    if n > 16:
+        mid = n // 2
+        windows.append(frame_indices[mid:mid + 8])
+    d8_cap = _probe_d8(traj, windows, space, n_threads)
+    if d8_cap is not None:
+        candidates["d8"] = (d8_cap, nv + d8_cap * 6)
+    probe_idx = frame_indices[np.unique([0, n // 2, n - 1])]
+    if traj.read_frames_packed12(probe_idx, space,
+                                 n_threads=n_threads) is not None:
+        candidates["i12"] = (0, i12_stride(n_out))
+
+    best = max(candidates.items(),
+               key=lambda kv: (rate(kv[0], kv[1][1]), -kv[1][1]))
+    fmt, (cap, bpf) = best
+    log.info("wire: %s (%.1f KB/frame; link %.0f MB/s -> ceiling %.0f "
+             "frames/s, modeled host %.0f frames/s)", fmt, bpf / 1024,
+             link_mbps, link_mbps * 1024 * 1024 / bpf,
+             host_i16 * _WIRE_HOST_FACTOR[fmt])
+    return fmt, cap
+
+
 def _pick_wire_format(traj, frame_indices, space, n_threads, group_of=None,
-                      n_groups=0, batch_size=512, bond_slots=None):
+                      n_groups=0, batch_size=512, bond_slots=None,
+                      link_mbps=None):
     """Probe the most compact coordinate transfer the trajectory supports:
     7-bit bond-vector differences (pure bond-order runs only) → 6-bit
     smoothed-base residuals (~0.77 B/atom·axis) → 8-bit temporal
     deltas → 12-bit packed absolutes → int16 → f32. b7/s6/d8 are compared
     by measured bytes/frame. Returns ('b7', esc_cap) / ('s6', esc_cap) /
-    ('d8', corr_cap) / ('i12', 0) / ('i16', 0) / ('f32', 0)."""
+    ('d8', corr_cap) / ('i12', 0) / ('i16', 0) / ('f32', 0).
+
+    With `link_mbps` (the measured host→device rate), selection maximizes
+    the modeled end-to-end rate min(host_rate, link/bytes) instead of
+    minimizing bytes alone: on a fast local link the host's residual
+    coding becomes the wall before the wire does, and the plain int16
+    decode (~1.25× the b7 decode+recode rate) wins even at 3.2× the
+    bytes. On a slow link (< ~270 MB/s for the AA benchmark) bytes still
+    dominate and the compact formats win as before. Every format is exact,
+    so the choice never changes results (tests/test_io_traj.py)."""
+    if link_mbps is not None and not os.environ.get("GORDER_TPU_WIRE"):
+        picked = _pick_wire_by_rate(traj, frame_indices, space, n_threads,
+                                    group_of, n_groups, batch_size,
+                                    bond_slots, link_mbps)
+        if picked is not None:
+            return picked
     n = len(frame_indices)
     windows = [frame_indices[:min(8, n)]]
     if n > 16:
@@ -1464,29 +1606,9 @@ def _pick_wire_format(traj, frame_indices, space, n_threads, group_of=None,
         if esc_cap is not None:
             return "s6", esc_cap
 
-    corr_cap = 64
     d8_cap = None
     if forced in ("", "d8", "s6"):
-        for attempt in range(2):
-            demand = 0
-            ok = True
-            for w in windows:
-                lo = np.zeros((len(w), space.n_out, 3), np.int8)
-                ci = np.zeros((len(w), corr_cap), np.int32)
-                ch = np.zeros((len(w), corr_cap), np.int16)
-                res, ncorr = traj.read_frames_delta8(w, space, lo, ci, ch,
-                                                     n_threads=n_threads)
-                demand = max(demand, ncorr)
-                if res is None:
-                    ok = False
-            if ok:
-                # headroom for batches the probe did not see (box wraps vary)
-                corr_cap = max(64, min(4096, int(demand * 2) + 32))
-                d8_cap = ((corr_cap + 63) // 64) * 64
-                break
-            if demand <= corr_cap or demand > 4096:
-                break  # unfit for reasons other than capacity
-            corr_cap = min(4096, ((int(demand * 2) + 63) // 64) * 64)
+        d8_cap = _probe_d8(traj, windows, space, n_threads)
 
     if esc_cap is not None or d8_cap is not None:
         from .io.native import s6_stride
@@ -1625,7 +1747,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     wire, wire_cap = _pick_wire_format(traj, frame_indices, space, n_threads,
                                        group_of, n_groups, batch_size_probe,
                                        bond_slots=bond_slots if pure_bond
-                                       else None)
+                                       else None,
+                                       link_mbps=_measure_link_mbps())
     corr_cap = wire_cap if wire == "d8" else 0
     esc_cap = wire_cap if wire in ("s6", "b7") else 0
     n_bonds = len(bond_slots[0]) if bond_slots is not None else 0

@@ -5,7 +5,7 @@ import pytest
 
 from gorder_tpu.errors import TrajectoryError
 from gorder_tpu.io import native
-from gorder_tpu.io.traj import Trajectory, check_box
+from gorder_tpu.io.traj import AtomSubset, Trajectory, check_box
 
 
 def test_xtc_scan_decode(fixtures):
@@ -654,3 +654,35 @@ def test_wire_fallback_on_midrun_precision_change(tmp_path, monkeypatch,
     for (bv, be), (fv, fe) in zip(b7, f32):
         assert abs(bv - fv) < 1e-6
         assert (be is None) == (fe is None)
+
+
+def test_wire_rate_aware_selection(fixtures):
+    """With a measured link rate, wire selection maximizes the modeled
+    end-to-end rate min(host f/s, link/bytes): a fast link picks the
+    host-cheapest format (i16 — no residual coding work), a slow link
+    keeps a byte-light format, and no link measurement keeps the pure
+    bytes-minimizing policy."""
+    from gorder_tpu.analysis import _pick_wire_format
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    sel = traj.select_frames(None, None, 1)
+    space = AtomSubset.prefix(2000)
+
+    fast, _ = _pick_wire_format(traj, sel, space, 1, link_mbps=1e5)
+    assert fast == "i16"
+    slow, _ = _pick_wire_format(traj, sel, space, 1, link_mbps=0.5)
+    assert slow in ("i12", "s6", "d8", "b7")
+    auto, _ = _pick_wire_format(traj, sel, space, 1, link_mbps=None)
+    assert auto == slow  # bytes policy == slow-link policy here
+
+
+def test_wire_rate_aware_respects_forced(fixtures, monkeypatch):
+    """GORDER_TPU_WIRE forcing bypasses the rate-aware model."""
+    from gorder_tpu.analysis import _pick_wire_format
+
+    traj = Trajectory(str(fixtures / "split" / "cg*.xtc"))
+    sel = traj.select_frames(None, None, 1)
+    space = AtomSubset.prefix(2000)
+    monkeypatch.setenv("GORDER_TPU_WIRE", "f32")
+    forced, _ = _pick_wire_format(traj, sel, space, 1, link_mbps=1e5)
+    assert forced == "f32"

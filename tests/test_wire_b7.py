@@ -166,6 +166,10 @@ def test_b7_pipeline_byte_identical(fixtures, tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(mod, "_pick_wire_format", spy)
+    # pin the bytes-minimizing policy: on a real accelerator tier the
+    # measured link rate may legitimately select i16 instead (rate-aware
+    # selection, tests/test_io_traj.py)
+    monkeypatch.setattr(mod, "_measure_link_mbps", lambda *a, **kw: None)
     y_auto = _run_aa(fixtures, tmp_path, monkeypatch, None)
     assert picked["wire"] == "b7"
     assert y_auto == y_f32
