@@ -519,6 +519,9 @@ def main():
     worst = 0.0
     results = None
     best = None  # (frames/s, tunnel MB/s, ceiling, fraction) of best trial
+    import gorder_tpu.analysis as _mod
+
+    trial_wire = (wire_fmt, wire_per_frame)
     for trial in range(max_trials):
         t0 = time.perf_counter()
         r = analysis.run()
@@ -526,15 +529,20 @@ def main():
         dt = time.perf_counter() - t0
         tunnel = measure_tunnel_mbps()
         rate = r.n_analyzed_frames / dt
-        ceiling = tunnel * 1024 * 1024 / wire_per_frame
+        # each run re-picks its wire from the link weather at its start
+        # (rate-aware selection); pair the trial with what it actually rode
+        last = getattr(_mod, "_LAST_WIRE", None) or trial_wire
+        ceiling = tunnel * 1024 * 1024 / last[1]
         frac = rate / ceiling if ceiling > 0 else float("nan")
-        print(f"# trial {trial}: {rate:.1f} frames/s | tunnel "
-              f"{tunnel:.1f} MB/s -> ceiling {ceiling:.0f} frames/s "
-              f"({100 * frac:.0f}% achieved) | {timers.summary()}",
+        print(f"# trial {trial}: {rate:.1f} frames/s on wire {last[0]} "
+              f"({last[1] / 1024:.1f} KB/frame) | tunnel {tunnel:.1f} MB/s "
+              f"-> ceiling {ceiling:.0f} frames/s ({100 * frac:.0f}% "
+              f"achieved) | {timers.summary()}",
               file=sys.stderr)
         if dt < elapsed:
             elapsed, results = dt, r
             best = (rate, tunnel, ceiling, frac)
+            trial_wire = (last[0], last[1])
         worst = max(worst, dt)
         spent = time.perf_counter() - bench_t0
         # pessimistic stopping: assume the NEXT trial could be as slow as
@@ -569,8 +577,8 @@ def main():
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),
-        "wire_format": wire_fmt,
-        "wire_KB_frame": round(wire_per_frame / 1024, 1),
+        "wire_format": trial_wire[0],
+        "wire_KB_frame": round(trial_wire[1] / 1024, 1),
         "tunnel_MBps": round(best[1], 1),
         "implied_ceiling_frames_s": round(best[2], 1),
         "ceiling_fraction": round(best[3], 3),

@@ -1047,6 +1047,10 @@ def _static_normal(analysis: Analysis):
 
 import functools as _functools
 
+# (format, bytes/frame) the most recent _run_batches shipped — benchmark
+# observability only, set under the single pipeline-driver thread
+_LAST_WIRE = None
+
 
 def _unpack12_impl(p, n):
     """Plain (unjitted) i12 unpack — traceable inline inside a fused
@@ -1770,6 +1774,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     else:
         log.info("wire format: %s — %d of %d atoms, %.1f KB/frame",
                  wire, space.n_sel, system.n_atoms, wire_bytes / 1024)
+    # observability for harnesses (bench.py reads this after each run to
+    # pair the trial's rate with the wire it actually rode)
+    global _LAST_WIRE
+    _LAST_WIRE = (wire, wire_bytes)
 
     # per-batch zero map state: batch tile sums are fetched and accumulated
     # in int64 on the host every batch (exact like the order sums; carrying
