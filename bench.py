@@ -225,6 +225,23 @@ def measure_tunnel_mbps(size_mb=8, reps=2):
     return float(np.median(rates))
 
 
+def measure_steal_factor(budget_s=0.4):
+    """Wall/CPU ratio of a pure compute spin: this sandbox's vCPU is
+    shared, so hypervisor steal inflates every wall-clock stage beyond
+    its thread-CPU cost. The factor calibrates the single-core ceiling
+    (a ceiling computed from thread-CPU times alone would be unreachable
+    by exactly this factor)."""
+    t0 = time.perf_counter()
+    c0 = time.thread_time()
+    x = 1.0
+    while time.thread_time() - c0 < budget_s:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1e-9
+    wall = time.perf_counter() - t0
+    cpu = time.thread_time() - c0
+    return max(1.0, wall / cpu) if cpu > 0 else 1.0
+
+
 def measure_wire_bytes(analysis, link_mbps=None):
     """Bytes/frame the pipeline will put on the wire for this run (same
     probe the pipeline uses, including the rate-aware selection when
@@ -519,6 +536,7 @@ def main():
     worst = 0.0
     results = None
     best = None  # (frames/s, tunnel MB/s, ceiling, fraction) of best trial
+    best_stages = None
     import gorder_tpu.analysis as _mod
 
     trial_wire = (wire_fmt, wire_per_frame)
@@ -528,20 +546,51 @@ def main():
         r.write()
         dt = time.perf_counter() - t0
         tunnel = measure_tunnel_mbps()
+        steal = measure_steal_factor()
         rate = r.n_analyzed_frames / dt
         # each run re-picks its wire from the link weather at its start
         # (rate-aware selection); pair the trial with what it actually rode
         last = getattr(_mod, "_LAST_WIRE", None) or trial_wire
         ceiling = tunnel * 1024 * 1024 / last[1]
         frac = rate / ceiling if ceiling > 0 else float("nan")
+        # in-trial stage accounting (measured DURING the run, robust to
+        # the tunnel's minutes-scale weather): the transfer rate the
+        # pipeline actually achieved, the decode thread's intrinsic CPU
+        # cost, and the driver thread's CPU cost. On this 1-core sandbox
+        # the stages are additive, so frames / (decode_cpu + driver_cpu)
+        # is the measured single-core ceiling; the fraction of it the
+        # trajectory phase achieves is the pipeline's efficiency claim.
+        dec_cpu = timers.get("decode_cpu")
+        drv_cpu = timers.get("driver_cpu")
+        xf_w = timers.get("transfer")
+        traj_w = timers.get("trajectory") or dt
+        nf = r.n_analyzed_frames
+        xbytes = getattr(_mod, "_LAST_XFER_BYTES", 0)
+        intrial_mbps = xbytes / xf_w / (1 << 20) if xf_w > 0 else 0.0
+        cpu_s = dec_cpu + drv_cpu
+        cpu_ceiling = nf / (cpu_s * steal) if cpu_s > 0 else float("inf")
+        traj_rate = nf / traj_w
+        stages = {
+            "intrial_transfer_MBps": round(intrial_mbps, 1),
+            "decode_cpu_frames_s": round(nf / dec_cpu, 1)
+            if dec_cpu > 0 else None,
+            "driver_cpu_s": round(drv_cpu, 2),
+            "host_steal_factor": round(steal, 3),
+            "cpu_ceiling_frames_s": round(cpu_ceiling, 1),
+            "cpu_ceiling_fraction": round(traj_rate / cpu_ceiling, 3),
+        }
         print(f"# trial {trial}: {rate:.1f} frames/s on wire {last[0]} "
               f"({last[1] / 1024:.1f} KB/frame) | tunnel {tunnel:.1f} MB/s "
-              f"-> ceiling {ceiling:.0f} frames/s ({100 * frac:.0f}% "
-              f"achieved) | {timers.summary()}",
+              f"-> wire ceiling {ceiling:.0f} frames/s ({100 * frac:.0f}% "
+              f"achieved) | in-trial transfer {intrial_mbps:.0f} MB/s | "
+              f"1-core ceiling {cpu_ceiling:.0f} frames/s (steal "
+              f"{steal:.2f}) -> {100 * traj_rate / cpu_ceiling:.0f}% | "
+              f"{timers.summary()}",
               file=sys.stderr)
         if dt < elapsed:
             elapsed, results = dt, r
             best = (rate, tunnel, ceiling, frac)
+            best_stages = stages
             trial_wire = (last[0], last[1])
         worst = max(worst, dt)
         spent = time.perf_counter() - bench_t0
@@ -582,6 +631,7 @@ def main():
         "tunnel_MBps": round(best[1], 1),
         "implied_ceiling_frames_s": round(best[2], 1),
         "ceiling_fraction": round(best[3], 3),
+        **(best_stages or {}),
         "device_resident_frames_s": round(device_rate, 1),
         "device_resident_vs_baseline": round(
             device_rate / BASELINE_FRAMES_PER_S, 3),

@@ -1050,6 +1050,9 @@ import functools as _functools
 # (format, bytes/frame) the most recent _run_batches shipped — benchmark
 # observability only, set under the single pipeline-driver thread
 _LAST_WIRE = None
+# wire bytes the last run actually shipped (observability: paired with the
+# timers' 'transfer' seconds this yields the in-trial transfer rate)
+_LAST_XFER_BYTES = 0
 
 
 def _unpack12_impl(p, n):
@@ -1861,10 +1864,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     def decode_batch(b):
         slots.acquire()
         t0 = _time.perf_counter()
+        c0 = _time.thread_time()
         try:
             return _decode_batch(b)
         finally:
+            # wall (includes contention with the driver on a shared core)
+            # AND thread-CPU (the decode's intrinsic cost): their ratio is
+            # the measured contention factor, and the CPU figure feeds the
+            # single-core ceiling the bench publishes
             timers.add("decode", _time.perf_counter() - t0)
+            timers.add("decode_cpu", _time.thread_time() - c0)
 
     def _fallback_f32(chunk):
         """Mid-run fallback: decode as f32 into a fresh zero-padded
@@ -1974,9 +1983,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     from .utils.progress import ProgressPrinter
 
     executor = cf.ThreadPoolExecutor(max_workers=1)
+    dispatch_pool = cf.ThreadPoolExecutor(max_workers=1)
+    disp_slots = threading.Semaphore(8)
     progress = ProgressPrinter(len(frame_indices)) \
         if not analysis.silent else None
-    in_flight = []  # (result handles, n_valid): fetched after the loop
+    in_flight = []  # (dispatch future, n_valid): drained after the loop
     # The CPU backend ALIASES numpy buffers in device_put (zero-copy, and
     # block_until_ready does not materialize them) — deferred execution
     # would read decode buffers after they were rewritten. Synchronous
@@ -2060,12 +2071,47 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     batch_walls = _collections.deque(maxlen=15)
     slump_count = 0
+    xfer_bytes = 0
+
+    def ship(*arrays):
+        """Put per-frame wire arrays and block: timed as 'transfer' and
+        byte-counted, so the bench can report the transfer rate the
+        pipeline actually achieved in-trial (not a separate probe's
+        cold-window estimate)."""
+        nonlocal xfer_bytes
+        t0 = _time.perf_counter()
+        devs = tuple(put_frames(a) for a in arrays)
+        jax.block_until_ready(devs)
+        timers.add("transfer", _time.perf_counter() - t0)
+        xfer_bytes += sum(a.nbytes for a in arrays)
+        return devs
+
+    def dispatch(thunk):
+        """Kernel dispatch (with Pallas->XLA fallback retry): timed so
+        the client-side enqueue/RPC cost is visible separately from
+        transfer and decode. Runs on the dispatch worker thread for
+        accelerator backends, inline for the CPU backend."""
+        t0 = _time.perf_counter()
+        try:
+            try:
+                return thunk()
+            except Exception as exc:
+                if not _pallas_fallback(exc):
+                    raise
+                return thunk()
+        finally:
+            disp_slots.release()
+            timers.add("dispatch", _time.perf_counter() - t0)
+
     try:
         futures = _collections.deque(
             executor.submit(decode_batch, b) for b in range(n_batches))
         for b in range(n_batches):
             t_iter = _time.perf_counter()
-            payload, inv_prec, boxes, n_valid = futures.popleft().result()
+            with timers.phase("wait"):
+                payload, inv_prec, boxes, n_valid = \
+                    futures.popleft().result()
+            c_iter = _time.thread_time()
 
             scale = None
             if inv_prec is not None:
@@ -2090,22 +2136,15 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             wire_devs = None       # raw wire arrays for the fused programs
             if kind == "b7":
                 _, pk, eg, ev, base = payload
-                pk_dev = put_frames(pk)
-                eg_dev = put_frames(eg)
-                ev_dev = put_frames(ev)
+                pk_dev, eg_dev, ev_dev = ship(pk, eg, ev)
                 base_dev = put_const(base)
-                jax.block_until_ready((pk_dev, eg_dev, ev_dev))
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev)
                 assert fused_get is not None, \
                     "b7 wire requires the fused bond-order path"
             elif kind == "s6":
                 _, pk, eg, ev, gm, base = payload
-                pk_dev = put_frames(pk)
-                eg_dev = put_frames(eg)
-                ev_dev = put_frames(ev)
-                gm_dev = put_frames(gm)
+                pk_dev, eg_dev, ev_dev, gm_dev = ship(pk, eg, ev, gm)
                 base_dev = put_const(base)
-                jax.block_until_ready((pk_dev, eg_dev, ev_dev, gm_dev))
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, gm_dev,
                              vgidx_dev)
                 if fused_get is None:
@@ -2113,28 +2152,22 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                             gm_dev, vgidx_dev, scale_dev)
             elif kind == "d8":
                 _, lo, ci, ch, abs0 = payload
-                lo_dev = put_frames(lo)
-                ci_dev = put_frames(ci)
-                ch_dev = put_frames(ch)
+                lo_dev, ci_dev, ch_dev = ship(lo, ci, ch)
                 abs0_dev = put_const(abs0)
-                jax.block_until_ready((lo_dev, ci_dev, ch_dev))
                 wire_devs = (lo_dev, ci_dev, ch_dev, abs0_dev)
                 if fused_get is None:
                     coords_dev = _d8_to_f32(lo_dev, ci_dev, ch_dev, abs0_dev,
                                             scale_dev)
             elif kind == "i12":
-                packed_dev = put_frames(payload[1])
-                jax.block_until_ready(packed_dev)
+                packed_dev, = ship(payload[1])
                 wire_devs = (packed_dev,)
                 if fused_get is None:
                     quant_dev = _unpack12(packed_dev, n_out)
             elif kind == "i16":
-                quant_dev = put_frames(payload[1])
-                jax.block_until_ready(quant_dev)
+                quant_dev, = ship(payload[1])
                 wire_devs = (quant_dev,)
             else:
-                coords_dev = put_frames(payload[1])
-                jax.block_until_ready(coords_dev)
+                coords_dev, = ship(payload[1])
                 wire_devs = (coords_dev,)
                 scale_dev = None
 
@@ -2148,7 +2181,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 frame_mask = np.zeros(batch_size, bool)
                 frame_mask[:n_valid] = True
                 frame_mask_dev = put_frames(frame_mask)
-            if last_box is not None and np.array_equal(box_arr, last_box):
+            if (fused_get is not None and not sync_fetch
+                    and active_mesh() is None):
+                # numpy arg: the jit call device_puts it on the DISPATCH
+                # worker, so the ~one-RTT latency of this tiny per-batch
+                # put rides behind the bulk transfer instead of stalling
+                # the driver (measured ~150 ms/batch on the tunnel)
+                box_dev = box_arr
+            elif last_box is not None and np.array_equal(box_arr, last_box):
                 box_dev = last_box_dev
             else:
                 box_dev = put_frames(box_arr)
@@ -2159,7 +2199,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             elif geom_mode == "point":
                 geom_ref = geom_point_dev
             elif geom_mode == "center":
-                geom_ref = put_frames(box_arr * 0.5)
+                geom_ref = (box_arr * 0.5
+                            if fused_get is not None and not sync_fetch
+                            and active_mesh() is None
+                            else put_frames(box_arr * 0.5))
             else:
                 geom_ref = None
 
@@ -2167,18 +2210,13 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                  shard_start + b * batch_size + n_valid,
                                  dtype=np.int64)
             if fused_get is not None:
-                # fully async single dispatch: decode + kernel in one
-                # compiled program; the (tiny) result fetch is deferred
-                try:
-                    result, map_out = fused_get(kind)(
-                        wire_devs, scale_dev, box_dev, normal_dev,
-                        frame_mask_dev, map_zero, geom_ref)
-                except Exception as exc:
-                    if not _pallas_fallback(exc):
-                        raise
-                    result, map_out = fused_get(kind)(
-                        wire_devs, scale_dev, box_dev, normal_dev,
-                        frame_mask_dev, map_zero, geom_ref)
+                # single dispatch: decode + kernel in one compiled program;
+                # the call runs on the dispatch worker so its client-side
+                # RPC wait never serializes with the next batch's transfer
+                def thunk(k=kind, w=wire_devs, s=scale_dev, bx=box_dev,
+                          fm=frame_mask_dev, gr=geom_ref):
+                    return fused_get(k)(w, s, bx, normal_dev, fm,
+                                        map_zero, gr)
             elif leaflets is not None or normals is not None:
                 # these subsystems consume f32 coordinates, and their
                 # carried/collected state needs host values per batch
@@ -2207,52 +2245,23 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     classes_dev = put_frames(classes_arr)
                 else:
                     classes_dev = None
-                try:
-                    result, map_out = step(coords_f32, box_dev, normal_arg,
-                                           frame_mask_dev,
-                                           classes_dev,
-                                           map_state=map_zero,
-                                           geom_ref=geom_ref)
-                except Exception as exc:
-                    if not _pallas_fallback(exc):
-                        raise
-                    result, map_out = step(coords_f32, box_dev, normal_arg,
-                                           frame_mask_dev,
-                                           classes_dev,
-                                           map_state=map_zero,
-                                           geom_ref=geom_ref)
+                def thunk(c=coords_f32, bx=box_dev, na=normal_arg,
+                          fm=frame_mask_dev, cl=classes_dev, gr=geom_ref):
+                    return step(c, bx, na, fm, cl, map_state=map_zero,
+                                geom_ref=gr)
             elif coords_dev is not None:
-                try:
-                    result, map_out = step(coords_dev, box_dev, normal_dev,
-                                           frame_mask_dev,
-                                           map_state=map_zero,
-                                           geom_ref=geom_ref)
-                except Exception as exc:
-                    if not _pallas_fallback(exc):
-                        raise
-                    result, map_out = step(coords_dev, box_dev, normal_dev,
-                                           frame_mask_dev,
-                                           map_state=map_zero,
-                                           geom_ref=geom_ref)
+                def thunk(c=coords_dev, bx=box_dev, fm=frame_mask_dev,
+                          gr=geom_ref):
+                    return step(c, bx, normal_dev, fm, map_state=map_zero,
+                                geom_ref=gr)
             else:
-                # fully async: dispatch and defer the (tiny) result fetch —
-                # the device and link work on batch b while b+1 decodes;
                 # dequantization fuses into the kernel
-                try:
-                    result, map_out = step(quant_dev, box_dev, normal_dev,
-                                           frame_mask_dev,
-                                           inv_scale=scale_dev,
-                                           map_state=map_zero,
-                                           geom_ref=geom_ref)
-                except Exception as exc:
-                    if not _pallas_fallback(exc):
-                        raise
-                    result, map_out = step(quant_dev, box_dev, normal_dev,
-                                           frame_mask_dev,
-                                           inv_scale=scale_dev,
-                                           map_state=map_zero,
-                                           geom_ref=geom_ref)
+                def thunk(q=quant_dev, bx=box_dev, fm=frame_mask_dev,
+                          s=scale_dev, gr=geom_ref):
+                    return step(q, bx, normal_dev, fm, inv_scale=s,
+                                map_state=map_zero, geom_ref=gr)
             if sync_fetch:
+                result, map_out = dispatch(thunk)
                 with timers.phase("compute"):
                     result = dict(result)
                     _pop_normal_guard(result)
@@ -2262,10 +2271,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     if map_out is not None:
                         drain_map_state(map_out)
             else:
-                in_flight.append((result, map_out, n_valid))
+                # async: the dispatch worker owns the (network-latent) jit
+                # call; the driver proceeds straight to the next batch's
+                # transfer. disp_slots bounds in-flight executions so HBM
+                # holds at most a few batches of wire input
+                disp_slots.acquire()
+                in_flight.append(
+                    (dispatch_pool.submit(dispatch, thunk), n_valid))
             # batch b has fully left its host buffers (put + block above, or
             # synchronous consumption): the decoder may reuse the ring slot
             slots.release()
+            timers.add("driver_cpu", _time.thread_time() - c_iter)
             wall = _time.perf_counter() - t_iter
             if len(batch_walls) >= 5:
                 med = sorted(batch_walls)[len(batch_walls) // 2]
@@ -2288,7 +2304,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         # (exception paths would otherwise deadlock executor.shutdown)
         for _ in range(prefetch + 1):
             slots.release()
+        for _ in range(16):
+            disp_slots.release()
         executor.shutdown(wait=True, cancel_futures=True)
+        dispatch_pool.shutdown(wait=True)
         if progress is not None:
             progress.finish()
     if slump_count:
@@ -2296,7 +2315,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  slump_count)
 
     with timers.phase("compute"):
-        for result, map_out, n_valid in in_flight:
+        for fut, n_valid in in_flight:
+            result, map_out = fut.result()
             result = dict(result)
             _pop_normal_guard(result)
             accum.add_batch({k: np.asarray(v) for k, v in result.items()},
@@ -2304,6 +2324,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if map_out is not None:
                 drain_map_state(map_out)
 
+    global _LAST_XFER_BYTES
+    _LAST_XFER_BYTES = xfer_bytes
     log.info("analyzed %d frames", accum.n_frames)
     return accum, traj, full_frame_indices, map_accum, shard_start
 
