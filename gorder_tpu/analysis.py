@@ -1861,7 +1861,28 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # device owns a copy by then)
     slots = threading.Semaphore(prefetch)
 
+    # On a single-core host the decode thread (throughput work with ring
+    # slack) time-slices against the driver thread (latency work: its
+    # wakeups gate the link). A small nice on the decode thread lets the
+    # driver preempt promptly — measured, this converts driver-wall
+    # contention gaps into decode slack without costing decode throughput.
+    decode_nice = int(os.environ.get("GORDER_TPU_DECODE_NICE", "0"))
+    _niced = []
+
+    def _nice_this_thread():
+        if decode_nice <= 0 or _niced:
+            return
+        _niced.append(True)
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL("libc.so.6", use_errno=True)
+            libc.setpriority(0, threading.get_native_id(), decode_nice)
+        except Exception:  # non-Linux / sandboxed: scheduling hint only
+            pass
+
     def decode_batch(b):
+        _nice_this_thread()
         slots.acquire()
         t0 = _time.perf_counter()
         c0 = _time.thread_time()
@@ -2062,6 +2083,12 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     geom_point_dev = None
     if geom_mode == "point":
         geom_point_dev = put_frames(np.tile(geom_point, (batch_size, 1)))
+    # numpy jit args are allowed when the fused program dispatches from
+    # the worker thread on a single device: the worker's jit call absorbs
+    # each small per-batch put's ~one-RTT tunnel latency that would
+    # otherwise stall the driver between bulk transfers
+    host_args_ok = (fused_get is not None and not sync_fetch
+                    and active_mesh() is None)
     # per-batch device arrays that rarely change (NVT boxes, constant XTC
     # precision): reuse the previous device copy when the host values match
     last_box = last_box_dev = None
@@ -2137,14 +2164,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             if kind == "b7":
                 _, pk, eg, ev, base = payload
                 pk_dev, eg_dev, ev_dev = ship(pk, eg, ev)
-                base_dev = put_const(base)
+                base_dev = base if host_args_ok else put_const(base)
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev)
                 assert fused_get is not None, \
                     "b7 wire requires the fused bond-order path"
             elif kind == "s6":
                 _, pk, eg, ev, gm, base = payload
                 pk_dev, eg_dev, ev_dev, gm_dev = ship(pk, eg, ev, gm)
-                base_dev = put_const(base)
+                base_dev = base if host_args_ok else put_const(base)
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, gm_dev,
                              vgidx_dev)
                 if fused_get is None:
@@ -2153,7 +2180,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             elif kind == "d8":
                 _, lo, ci, ch, abs0 = payload
                 lo_dev, ci_dev, ch_dev = ship(lo, ci, ch)
-                abs0_dev = put_const(abs0)
+                abs0_dev = abs0 if host_args_ok else put_const(abs0)
                 wire_devs = (lo_dev, ci_dev, ch_dev, abs0_dev)
                 if fused_get is None:
                     coords_dev = _d8_to_f32(lo_dev, ci_dev, ch_dev, abs0_dev,
@@ -2181,8 +2208,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 frame_mask = np.zeros(batch_size, bool)
                 frame_mask[:n_valid] = True
                 frame_mask_dev = put_frames(frame_mask)
-            if (fused_get is not None and not sync_fetch
-                    and active_mesh() is None):
+            if host_args_ok:
                 # numpy arg: the jit call device_puts it on the DISPATCH
                 # worker, so the ~one-RTT latency of this tiny per-batch
                 # put rides behind the bulk transfer instead of stalling
@@ -2199,9 +2225,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             elif geom_mode == "point":
                 geom_ref = geom_point_dev
             elif geom_mode == "center":
-                geom_ref = (box_arr * 0.5
-                            if fused_get is not None and not sync_fetch
-                            and active_mesh() is None
+                geom_ref = (box_arr * 0.5 if host_args_ok
                             else put_frames(box_arr * 0.5))
             else:
                 geom_ref = None
