@@ -2092,6 +2092,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # per-batch device arrays that rarely change (NVT boxes, constant XTC
     # precision): reuse the previous device copy when the host values match
     last_box = last_box_dev = None
+    last_geom_center_dev = None
     last_scale = last_scale_dev = None
 
     import collections as _collections
@@ -2121,11 +2122,20 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         t0 = _time.perf_counter()
         try:
             try:
-                return thunk()
+                out = thunk()
             except Exception as exc:
                 if not _pallas_fallback(exc):
                     raise
-                return thunk()
+                out = thunk()
+            if not sync_fetch:
+                # start the tiny (4, T)-row D2H now, riding behind the
+                # next batches' bulk H2D, so the end-of-run drain finds
+                # host data instead of paying ~one RTT per batch
+                for leaf in jax.tree_util.tree_leaves(out):
+                    copy_async = getattr(leaf, "copy_to_host_async", None)
+                    if copy_async is not None:
+                        copy_async()
+            return out
         finally:
             disp_slots.release()
             timers.add("dispatch", _time.perf_counter() - t0)
@@ -2208,25 +2218,42 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 frame_mask = np.zeros(batch_size, bool)
                 frame_mask[:n_valid] = True
                 frame_mask_dev = put_frames(frame_mask)
-            if host_args_ok:
+            if last_box is not None and np.array_equal(box_arr, last_box):
+                if last_box_dev is None:
+                    # second consecutive batch with this box: pin it on
+                    # the device once, then every later batch passes the
+                    # device handle at zero per-batch cost (NVT boxes
+                    # never change; the worker-thread put below still
+                    # holds the GIL against the driver on 1-core hosts)
+                    last_box_dev = put_frames(box_arr)
+                    last_geom_center_dev = None
+                box_dev = last_box_dev
+            elif host_args_ok:
                 # numpy arg: the jit call device_puts it on the DISPATCH
                 # worker, so the ~one-RTT latency of this tiny per-batch
                 # put rides behind the bulk transfer instead of stalling
                 # the driver (measured ~150 ms/batch on the tunnel)
                 box_dev = box_arr
-            elif last_box is not None and np.array_equal(box_arr, last_box):
-                box_dev = last_box_dev
+                last_box, last_box_dev = box_arr, None
+                last_geom_center_dev = None
             else:
                 box_dev = put_frames(box_arr)
                 last_box, last_box_dev = box_arr, box_dev
+                last_geom_center_dev = None
 
             if geom_mode == "selection":
                 geom_ref = geom_sel_dev
             elif geom_mode == "point":
                 geom_ref = geom_point_dev
             elif geom_mode == "center":
-                geom_ref = (box_arr * 0.5 if host_args_ok
-                            else put_frames(box_arr * 0.5))
+                if last_box_dev is not None and box_dev is last_box_dev:
+                    if last_geom_center_dev is None:
+                        last_geom_center_dev = put_frames(box_arr * 0.5)
+                    geom_ref = last_geom_center_dev
+                elif host_args_ok:
+                    geom_ref = box_arr * 0.5
+                else:
+                    geom_ref = put_frames(box_arr * 0.5)
             else:
                 geom_ref = None
 
