@@ -1866,7 +1866,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # wakeups gate the link). A small nice on the decode thread lets the
     # driver preempt promptly — measured, this converts driver-wall
     # contention gaps into decode slack without costing decode throughput.
-    decode_nice = int(os.environ.get("GORDER_TPU_DECODE_NICE", "0"))
+    # Default 5: measured A/B on the tunnel host (10k-frame AA benchmark,
+    # same weather window) — in-trial transfer 36 MB/s un-niced vs
+    # 42 MB/s niced, 553 vs 635 frames/s end-to-end. On multi-core hosts
+    # the threads own separate cores and the nice is a no-op.
+    decode_nice = int(os.environ.get("GORDER_TPU_DECODE_NICE", "5"))
     _niced = []
 
     def _nice_this_thread():
