@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time as _time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -1873,6 +1874,18 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     decode_nice = int(os.environ.get("GORDER_TPU_DECODE_NICE", "5"))
     _niced = []
 
+    # Same contention, Python side: the interpreter's GIL switch interval
+    # (default 5 ms) bounds how fast the driver can take the GIL back from
+    # the decode/dispatch threads' numpy slices between transfers.
+    # Measured A/B at 1 ms on the tunnel host: no effect (the contended
+    # slices are C extensions that hold the GIL regardless of the switch
+    # interval), so the default is off; the knob remains for other hosts.
+    switch_s = float(os.environ.get("GORDER_TPU_SWITCH_INTERVAL_MS", "0")) \
+        * 1e-3
+    prev_switch = sys.getswitchinterval()
+    if switch_s > 0:
+        sys.setswitchinterval(switch_s)
+
     def _nice_this_thread():
         if decode_nice <= 0 or _niced:
             return
@@ -2363,6 +2376,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             disp_slots.release()
         executor.shutdown(wait=True, cancel_futures=True)
         dispatch_pool.shutdown(wait=True)
+        if switch_s > 0:
+            sys.setswitchinterval(prev_switch)
         if progress is not None:
             progress.finish()
     if slump_count:
