@@ -286,8 +286,9 @@ def run_mode(mode):
     budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "390"))
     max_trials = int(os.environ.get("GORDER_BENCH_TRIALS", "3"))
     t_start = time.perf_counter()
-    best_rate, best_tunnel, worst = 0.0, 0.0, 0.0
+    best_rate, best_tunnel, best_kbf, best_wire, worst = 0.0, 0.0, 0.0, "", 0.0
     n_frames = None
+    from gorder_tpu import analysis as _mod
     for trial in range(max_trials):
         t0 = time.perf_counter()
         r = analysis.run()
@@ -296,10 +297,21 @@ def run_mode(mode):
         tunnel = bench.measure_tunnel_mbps()
         n_frames = r.n_analyzed_frames
         rate = n_frames / dt
-        print(f"# {mode} trial {trial}: {rate:.1f} frames/s | tunnel "
-              f"{tunnel:.1f} MB/s | {dt:.1f}s", file=sys.stderr)
+        # pair the trial with the wire it rode and the physical ceiling
+        # its same-window tunnel rate implies, like bench.py does for AA
+        xbytes = getattr(_mod, "_LAST_XFER_BYTES", 0) or 0
+        wire = getattr(_mod, "_LAST_WIRE", None)
+        wire_fmt = wire[0] if wire else "?"
+        kbf = xbytes / n_frames / 1024 if n_frames else 0.0
+        ceil = tunnel * 1024 / kbf if kbf > 0 else 0.0
+        frac = f" ({rate / ceil:.0%} achieved)" if ceil > 0 else ""
+        print(f"# {mode} trial {trial}: {rate:.1f} frames/s on wire "
+              f"{wire_fmt} ({kbf:.1f} KB/frame) | tunnel {tunnel:.1f} MB/s"
+              f" -> wire ceiling {ceil:.0f} frames/s{frac} | {dt:.1f}s",
+              file=sys.stderr)
         if rate > best_rate:
             best_rate, best_tunnel = rate, tunnel
+            best_kbf, best_wire = kbf, wire_fmt
         worst = max(worst, dt)
         if time.perf_counter() - t_start + worst * 1.15 > budget_s:
             break
@@ -312,12 +324,17 @@ def run_mode(mode):
                            "leaflet classification every frame, "
                            f"end-to-end ({n_frames} XTC frames)",
             }[mode]
+    implied = (best_tunnel * 1024 / best_kbf) if best_kbf > 0 else 0.0
     print(json.dumps({
         "metric": desc,
         "value": round(best_rate, 1),
         "unit": "frames/s",
         "vs_baseline_8T": round(best_rate / baseline, 4),
         "tunnel_MBps": round(best_tunnel, 1),
+        "wire_format": best_wire,
+        "wire_KB_frame": round(best_kbf, 1),
+        "implied_ceiling_frames_s": round(implied, 1),
+        "ceiling_fraction": round(best_rate / implied, 3) if implied else 0.0,
     }))
     print(f"| {mode.upper()} | {best_rate:.0f} frames/s | "
           f"{baseline:.0f} frames/s (8T reference) | "
