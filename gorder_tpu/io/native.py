@@ -164,6 +164,10 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
             ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
@@ -440,11 +444,17 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
                   esc_val_out: np.ndarray, inv_prec_out: np.ndarray,
                   boxes_out: np.ndarray, times_out: np.ndarray,
                   steps_out: np.ndarray, slot_of: np.ndarray = None,
-                  n_out: int = None, n_threads: int = 1):
+                  n_out: int = None, n_threads: int = 1,
+                  aux_slots: np.ndarray = None, aux_out: np.ndarray = None,
+                  cog_slots: np.ndarray = None, cog_axis: int = 2,
+                  cog_out: np.ndarray = None):
     """Bond-difference 7-bit residual decode (see native/xdr.cpp
     xtc_decode_b7): per-batch per-value int32 base over the bond integer
     differences, packed 7-bit residuals, sparse (gap u16, val i16)
-    escapes. Returns (rc, max_nesc): rc 0 ok / 1 unfit."""
+    escapes. Optional side channels for leaflet runs: aux_out (n, n_aux, 3)
+    int32 absolute positions of the aux_slots subset; cog_out (n,) f32
+    refined Bai-Breen center of the cog_slots subset along cog_axis.
+    Returns (rc, max_nesc): rc 0 ok / 1 unfit."""
     lib = get_lib()
     offsets = np.ascontiguousarray(offsets, np.int64)
     slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
@@ -458,6 +468,23 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
     assert pack_out.shape[0] >= n and pack_out.shape[1] == b7_stride(n_bonds)
     esc_cap = esc_gap_out.shape[1]
     max_nesc = np.zeros(1, np.int32)
+    nullp = ctypes.POINTER(ctypes.c_int32)()
+    if aux_slots is not None and len(aux_slots):
+        aux_slots = np.ascontiguousarray(aux_slots, np.int32)
+        assert aux_out is not None and aux_out.dtype == np.int32 \
+            and aux_out.shape[0] >= n \
+            and aux_out.shape[1] == len(aux_slots) and aux_out.shape[2] == 3
+        aux_args = (_i32p(aux_slots), len(aux_slots), _i32p(aux_out))
+    else:
+        aux_args = (nullp, 0, nullp)
+    if cog_slots is not None and len(cog_slots):
+        cog_slots = np.ascontiguousarray(cog_slots, np.int32)
+        assert cog_out is not None and cog_out.dtype == np.float32 \
+            and cog_out.shape[0] >= n
+        cog_args = (_i32p(cog_slots), len(cog_slots), int(cog_axis),
+                    _f32p(cog_out))
+    else:
+        cog_args = (nullp, 0, 0, ctypes.POINTER(ctypes.c_float)())
     rc = lib.xtc_decode_b7(
         path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
         _i32p(bond_a), _i32p(bond_b), n_bonds, w_base,
@@ -467,7 +494,7 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
         esc_val_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         esc_cap, _i32p(max_nesc),
         _f32p(inv_prec_out), _f32p(boxes_out), _f32p(times_out),
-        _i32p(steps_out), n_threads)
+        _i32p(steps_out), n_threads, *aux_args, *cog_args)
     if rc == -1:
         raise TrajectoryError(
             f"could not decode xtc file '{path}': {_err(lib)}")

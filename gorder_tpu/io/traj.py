@@ -526,7 +526,11 @@ class Trajectory:
                        bond_a: np.ndarray, bond_b: np.ndarray,
                        pack_out: np.ndarray, esc_gap_out: np.ndarray,
                        esc_val_out: np.ndarray,
-                       n_threads: int = 1, w_base: int = 24):
+                       n_threads: int = 1, w_base: int = 24,
+                       aux_slots: np.ndarray = None,
+                       aux_out: np.ndarray = None,
+                       cog_slots: np.ndarray = None, cog_axis: int = 2,
+                       cog_out: np.ndarray = None):
         """Decode XTC frames in the bond-difference 7-bit wire format
         (~0.875 B per bond-vector value): the per-bond integer differences
         d = c[bond_b] - c[bond_a] (exact int32 arithmetic) coded as 7-bit
@@ -537,6 +541,11 @@ class Trajectory:
         cancels in the difference). The integers are bit-exact; the f32
         bond vector f32(d)·(1/precision) differs from the position-pair
         formulation by its last ulp (see xdr.cpp commentary).
+
+        Optional side channels for leaflet-classifying runs (see
+        native/xdr.cpp emit_channels): aux_out (n, n_aux, 3) int32
+        absolute positions of the aux_slots subset; cog_out (n,) f32
+        refined Bai-Breen center of the cog_slots subset along cog_axis.
 
         Fills the caller's buffers and returns ((base (n_bonds*3,) int32,
         inv_precision, boxes, times, steps), max_nesc); None payload when
@@ -562,7 +571,11 @@ class Trajectory:
                 w_base, base, has_base,
                 pack_out[sl], esc_gap_out[sl], esc_val_out[sl],
                 inv_prec[sl], boxes[sl], times[sl], st32,
-                slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads)
+                slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads,
+                aux_slots=aux_slots,
+                aux_out=aux_out[sl] if aux_out is not None else None,
+                cog_slots=cog_slots, cog_axis=cog_axis,
+                cog_out=cog_out[sl] if cog_out is not None else None)
             worst_nesc = max(worst_nesc, max_nesc)
             if rc != 0:
                 failed = True

@@ -21,6 +21,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <limits>
 #include <type_traits>
 #include <cstdint>
@@ -2014,6 +2015,80 @@ int32_t xtc_decode_s6(const char *path, const int64_t *frame_offsets,
 // Returns 0 ok / 1 unfit (escape demand over esc_cap, escape value
 // outside int16, or mixed compression precision) / -1 corruption.
 // out_max_esc always reports the worst per-frame escape demand.
+// Refined Bai-Breen circular mean of ONE axis of a slot subset, matching
+// core/pbc.py circular_mean_cog restricted to that axis (reference:
+// groan_rs group centers, SURVEY.md §2.1 "PBC handling"): circular
+// estimate from trig sums, then one pass averaging the min-image
+// deviations. Trig runs through a branch-free Taylor polynomial
+// (|err| < 5e-4 over the full circle) in 16 independent float lanes so
+// -O3 -march=native vectorizes both passes; the mean feeds leaflet
+// SIDEDNESS tests whose heads sit nm away from the plane, so sub-1e-3-nm
+// mean error is inconsequential (and the f64 lane fold keeps the
+// accumulation order fixed: results are decode-thread-count invariant).
+static float bai_breen_axis(const int32_t *c, const int32_t *slots,
+                            int32_t n, int32_t axis, float invp, float L) {
+  static thread_local std::vector<float> xs;
+  xs.resize((size_t)n);
+  const float k = invp / L;  // quantized ints -> box cycles
+  for (int32_t i = 0; i < n; i++)
+    xs[(size_t)i] = (float)c[(size_t)slots[i] * 3 + axis] * k;
+  constexpr int LANES = 16;
+  constexpr float TWO_PI = 6.28318530717958647692f;
+  float acc_c[LANES] = {0}, acc_s[LANES] = {0};
+  int32_t i = 0;
+  for (; i + LANES <= n; i += LANES) {
+    for (int l = 0; l < LANES; l++) {
+      float t = xs[(size_t)(i + l)];
+      t -= nearbyintf(t);       // [-0.5, 0.5] -> z in [-pi, pi]
+      float z = t * TWO_PI;
+      float z2 = z * z;
+      float s = z * (1.0f + z2 * (-1.66666667e-1f + z2 * (8.33333333e-3f
+              + z2 * (-1.98412698e-4f + z2 * (2.75573192e-6f
+              + z2 * -2.50521084e-8f)))));
+      float co = 1.0f + z2 * (-0.5f + z2 * (4.16666667e-2f
+               + z2 * (-1.38888889e-3f + z2 * (2.48015873e-5f
+               + z2 * (-2.75573192e-7f + z2 * 2.08767570e-9f)))));
+      acc_s[l] += s;
+      acc_c[l] += co;
+    }
+  }
+  double sc = 0.0, ss = 0.0;
+  for (int l = 0; l < LANES; l++) {
+    sc += acc_c[l];
+    ss += acc_s[l];
+  }
+  for (; i < n; i++) {
+    float t = xs[(size_t)i];
+    t -= nearbyintf(t);
+    double z = (double)t * 6.283185307179586476925286766559;
+    sc += std::cos(z);
+    ss += std::sin(z);
+  }
+  double mean_theta = std::atan2(-ss, -sc) + 3.141592653589793238462643;
+  float est = (float)(mean_theta / 6.283185307179586476925286766559) * L;
+  float dacc[LANES] = {0};
+  i = 0;
+  for (; i + LANES <= n; i += LANES) {
+    for (int l = 0; l < LANES; l++) {
+      float x = xs[(size_t)(i + l)] * L;  // back to nm
+      float d = x - est;
+      d -= L * nearbyintf(d / L);
+      dacc[l] += d;
+    }
+  }
+  double dsum = 0.0;
+  for (int l = 0; l < LANES; l++) dsum += dacc[l];
+  for (; i < n; i++) {
+    float x = xs[(size_t)i] * L;
+    float d = x - est;
+    d -= L * nearbyintf(d / L);
+    dsum += d;
+  }
+  float refined = est + (float)(dsum / (double)(n > 0 ? n : 1));
+  refined -= L * std::floor(refined / L);  // wrap into [0, L)
+  return refined;
+}
+
 int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
                       int64_t n, int32_t first_n, const int32_t *slot_of,
                       int32_t n_out, const int32_t *bond_a,
@@ -2023,7 +2098,10 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
                       int16_t *esc_val_out, int32_t esc_cap,
                       int32_t *out_max_esc, float *out_inv_precision,
                       float *out_boxes, float *out_times, int32_t *out_steps,
-                      int32_t n_threads) {
+                      int32_t n_threads,
+                      const int32_t *aux_slots, int32_t n_aux,
+                      int32_t *aux_out, const int32_t *cog_slots,
+                      int32_t n_cog, int32_t cog_axis, float *cog_out) {
   MappedFile mf;
   if (!mf.open(path)) return -1;
   const size_t nv = (size_t)n_out * 3;        // decoded slot values
@@ -2072,6 +2150,28 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
       d[j * 3 + 0] = pb[0] - pa[0];
       d[j * 3 + 1] = pb[1] - pa[1];
       d[j * 3 + 2] = pb[2] - pa[2];
+    }
+  };
+
+  // Optional side channels for leaflet-classifying runs: absolute int32
+  // positions of a small slot subset (e.g. lipid heads) and the refined
+  // Bai-Breen center of the membrane subset along one axis — so the
+  // classifier rides the b7 bond wire without shipping coordinates.
+  auto emit_channels = [&](int64_t f, const int32_t *c, const XtcHeader *h) {
+    if (aux_out && n_aux > 0) {
+      int32_t *dst = aux_out + (size_t)f * n_aux * 3;
+      for (int32_t q = 0; q < n_aux; q++) {
+        const int32_t *p = c + (size_t)aux_slots[q] * 3;
+        dst[q * 3 + 0] = p[0];
+        dst[q * 3 + 1] = p[1];
+        dst[q * 3 + 2] = p[2];
+      }
+    }
+    if (cog_out && n_cog > 0) {
+      float p = h->plain ? 1000.0f : h->precision;
+      float L = h->box[cog_axis * 3 + cog_axis];
+      cog_out[f] = bai_breen_axis(c, cog_slots, n_cog, cog_axis,
+                                  1.0f / p, L);
     }
   };
 
@@ -2255,8 +2355,10 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
         }
         bond_diffs(cur.data(), dv.data());
         pack_frame(f, dv.data());
+        emit_channels(f, cur.data(), &ha);
         bond_diffs(cur2.data(), dv.data());
         pack_frame(f + 1, dv.data());
+        emit_channels(f + 1, cur2.data(), &hb);
         f += 2;
       } else {
         I32Sink sa{cur.data(), 0.0f};
@@ -2272,6 +2374,7 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
         }
         bond_diffs(cur.data(), dv.data());
         pack_frame(f, dv.data());
+        emit_channels(f, cur.data(), &ha);
         if (rcb == 1) {
           status.store(1);  // partner frame has mixed precision
           f += 2;
