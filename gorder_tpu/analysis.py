@@ -297,6 +297,33 @@ class LeafletRuntime:
 
         return wrapped
 
+    def fused_channel_impl(self):
+        """(traceable (heads, cog, box) -> classes, (membrane_slots,
+        head_slots, axis)) when this classification can ride the b7
+        wire's decoder side channels instead of reconstructed
+        coordinates — global method, every-frame frequency, PBC on —
+        else None. The channel classes match the coordinate path exactly
+        except for the COG itself (host f64-accumulated vs the device's
+        f32 sums — both within float noise of the reference's f64 Rust
+        computation, and heads sit nm away from the center plane)."""
+        if self.fused_classify_impl() is None:
+            return None
+        ch = getattr(self.classify, "channel_impl", None)
+        info = getattr(self.classify, "channel_info", None)
+        if ch is None or info is None:
+            return None
+        membrane, heads, axis, handle_pbc = info
+        if not handle_pbc or self.cloud_to_mol is not None:
+            return None
+        if self.flip:
+            inner = ch
+
+            def ch(heads_f, cog, box):          # noqa: F811
+                return 1 - inner(heads_f, cog, box)
+
+        return ch, (np.asarray(membrane, np.int32),
+                    np.asarray(heads, np.int32), int(axis))
+
     def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray
                           ) -> np.ndarray:
         """(B, M) leaflet classes for the analyzed frames of the batch."""
@@ -1230,7 +1257,7 @@ def _pop_normal_guard(result) -> None:
 
 
 def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
-                       normals_impl=None):
+                       normals_impl=None, channel_classify=None):
     """Fused per-batch programs: wire reconstruction traced inline into
     the order kernel, so XLA compiles ONE program per batch.
 
@@ -1296,6 +1323,20 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                 dq = _b7_impl(pk, eg, ev, base)
                 return impl(dq, box, normal, mask, inv_scale=scale,
                             map_state=None, geom_ref=None,
+                            diff_input=True, use_pallas=use_pallas)
+        elif kind == "b7g":
+            assert channel_classify is not None, \
+                "b7g requires a leaflet channel classifier"
+
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                pk, eg, ev, base, aux, cog = w
+                dq = _b7_impl(pk, eg, ev, base)
+                # heads dequantize exactly like the coordinate wires:
+                # f32(int) * inv_precision — bit-identical gather
+                heads = aux.astype(jnp.float32) * scale[:, None, None]
+                classes = channel_classify(heads, cog, box)
+                return impl(dq, box, normal, mask, leaflet_classes=classes,
+                            inv_scale=scale, map_state=None, geom_ref=None,
                             diff_input=True, use_pallas=use_pallas)
         elif kind == "s6":
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
@@ -1746,15 +1787,35 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     batch_size_probe = _effective_batch_size()
     group_of, n_groups, vgidx = _wire_groups(system, space)
-    # b7 (bond-vector differences) is eligible only on the pure bond-order
-    # path: every other subsystem consumes absolute coordinates
+    # b7 (bond-vector differences) is eligible on the pure bond-order
+    # path — and, via the decoder's side channels (head positions +
+    # per-frame Bai-Breen membrane center), on every-frame global
+    # leaflet runs too; every other subsystem consumes absolute
+    # coordinates
     pure_bond = (leaflets is None and normals is None and map_spec is None
                  and geom_mode is None
                  and getattr(step, "impl", None) is not None
                  and bond_slots is not None)
+    # The leaflet channel wire is OPT-IN (GORDER_TPU_B7_LEAFLETS=1 or an
+    # explicit GORDER_TPU_WIRE=b7): its host-computed COG differs from
+    # the coordinate path's device COG within float noise, which breaks
+    # the default configuration's exact cross-path invariants (e.g.
+    # "geometry z>=0 equals the upper leaflet" byte-for-byte,
+    # tests/test_geometry.py) for heads/atoms within ~1e-5 nm of the
+    # membrane center plane. Reference-golden parity holds either way.
+    leaf_channels = None
+    if (not pure_bond and leaflets is not None and normals is None
+            and map_spec is None and geom_mode is None
+            and getattr(step, "impl", None) is not None
+            and bond_slots is not None and analysis.handle_pbc
+            and (os.environ.get("GORDER_TPU_B7_LEAFLETS", "0") != "0"
+                 or os.environ.get("GORDER_TPU_WIRE") == "b7")):
+        leaf_channels = leaflets.fused_channel_impl()
     wire, wire_cap = _pick_wire_format(traj, frame_indices, space, n_threads,
                                        group_of, n_groups, batch_size_probe,
-                                       bond_slots=bond_slots if pure_bond
+                                       bond_slots=bond_slots
+                                       if (pure_bond
+                                           or leaf_channels is not None)
                                        else None,
                                        link_mbps=_measure_link_mbps())
     corr_cap = wire_cap if wire == "d8" else 0
@@ -1764,8 +1825,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     from .io.native import i12_stride as _i12s
     from .io.native import s6_stride as _s6s
 
+    ch_heads = ch_membrane = None
+    ch_axis = 2
+    channel_classify = None
+    if wire == "b7" and leaf_channels is not None:
+        channel_classify, (ch_membrane, ch_heads, ch_axis) = leaf_channels
     wire_bytes = {
-        "b7": _b7s(n_bonds) + esc_cap * 4,
+        "b7": _b7s(n_bonds) + esc_cap * 4
+        + (len(ch_heads) * 12 + 4 if ch_heads is not None else 0),
         "s6": _s6s(n_out) + (n_groups + 1) * 6 + esc_cap * 4,
         "d8": n_out * 3 + corr_cap * 6,
         "i12": _i12s(n_out),
@@ -1773,8 +1840,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         "f32": n_out * 12,
     }[wire]
     if wire == "b7":
-        log.info("wire format: b7 — %d bond vectors (of %d selected atoms),"
-                 " %.1f KB/frame", n_bonds, space.n_sel, wire_bytes / 1024)
+        log.info("wire format: b7 — %d bond vectors (of %d selected atoms)"
+                 "%s, %.1f KB/frame", n_bonds, space.n_sel,
+                 (f" + {len(ch_heads)}-head leaflet channel"
+                  if ch_heads is not None else ""), wire_bytes / 1024)
     else:
         log.info("wire format: %s — %d of %d atoms, %.1f KB/frame",
                  wire, space.n_sel, system.n_atoms, wire_bytes / 1024)
@@ -1824,6 +1893,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             (np.zeros((batch_size, b7_stride(n_bonds)), np.uint8),
              np.zeros((batch_size, esc_cap), np.uint16),
              np.zeros((batch_size, esc_cap), np.int16))
+            + ((np.zeros((batch_size, len(ch_heads), 3), np.int32),
+                np.zeros(batch_size, np.float32))
+               if ch_heads is not None else ())
             for _ in range(prefetch)
         ]
     elif wire == "s6":
@@ -1926,17 +1998,29 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
         buf = buffers[b % prefetch]
         if wire == "b7":
-            pk, eg, ev = buf
+            pk, eg, ev = buf[:3]
+            aux = cog = None
+            if ch_heads is not None:
+                aux, cog = buf[3], buf[4]
             if len(chunk) < batch_size:
                 # padding rows decode to the (masked) base differences
                 pk[len(chunk):] = 0
                 eg[len(chunk):] = 0
                 ev[len(chunk):] = 0
+                if aux is not None:
+                    aux[len(chunk):] = 0
+                    cog[len(chunk):] = 0
             res, _ = traj.read_frames_b7(chunk, space, bond_slots[0],
                                          bond_slots[1], pk, eg, ev,
-                                         n_threads=n_threads)
+                                         n_threads=n_threads,
+                                         aux_slots=ch_heads, aux_out=aux,
+                                         cog_slots=ch_membrane,
+                                         cog_axis=ch_axis, cog_out=cog)
             if res is not None:
                 base, inv_prec, boxes, times, steps = res
+                if aux is not None:
+                    return (("b7g", pk, eg, ev, base, aux, cog),
+                            inv_prec, boxes, len(chunk))
                 return ("b7", pk, eg, ev, base), inv_prec, boxes, len(chunk)
             log.warning(
                 "wire fallback: batch %d exceeds the b7 format (escape "
@@ -2062,7 +2146,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         fused_get = _build_fused_steps(step, n_out=n_out,
                                        use_pallas=use_pallas,
                                        classify_impl=fused_classify,
-                                       normals_impl=fused_normals)
+                                       normals_impl=fused_normals,
+                                       channel_classify=channel_classify)
         if (fused_get is not None and leaflets is not None
                 and not leaflets._logged_stats):
             # the fused path never materializes classes on the host;
@@ -2094,7 +2179,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             fused_get = _build_fused_steps(step, n_out=n_out,
                                            use_pallas=False,
                                            classify_impl=fused_classify,
-                                           normals_impl=fused_normals)
+                                           normals_impl=fused_normals,
+                                           channel_classify=channel_classify)
         return True
 
     geom_point_dev = None
@@ -2195,6 +2281,16 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev)
                 assert fused_get is not None, \
                     "b7 wire requires the fused bond-order path"
+            elif kind == "b7g":
+                _, pk, eg, ev, base, aux, cog = payload
+                pk_dev, eg_dev, ev_dev, aux_dev = ship(pk, eg, ev, aux)
+                base_dev = base if host_args_ok else put_const(base)
+                cog_dev = (cog.copy() if host_args_ok
+                           else put_frames(cog.copy()))
+                wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, aux_dev,
+                             cog_dev)
+                assert fused_get is not None, \
+                    "b7g wire requires the fused bond-order path"
             elif kind == "s6":
                 _, pk, eg, ev, gm, base = payload
                 pk_dev, eg_dev, ev_dev, gm_dev = ship(pk, eg, ev, gm)

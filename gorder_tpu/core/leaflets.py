@@ -67,7 +67,25 @@ def make_global_classifier(membrane_indices, head_indices, normal_axis,
                                      normal_axis=int(normal_axis),
                                      handle_pbc=handle_pbc)
 
+    def channel_impl(heads, cog, box_diag):
+        """Traceable classes from the b7 wire's side channels: heads
+        (B, M, 3) f32 absolute positions (bit-identical to a coordinate
+        gather — the aux channel ships the exact decode integers) and
+        cog (B,) f32, the refined Bai-Breen membrane center along the
+        normal axis computed by the decoder (native/xdr.cpp
+        bai_breen_axis). Same sidedness test as _global_classify_impl."""
+        delta = heads[..., int(normal_axis)] - cog[:, None]
+        if handle_pbc:
+            length = box_diag[:, None, int(normal_axis)]
+            delta = delta - length * jnp.round(delta / length)
+        return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
+
     classify.impl = impl
+    classify.channel_impl = channel_impl
+    # (membrane slots, head slots, axis, pbc) for the decoder's channels
+    classify.channel_info = (np.asarray(membrane_indices, np.int64),
+                             np.asarray(head_indices, np.int64),
+                             int(normal_axis), bool(handle_pbc))
     return classify
 
 

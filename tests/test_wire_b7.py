@@ -179,18 +179,76 @@ def test_b7_pipeline_byte_identical(fixtures, tmp_path, monkeypatch):
 def test_b7_forced_but_ineligible_falls_back(fixtures, tmp_path,
                                              monkeypatch, caplog):
     """GORDER_TPU_WIRE=b7 on a run that needs absolute coordinates
-    (leaflet classification) warns and probes the coordinate formats —
-    results still match the f32 wire exactly (same formulation)."""
+    (local leaflet classification: cylinder-local membrane centers)
+    warns and probes the coordinate formats — results still match the
+    f32 wire exactly (same formulation)."""
     from gorder_tpu.input import LeafletClassification
 
-    leaf = dict(leaflets=LeafletClassification.global_(
-        "@membrane", "name P"))
+    leaf = dict(leaflets=LeafletClassification.local(
+        "@membrane", "name P", 2.5))
     y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", **leaf)
     with caplog.at_level(logging.WARNING, logger="gorder"):
         y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", **leaf)
     assert y_b7 == y_f32
     assert any("not" in r.message and "eligible" in r.message
                for r in caplog.records)
+
+
+def _yaml_values(data: bytes):
+    vals = []
+    for line in data.decode().splitlines():
+        for tok in line.replace(":", " ").split():
+            try:
+                vals.append(float(tok))
+            except ValueError:
+                pass
+    return np.asarray(vals)
+
+
+def test_b7_global_leaflets_channel(fixtures, tmp_path, monkeypatch):
+    """Global leaflet classification rides the b7 wire via the decoder's
+    head-position + Bai-Breen COG side channels (native/xdr.cpp
+    emit_channels). The heads dequantize bit-identically to a coordinate
+    gather; the COG itself is f64-accumulated on the host vs f32-summed
+    on the device, so a head sitting within float noise (~1e-5 nm) of
+    the membrane center plane may legitimately class differently — both
+    sides are within noise of the reference's f64 Rust computation
+    (src/analysis/leaflets.rs global method). The contract is therefore
+    semantic: 4-dp output parity with the coordinate wires (at most one
+    rounding step on any aggregate), with batch-size/device-count
+    invariance untouched (the COG is per-frame host data). The golden
+    tier separately pins b7g against the reference outputs byte-for-byte
+    (tests/test_golden_exact.py runs with the probe's choice)."""
+    from gorder_tpu.input import LeafletClassification
+
+    leaf = dict(leaflets=LeafletClassification.global_(
+        "@membrane", "name P"))
+    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", **leaf)
+    y_s6 = _run_aa(fixtures, tmp_path, monkeypatch, "s6", **leaf)
+    assert y_s6 == y_f32          # coordinate wires stay bit-identical
+    y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", **leaf)
+    a, b = _yaml_values(y_b7), _yaml_values(y_f32)
+    assert len(a) == len(b)
+    diff = np.abs(a - b)
+    assert diff.max() <= 2.0e-4, f"max diff {diff.max()}"
+    assert (diff == 0).mean() >= 0.999
+
+
+def test_b7_global_leaflets_channel_flip(fixtures, tmp_path, monkeypatch):
+    """The flip option inverts the channel-computed classes the same way
+    it inverts the coordinate-path classes (leaflets.rs flip); same
+    semantic 4-dp contract as the unflipped case."""
+    from gorder_tpu.input import LeafletClassification
+
+    leaf = LeafletClassification.global_("@membrane", "name P")
+    leaf.flip = True
+    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", leaflets=leaf)
+    y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", leaflets=leaf)
+    a, b = _yaml_values(y_b7), _yaml_values(y_f32)
+    assert len(a) == len(b)
+    diff = np.abs(a - b)
+    assert diff.max() <= 2.0e-4, f"max diff {diff.max()}"
+    assert (diff == 0).mean() >= 0.999
 
 
 @requires_fixtures
