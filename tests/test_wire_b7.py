@@ -252,6 +252,38 @@ def test_b7_global_leaflets_channel_flip(fixtures, tmp_path, monkeypatch):
 
 
 @requires_fixtures
+def test_b7_global_leaflets_channel_golden_exact(fixtures, tmp_path,
+                                                 monkeypatch):
+    """The b7g channel wire reproduces the reference's golden output
+    byte-for-byte on the asymmetric CG global-leaflets fixture
+    (tests/files/asymmetric/cg_order_asymmetric.yaml) — the carve-out in
+    docs/PERFORMANCE.md is cross-WIRE bitwise equality, not golden
+    parity: both COG computations sit within float noise of the
+    reference's f64 one, and no head straddles the center plane here."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import Analysis, AnalysisType, LeafletClassification
+    from gorder_tpu.present import write_yaml
+
+    from .golden import assert_eq_order
+
+    monkeypatch.setenv("GORDER_TPU_B7_LEAFLETS", "1")
+    monkeypatch.setenv("GORDER_TPU_WIRE", "b7")
+    results = Analysis(
+        structure=str(fixtures / "asymmetric" / "cg_asym.tpr"),
+        trajectory=str(fixtures / "asymmetric" / "cg_asym.xtc"),
+        analysis_type=AnalysisType.cgorder("@membrane"),
+        leaflets=LeafletClassification.global_("@membrane", "name PO4"),
+        silent=True, overwrite=True).run()
+    wire = getattr(mod, "_LAST_WIRE", None)
+    assert wire and wire[0] == "b7", f"channel wire not engaged: {wire}"
+    out = tmp_path / "order.yaml"
+    write_yaml(results, str(out))
+    assert_eq_order(str(out),
+                    str(fixtures / "asymmetric" / "cg_order_asymmetric.yaml"),
+                    exact=True)
+
+
+@requires_fixtures
 def test_b7_formulation_bound(fixtures):
     """The single-rounding bond vector f32(d)·s differs from the
     position-pair formulation fl(fl(qb·s) − fl(qa·s)) by at most ~2 ulp of

@@ -274,6 +274,13 @@ def run_mode(mode):
                           "device_unreachable": True}))
         return
 
+    if mode == "aa-leaflets":
+        # ride the b7 wire's head-position + Bai-Breen COG side channels
+        # (~60 vs 81.8 KB/frame on this system). Opt-in because the
+        # channel COG is host f64-accumulated (semantic 4-dp parity with
+        # the coordinate wires, not bitwise — docs/PERFORMANCE.md);
+        # reference-golden parity is byte-exact either way.
+        os.environ.setdefault("GORDER_TPU_B7_LEAFLETS", "1")
     analysis = _make_analysis(mode)
     baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T,
                 "aa-leaflets": AA_LEAFLETS_BASELINE_8T}[mode]
