@@ -291,7 +291,7 @@ def measure_device_resident(probe, batch=512, iters=30):
     instead of the sandbox tunnel."""
     import jax
 
-    from gorder_tpu.analysis import _b7_impl, _s6_impl
+    from gorder_tpu.analysis import _b7_impl, _b7_residuals_impl, _s6_impl
     from gorder_tpu.core.order import make_order_step
     from gorder_tpu.io.native import b7_stride, s6_stride
 
@@ -359,7 +359,18 @@ def measure_device_resident(probe, batch=512, iters=30):
     def build_many(use_pallas):
         def one(carry):
             if staged_b7 is not None:
-                dq = _b7_impl(*staged_b7)
+                pk_d, eg_d, ev_d, base_d = staged_b7
+                if use_pallas and step.pallas_resid_ok():
+                    # the production fused body (analysis.py
+                    # _build_fused_steps b7 branch): int16 residuals into
+                    # the in-kernel-reconstruction Pallas variant
+                    r = _b7_residuals_impl(pk_d, eg_d, ev_d,
+                                           base_d.shape[0])
+                    return step.impl((r, base_d), box_dev, normal_dev,
+                                     mask_dev, inv_scale=scale_dev + carry,
+                                     map_state=None, geom_ref=None,
+                                     resid_input=True, use_pallas=True)
+                dq = _b7_impl(pk_d, eg_d, ev_d, base_d)
                 return step.impl(dq, box_dev, normal_dev, mask_dev,
                                  inv_scale=scale_dev + carry,
                                  map_state=None, geom_ref=None,
@@ -604,8 +615,12 @@ def main():
     # wire payload pre-staged — the pipeline's speed without the tunnel.
     # Larger batches amortize per-dispatch overhead; report the best.
     device_rate = 0.0
-    dr_batches = (512, 2048) if os.environ.get(
-        "GORDER_BENCH_DR_SWEEP", "1") != "0" else (512,)
+    # measured sweep on the v5e (2026-08-19): 128 -> 94.8k, 192 -> 117.9k,
+    # 256 -> 131.6k, 512 -> 53.5k, 1024 -> 32.8k, 2048 -> worse — a sharp
+    # cliff above 256 where the fused program's working set outgrows
+    # VMEM-friendly tiling. 256 is the knee; keep 512 as the second point.
+    dr_batches = (256, 512) if os.environ.get(
+        "GORDER_BENCH_DR_SWEEP", "1") != "0" else (256,)
     for dr_batch in dr_batches:
         try:
             r = measure_device_resident(probe, batch=dr_batch)

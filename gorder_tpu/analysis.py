@@ -1135,11 +1135,13 @@ def _s6_impl(pk, gp, vl, bs, gm, vg, ip):
         b, nv // 3, 3)
 
 
-def _b7_impl(pk, gp, vl, bs):
-    """Unpack the b7 bond-difference wire (io/traj.py read_frames_b7):
-    7-bit residual codes (8 per 7 bytes), sparse gap-coded escapes, plus
-    the per-batch base → (B, n_bonds, 3) int32 bond integer differences.
-    The caller dequantizes (f32(d) · inv_precision) inside the kernel."""
+def _b7_residuals_impl(pk, gp, vl, nv: int):
+    """Unpack the b7 wire's escape-applied residuals only: 7-bit codes
+    (8 per 7 bytes) sign-extended + the sparse (gap u16, val i16) escape
+    channel scattered in → (B, nv) int16 (codes are ±63 and escape values
+    i16 by format construction, so int16 is exact). The Pallas resid path
+    consumes this directly and adds the base in-kernel; _b7_impl layers
+    the base on top for the XLA path."""
     import jax.numpy as jnp
 
     b = pk.shape[0]
@@ -1152,13 +1154,24 @@ def _b7_impl(pk, gp, vl, bs):
         ((lo >> 28) | (hi << 4)) & 127,
         (hi >> 3) & 127, (hi >> 10) & 127, (hi >> 17) & 127,
     ], axis=-1).reshape(b, -1)
-    codes = ((codes.astype(jnp.int32) + 64) & 127) - 64  # sign-extend
-    nv = bs.shape[0]
+    codes = ((codes.astype(jnp.int16) + 64) & 127) - 64  # sign-extend
     r = codes[:, :nv]
     pos = jnp.cumsum(gp.astype(jnp.int32), axis=1) - 1
     pos = jnp.where(gp == 0, nv, pos)       # gap 0 = padding -> dropped
-    r = r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int32),
-                                              mode="drop")
+    return r.at[jnp.arange(b)[:, None], pos].set(vl.astype(jnp.int16),
+                                                 mode="drop")
+
+
+def _b7_impl(pk, gp, vl, bs):
+    """Unpack the b7 bond-difference wire (io/traj.py read_frames_b7):
+    7-bit residual codes (8 per 7 bytes), sparse gap-coded escapes, plus
+    the per-batch base → (B, n_bonds, 3) int32 bond integer differences.
+    The caller dequantizes (f32(d) · inv_precision) inside the kernel."""
+    import jax.numpy as jnp
+
+    nv = bs.shape[0]
+    r = _b7_residuals_impl(pk, gp, vl, nv).astype(jnp.int32)
+    b = pk.shape[0]
     return (bs.reshape(1, nv).astype(jnp.int32) + r).reshape(b, nv // 3, 3)
 
 
@@ -1317,13 +1330,26 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
         if kind == "b7":
             assert classify_impl is None, \
                 "b7 is gated to pure bond-order runs"
-
-            def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                pk, eg, ev, base = w
-                dq = _b7_impl(pk, eg, ev, base)
-                return impl(dq, box, normal, mask, inv_scale=scale,
-                            map_state=None, geom_ref=None,
-                            diff_input=True, use_pallas=use_pallas)
+            if use_pallas and getattr(step, "pallas_resid_ok",
+                                      lambda: False)():
+                # fastest path: escape-applied int16 residuals go straight
+                # into the Pallas kernel, which adds the base and
+                # dequantizes in VMEM — the (B, N, 3) displacement array
+                # never exists in HBM (ops/pallas_p2.py resid_input)
+                def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                    pk, eg, ev, base = w
+                    r = _b7_residuals_impl(pk, eg, ev, base.shape[0])
+                    return impl((r, base), box, normal, mask,
+                                inv_scale=scale, map_state=None,
+                                geom_ref=None, resid_input=True,
+                                use_pallas=True)
+            else:
+                def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                    pk, eg, ev, base = w
+                    dq = _b7_impl(pk, eg, ev, base)
+                    return impl(dq, box, normal, mask, inv_scale=scale,
+                                map_state=None, geom_ref=None,
+                                diff_input=True, use_pallas=use_pallas)
         elif kind == "b7g":
             assert channel_classify is not None, \
                 "b7g requires a leaflet channel classifier"

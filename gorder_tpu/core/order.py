@@ -307,6 +307,7 @@ def make_order_step(
 
     fast_step = None
     fast_diff_step = None
+    fast_resid_step = None
     from ..ops.pallas_p2 import make_pallas_order_step, pallas_supported
 
     if pallas_supported(with_leaflets=with_leaflets, normal_mode=normal_mode,
@@ -318,15 +319,24 @@ def make_order_step(
             n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets,
             normal_mode=normal_mode)
         if not with_leaflets and normal_mode == "static":
-            # b7 wire variant: consumes bond vectors directly (b7 is only
+            # b7 wire variants: consume bond vectors directly (b7 is only
             # eligible for pure bond-order runs, so this combination is
-            # the only one the diff path can meet)
+            # the only one these paths can meet). The resid variant is
+            # the fastest: the kernel reconstructs d = f32(base + r)·s in
+            # VMEM from the wire's int16 residuals, never materializing
+            # the (B, N, 3) displacement array in HBM.
             fast_diff_step = make_pallas_order_step(
                 np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
                 np.asarray(bond_type, np.int32),
                 np.asarray(bond_mol, np.int32),
                 n_types, handle_pbc=handle_pbc, with_leaflets=False,
                 normal_mode="static", diff_input=True)
+            fast_resid_step = make_pallas_order_step(
+                np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
+                np.asarray(bond_type, np.int32),
+                np.asarray(bond_mol, np.int32),
+                n_types, handle_pbc=handle_pbc, with_leaflets=False,
+                normal_mode="static", resid_input=True)
 
     def _single_device(x):
         s = getattr(x, "sharding", None)
@@ -365,7 +375,7 @@ def make_order_step(
 
     def step_impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
                   inv_scale=None, map_state=None, geom_ref=None, *,
-                  use_pallas=False, diff_input=False):
+                  use_pallas=False, diff_input=False, resid_input=False):
         """Traceable (unjitted) step body for fused per-batch programs
         (analysis.py _build_fused_steps): the wire reconstruction and the
         order kernel trace into ONE XLA program — a nested-jit boundary
@@ -374,7 +384,23 @@ def make_order_step(
         is a trace-time constant decided by the caller via pallas_ok().
         With diff_input=True, `coords` is the (B, N, 3) bond-vector array
         (b7 wire; no map/geom — b7 eligibility excludes them); use_pallas
-        routes it through the diff-input Pallas kernel."""
+        routes it through the diff-input Pallas kernel. With
+        resid_input=True, `coords` is the b7 wire's (residuals int16
+        (B, nv), base int32 (nv,)) pair and use_pallas routes through the
+        in-kernel-reconstruction variant — the XLA fallback reconstructs
+        the diffs (bit-identically to _b7_impl) and takes the diff
+        path."""
+        if resid_input:
+            assert map_state is None and geom_ref is None
+            assert inv_scale is not None
+            r, base = coords
+            if use_pallas and fast_resid_step is not None:
+                return fast_resid_step.impl((r, base), box_diag, normal,
+                                            frame_mask, inv_scale=inv_scale)
+            nv = base.shape[0]
+            coords = (base.reshape(1, nv).astype(jnp.int32)
+                      + r.astype(jnp.int32)).reshape(r.shape[0], nv // 3, 3)
+            diff_input = True
         if diff_input:
             assert map_state is None and geom_ref is None
             if use_pallas and fast_diff_step is not None:
@@ -429,12 +455,14 @@ def make_order_step(
         production fallback when the backend's Mosaic compiler rejects
         the fused kernel (e.g. a libtpu without a supported matmul
         lowering). Output is identical (tests/test_pallas.py)."""
-        nonlocal fast_step, fast_diff_step
+        nonlocal fast_step, fast_diff_step, fast_resid_step
         fast_step = None
         fast_diff_step = None
+        fast_resid_step = None
 
     step.impl = step_impl
     step.pallas_ok = pallas_ok
+    step.pallas_resid_ok = lambda: fast_resid_step is not None
     step.disable_pallas = disable_pallas
     step.pallas_active = lambda: fast_step is not None
     return step

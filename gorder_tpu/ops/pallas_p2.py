@@ -50,8 +50,15 @@ import numpy as np
 _SCALE = 1.0e6
 _LIMB = 128.0
 _LIMB2 = _LIMB * _LIMB
-_BT = 8        # frame tile (f32 sublane)
-_NT = 512      # bond tile (lanes)
+# Tile sizes: the kernel's per-grid-step fixed cost (~1.5-2 µs of DMA/
+# semaphore orchestration) dominates at the original (8, 512) tiles —
+# measured 2026-08-19 on the v5e at the AA benchmark scale (21.5k bonds,
+# batch 256): (8, 512) 122k f/s, (32, 2048) picked by A/B sweep (see
+# docs/PERFORMANCE.md). ~5 MB of VMEM at (32, 2048) incl. double
+# buffering — comfortably inside the ~16 MB budget. Overridable for
+# experiments; must keep _BT a multiple of 8 and _NT of 128.
+_BT = int(os.environ.get("GORDER_TPU_PALLAS_BT", "32"))   # frame tile
+_NT = int(os.environ.get("GORDER_TPU_PALLAS_NT", "2048"))  # bond tile
 _TP = 128      # padded bond-type count (lane width of the output)
 
 
@@ -74,16 +81,14 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
     return jax.default_backend() == "tpu"
 
 
-def _p2_limbs(nrm_refs, dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, *,
+def _p2_limbs(nrm_refs, dx, dy, dz, bx_ref, by_ref, bz_ref, *,
               handle_pbc, per_bond_normal):
-    """Shared tile math: displacements → exact 7-bit quantization limbs.
+    """Shared tile math: displacement VALUES → exact 7-bit quantization
+    limbs.
 
     nrm_refs is a single (1, 3) ref for the static normal, or three
     (Bt, Nt) per-bond plane refs (gathered from the per-molecule normals
     outside the kernel) for the dynamic/manual variant."""
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
     if handle_pbc:
         bx = bx_ref[:]                       # (Bt, 1), broadcasts over bonds
         by = by_ref[:]
@@ -127,19 +132,42 @@ def _accumulate(out_refs, parts):
             ref[:] = ref[:] + part
 
 
-def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets):
+def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets,
+               resid_input=False):
     """Grid-step body. Ref order:
     <normal refs> dx dy dz bx by bz mask [cls] onehot *outs, where the
     normal refs are one (1, 3) ref (static) or three (Bt, Nt) planes
     (per-bond). Without leaflets: 4 accumulators [l2, l1, l0, count];
     with leaflets: 12 — the same quadruple for the total membrane and each
     leaflet, masked by the per-bond class plane (0 = upper, 1 = lower;
-    bond.rs add_order's three-way accumulation)."""
+    bond.rs add_order's three-way accumulation).
+
+    With resid_input the displacement refs are instead
+    rx ry rz basex basey basez scale — int16 7-bit/escape residual planes
+    (b7 wire), int32 per-slot base rows (1, Nt), and the per-frame
+    dequantization scale (Bt, 1): the kernel reconstructs
+    d = f32(base + r) · scale in VMEM, bit-identical to the XLA
+    reconstruction (analysis.py _b7_impl) but without ever materializing
+    the (B, N, 3) displacement array in HBM — the wire's ~2 bytes/value
+    are all this path reads per sample."""
     nn = 3 if per_bond_normal else 1
     nrm_refs = refs[:nn]
-    dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, mask_ref = \
-        refs[nn:nn + 7]
-    rest = refs[nn + 7:]
+    if resid_input:
+        (rx_ref, ry_ref, rz_ref, bxb_ref, byb_ref, bzb_ref, s_ref,
+         bx_ref, by_ref, bz_ref, mask_ref) = refs[nn:nn + 11]
+        rest = refs[nn + 11:]
+        s = s_ref[:]                                     # (Bt, 1)
+        dx = (bxb_ref[:] + rx_ref[:].astype(jnp.int32)).astype(
+            jnp.float32) * s
+        dy = (byb_ref[:] + ry_ref[:].astype(jnp.int32)).astype(
+            jnp.float32) * s
+        dz = (bzb_ref[:] + rz_ref[:].astype(jnp.int32)).astype(
+            jnp.float32) * s
+    else:
+        dx_ref, dy_ref, dz_ref, bx_ref, by_ref, bz_ref, mask_ref = \
+            refs[nn:nn + 7]
+        rest = refs[nn + 7:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     if with_leaflets:
         cls_ref, oh_ref = rest[0], rest[1]
         out_refs = rest[2:]
@@ -147,7 +175,7 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets):
         oh_ref = rest[0]
         out_refs = rest[1:]
 
-    l2, l1, l0 = _p2_limbs(nrm_refs, dx_ref, dy_ref, dz_ref,
+    l2, l1, l0 = _p2_limbs(nrm_refs, dx, dy, dz,
                            bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc,
                            per_bond_normal=per_bond_normal)
     m = jnp.broadcast_to(mask_ref[:], l0.shape)        # (Bt, Nt)
@@ -179,33 +207,60 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
                             leaflet_classes=None, inv_scale=None, *,
                             handle_pbc, quantized, interpret, n_types,
                             with_leaflets, per_bond_normal=False,
-                            diff_input=False):
+                            diff_input=False, resid_input=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if quantized:
-        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
-    if diff_input:
-        # `coords` is already the (B, N, 3) bond-vector array (b7 wire) —
-        # pad the bond axis to the tile width; padded rows are zero
-        # vectors whose one-hot membership row is zero (no contribution,
-        # and P2 of a zero vector is finite: cos² = 0/1e-18 = 0)
-        n_pad = onehot_pad.shape[0]
-        d = jnp.pad(coords, ((0, 0), (0, n_pad - coords.shape[1]), (0, 0)))
+    n_pad = onehot_pad.shape[0]
+    if resid_input:
+        # `coords` is the b7 wire pair (r, base): (B, nv) int16 escape-
+        # applied residuals + (nv,) int32 per-slot base, slot = bond·3+c.
+        # Deinterleave into planar int16/int32 rows — the ONLY
+        # (B, N)-scale materializations this path makes (~2 bytes/value;
+        # the f32 displacement planes never exist in HBM). Padding slots
+        # are zero → d = 0, masked by the zero one-hot rows like the
+        # diff path.
+        r, base = coords
+        B = r.shape[0]
+        n = base.shape[0] // 3
+        pad = (0, n_pad - n)
+        rx = jnp.pad(r[:, 0::3], ((0, 0), pad))
+        ry = jnp.pad(r[:, 1::3], ((0, 0), pad))
+        rz = jnp.pad(r[:, 2::3], ((0, 0), pad))
+        b3 = base.reshape(n, 3).astype(jnp.int32)
+        bxb = jnp.pad(b3[:, 0], pad)[None, :]          # (1, Np) i32 rows
+        byb = jnp.pad(b3[:, 1], pad)[None, :]
+        bzb = jnp.pad(b3[:, 2], pad)[None, :]
+        Np = n_pad
     else:
-        pa = jnp.take(coords, atom_a, axis=1)          # (B, Np, 3)
-        pb = jnp.take(coords, atom_b, axis=1)
-        d = pb - pa
-    B, Np = d.shape[0], d.shape[1]
+        if quantized:
+            coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
+        if diff_input:
+            # `coords` is already the (B, N, 3) bond-vector array (b7
+            # wire) — pad the bond axis to the tile width; padded rows are
+            # zero vectors whose one-hot membership row is zero (no
+            # contribution, and P2 of a zero vector is finite:
+            # cos² = 0/1e-18 = 0)
+            d = jnp.pad(coords,
+                        ((0, 0), (0, n_pad - coords.shape[1]), (0, 0)))
+        else:
+            pa = jnp.take(coords, atom_a, axis=1)      # (B, Np, 3)
+            pb = jnp.take(coords, atom_b, axis=1)
+            d = pb - pa
+        B, Np = d.shape[0], d.shape[1]
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]   # (B, Np) planes
 
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]       # (B, Np) planes
     bx = box_diag[:, 0:1]
     by = box_diag[:, 1:2]
     bz = box_diag[:, 2:3]
     mask = frame_mask.astype(jnp.float32)[:, None]     # (B, 1)
 
-    grid = (B // _BT, Np // _NT)
+    # largest configured frame tile the batch divides evenly (tests use
+    # small batches; production batches are multiples of 32)
+    bt = _BT if B % _BT == 0 else 8
+    grid = (B // bt, Np // _NT)
     tile = lambda i, j: (i, j)          # noqa: E731  (Bt, Nt) data tiles
+    row = lambda i, j: (0, j)           # noqa: E731  per-slot base rows
     col = lambda i, j: (i, 0)           # noqa: E731  per-frame columns
     mem = pltpu.VMEM if not interpret else None
 
@@ -218,40 +273,56 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
         # (B, M, 3) per-molecule normals → per-bond planes, gathered
         # outside the kernel (XLA) like the displacements
         nrm = jnp.take(normal, bond_mol, axis=1)       # (B, Np, 3)
-        in_specs = [vspec((_BT, _NT), tile)] * 3
+        in_specs = [vspec((bt, _NT), tile)] * 3
         operands = [nrm[..., 0], nrm[..., 1], nrm[..., 2]]
     else:
         in_specs = [vspec((1, 3), lambda i, j: (0, 0))]
         operands = [normal[None, :]]
 
+    if resid_input:
+        in_specs += [
+            vspec((bt, _NT), tile),               # rx (i16)
+            vspec((bt, _NT), tile),               # ry
+            vspec((bt, _NT), tile),               # rz
+            vspec((1, _NT), row),                  # base x (i32)
+            vspec((1, _NT), row),                  # base y
+            vspec((1, _NT), row),                  # base z
+            vspec((bt, 1), col),                  # dequantization scale
+        ]
+        operands += [rx, ry, rz, bxb, byb, bzb, inv_scale[:, None]]
+    else:
+        in_specs += [
+            vspec((bt, _NT), tile),               # dx
+            vspec((bt, _NT), tile),               # dy
+            vspec((bt, _NT), tile),               # dz
+        ]
+        operands += [dx, dy, dz]
     in_specs += [
-        vspec((_BT, _NT), tile),                   # dx
-        vspec((_BT, _NT), tile),                   # dy
-        vspec((_BT, _NT), tile),                   # dz
-        vspec((_BT, 1), col),                      # box x
-        vspec((_BT, 1), col),                      # box y
-        vspec((_BT, 1), col),                      # box z
-        vspec((_BT, 1), col),                      # frame mask
+        vspec((bt, 1), col),                      # box x
+        vspec((bt, 1), col),                      # box y
+        vspec((bt, 1), col),                      # box z
+        vspec((bt, 1), col),                      # frame mask
     ]
-    operands += [dx, dy, dz, bx, by, bz, mask]
+    operands += [bx, by, bz, mask]
 
     if with_leaflets:
         # per-bond class plane, gathered outside the kernel (XLA) so the
         # kernel consumes plain (Bt, Nt) tiles like the displacements
         cls = jnp.take(leaflet_classes, bond_mol, axis=1).astype(jnp.float32)
-        in_specs.append(vspec((_BT, _NT), tile))
+        in_specs.append(vspec((bt, _NT), tile))
         operands.append(cls)
         n_out = 12
     else:
         n_out = 4
     kernel = functools.partial(_p2_kernel, handle_pbc=handle_pbc,
                                per_bond_normal=per_bond_normal,
-                               with_leaflets=with_leaflets)
+                               with_leaflets=with_leaflets,
+                               resid_input=resid_input)
 
     in_specs.append(vspec((_NT, _TP), lambda i, j: (j, 0)))  # one-hot types
     operands.append(onehot_pad)
 
-    out_spec = vspec((_BT, _TP), col)
+    out_spec = vspec((bt, _TP), col)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -276,23 +347,29 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
 _pallas_order_step = jax.jit(
     _pallas_order_step_impl,
     static_argnames=("handle_pbc", "quantized", "interpret", "n_types",
-                     "with_leaflets", "per_bond_normal", "diff_input"))
+                     "with_leaflets", "per_bond_normal", "diff_input",
+                     "resid_input"))
 
 
 def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
                            n_types: int, *, handle_pbc: bool = True,
                            with_leaflets: bool = False,
                            normal_mode: str = "static",
-                           diff_input: bool = False):
+                           diff_input: bool = False,
+                           resid_input: bool = False):
     """Fused fast-path variant of core.order.make_order_step (same call
     signature and output layout for the configurations it supports).
 
     With diff_input=True the step consumes the (B, N, 3) bond-vector
-    array directly (b7 wire) instead of gathering positions; b7 is only
-    eligible for pure bond-order runs, so that variant is static-normal,
-    no-leaflet only."""
+    array directly (b7 wire) instead of gathering positions; with
+    resid_input=True it consumes the b7 wire's (residuals, base) pair and
+    reconstructs + dequantizes inside the kernel (the fastest path:
+    ~2 HBM bytes per sample). b7 is only eligible for pure bond-order
+    runs, so both variants are static-normal, no-leaflet only."""
     per_bond_normal = normal_mode == "per_molecule"
-    assert not diff_input or (not per_bond_normal and not with_leaflets)
+    assert not (diff_input and resid_input)
+    assert not (diff_input or resid_input) or (not per_bond_normal
+                                               and not with_leaflets)
     n = len(atom_a)
     n_pad = max(_NT, ((n + _NT - 1) // _NT) * _NT)
     atom_a_p = np.zeros(n_pad, np.int32)
@@ -318,10 +395,11 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
         return _pallas_order_step(
             coords, box_diag, normal, frame_mask, atom_a_d, atom_b_d,
             bond_mol_d, onehot_d, leaflet_classes, inv_scale,
-            handle_pbc=handle_pbc, quantized=inv_scale is not None,
+            handle_pbc=handle_pbc,
+            quantized=not resid_input and inv_scale is not None,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
-            diff_input=diff_input,
+            diff_input=diff_input, resid_input=resid_input,
         )
 
     def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
@@ -332,10 +410,11 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
         return _pallas_order_step_impl(
             coords, box_diag, normal, frame_mask, atom_a_d, atom_b_d,
             bond_mol_d, onehot_d, leaflet_classes, inv_scale,
-            handle_pbc=handle_pbc, quantized=inv_scale is not None,
+            handle_pbc=handle_pbc,
+            quantized=not resid_input and inv_scale is not None,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
-            diff_input=diff_input,
+            diff_input=diff_input, resid_input=resid_input,
         )
 
     step.impl = impl

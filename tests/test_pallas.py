@@ -279,6 +279,41 @@ def test_pallas_diff_input_matches_einsum(monkeypatch):
     assert (np.abs(sum_f - sum_r) <= ct_r).all(), (sum_f, sum_r, ct_r)
 
 
+def test_pallas_resid_input_matches_diff_path(monkeypatch):
+    """b7 resid path: the kernel consumes the wire's (int16 residuals,
+    int32 per-slot base) pair and reconstructs d = f32(base + r)·scale in
+    VMEM (ops/pallas_p2.py resid_input). Must match the XLA fallback
+    (which reconstructs the diffs bit-identically to _b7_impl and takes
+    the diff path) within one quantum per sample, with equal counts."""
+    coords, box, atom_a, atom_b, btype, bmol, mask, T = _random_problem(7)
+    normal = np.array([0, 0, 1], np.float32)
+    prec = 100.0
+    q = np.round(coords * prec)
+    d = (q[:, atom_b, :] - q[:, atom_a, :]).astype(np.int32)
+    B, N = d.shape[:2]
+    flat = d.reshape(B, 3 * N)
+    base = flat[0].astype(np.int32)            # any exact-int base works
+    r = (flat - base[None, :]).astype(np.int16)
+    np.testing.assert_array_equal(r.astype(np.int32) + base[None, :], flat)
+    inv = np.full(B, 1.0 / prec, np.float32)
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, 1)
+    assert fast.pallas_resid_ok()
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, 1)
+    assert not ref.pallas_resid_ok()
+
+    out_f, _ = fast.impl((r, base), box, normal, mask, inv_scale=inv,
+                         resid_input=True, use_pallas=True)
+    out_r, _ = ref.impl((r, base), box, normal, mask, inv_scale=inv,
+                        resid_input=True)
+    sum_f, ct_f = _decode(np.asarray(out_f["total"]))
+    sum_r, ct_r = _decode(np.asarray(out_r["total"]))
+    np.testing.assert_array_equal(ct_f, ct_r)
+    assert (np.abs(sum_f - sum_r) <= ct_r).all(), (sum_f, sum_r, ct_r)
+
+
 def test_disable_pallas_reroutes_to_xla(monkeypatch):
     """step.disable_pallas() — the production fallback for backends whose
     Mosaic compiler rejects the fused kernel — must reroute through the

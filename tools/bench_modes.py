@@ -452,11 +452,11 @@ def run_device_resident(mode):
     analysis = _make_analysis(mode)
     baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T}[mode]
     best = 0.0
-    # batch 2048 measured SLOWER on CG (177k vs 357k f/s: the scan body's
-    # working set outgrows VMEM-friendly tiling) and UA's 2048-frame
-    # staging+compile alone outruns a sensible budget — 512 is the sweet
-    # spot for both
-    for batch in ((512, 2048) if mode == "cg" else (512,)):
+    # bigger is NOT better here: on the AA headline the sweep peaks at
+    # batch 256 (131.6k f/s) and cliffs at 512+ (53.5k @512, 32.8k @1024,
+    # CG 177k @2048 vs 357k @512) — the fused program's working set
+    # outgrows VMEM-friendly tiling
+    for batch in (256, 512):
         try:
             if mode == "cg":
                 probe = bench.measure_wire_bytes(analysis)
