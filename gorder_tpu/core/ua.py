@@ -26,7 +26,7 @@ import numpy as np
 from ..parallel.context import put_const
 
 from .order import quantize_split
-from .pbc import min_image, wrap
+from .pbc import min_image
 
 TETRAHEDRAL_ANGLE = np.float32(1.910633)
 TETRAHEDRAL_ANGLE_HALF = np.float32(0.9553165)
@@ -34,86 +34,170 @@ BOND_LENGTH = np.float32(0.109)
 CH3_ANGLE = np.float32(2.0943952)
 
 
-def _normalize(v, eps=1e-30):
-    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
-
-
-def _rodrigues(v, axis, angle):
-    """Rotate v around unit axis by angle (broadcast over leading dims)."""
-    cos = jnp.cos(angle)
-    sin = jnp.sin(angle)
-    k_cross_v = jnp.cross(axis, v)
-    k_dot_v = jnp.sum(axis * v, axis=-1, keepdims=True)
-    return v * cos + k_cross_v * sin + axis * k_dot_v * (1.0 - cos)
-
-
 def _gather(coords, idx):
     return jnp.take(coords, idx, axis=1)
 
 
+def _planarize(*vs):
+    """(..., 3) arrays → planar (x, y, z) tuples."""
+    return [tuple(v[..., i] for i in range(3)) if v is not None else None
+            for v in vs]
+
+
+def _restack(planar_list):
+    return [jnp.stack(p, axis=-1) for p in planar_list]
+
+
 def predict_ch3(t, h1, h2, box, handle_pbc):
-    """(..., 3) target/helper positions → 3 hydrogen positions."""
-    th1 = h1 - t
-    th2 = h2 - t
-    if handle_pbc:
-        th1 = min_image(th1, box)
-        th2 = min_image(th2, box)
-    axis1 = _normalize(jnp.cross(th2, th1))
-    hv1 = _rodrigues(th1, axis1, TETRAHEDRAL_ANGLE)
-    hydrogen1 = t + _normalize(hv1) * BOND_LENGTH
-    axis2 = _normalize(th1)
-    hv2 = _rodrigues(hv1, axis2, CH3_ANGLE)
-    hv3 = _rodrigues(hv1, axis2, -CH3_ANGLE)
-    hydrogen2 = t + _normalize(hv2) * BOND_LENGTH
-    hydrogen3 = t + _normalize(hv3) * BOND_LENGTH
-    return [hydrogen1, hydrogen2, hydrogen3]
+    """(..., 3) target/helper positions → 3 hydrogen positions.
+
+    Vector-layout wrapper over the planar production formulation below
+    (one formulation, no drift)."""
+    tp, h1p, h2p, boxp = _planarize(t, h1, h2, box)
+    return _restack(predict_ch3_planar(tp, h1p, h2p, boxp, handle_pbc))
 
 
 def predict_ch2(t, h1, h2, box, handle_pbc):
-    th1 = h1 - t
-    th2 = h2 - t
-    if handle_pbc:
-        th1 = min_image(th1, box)
-        th2 = min_image(th2, box)
-    u1 = _normalize(th1)
-    u2 = _normalize(th2)
-    plane_normal = jnp.cross(u2, u1)
-    rot_axis = _normalize(u1 - u2)
-    rot_vec = jnp.cross(plane_normal, rot_axis)
-    hv1 = _rodrigues(rot_vec, rot_axis, TETRAHEDRAL_ANGLE_HALF)
-    hv2 = _rodrigues(rot_vec, rot_axis, -TETRAHEDRAL_ANGLE_HALF)
-    hydrogen1 = t + _normalize(hv1) * BOND_LENGTH
-    hydrogen2 = t + _normalize(hv2) * BOND_LENGTH
-    return [hydrogen1, hydrogen2]
+    tp, h1p, h2p, boxp = _planarize(t, h1, h2, box)
+    return _restack(predict_ch2_planar(tp, h1p, h2p, boxp, handle_pbc))
 
 
 def predict_ch1_unsaturated(t, h1, h2, box, handle_pbc):
-    th1 = h1 - t
-    th2 = h2 - t
-    if handle_pbc:
-        th1 = min_image(th1, box)
-        th2 = min_image(th2, box)
-    # gamma = angle between th1 and th2
-    dot = jnp.sum(th1 * th2, axis=-1, keepdims=True)
-    norms = jnp.sqrt(
-        jnp.sum(th1 * th1, axis=-1, keepdims=True)
-        * jnp.sum(th2 * th2, axis=-1, keepdims=True))
-    gamma = jnp.arccos(jnp.clip(dot / jnp.maximum(norms, 1e-30), -1.0, 1.0))
-    axis = _normalize(jnp.cross(th1, th2))
-    hv = _rodrigues(th2, axis, jnp.pi - gamma / 2.0)
-    return [t + _normalize(hv) * BOND_LENGTH]
+    tp, h1p, h2p, boxp = _planarize(t, h1, h2, box)
+    return _restack(
+        predict_ch1_unsaturated_planar(tp, h1p, h2p, boxp, handle_pbc))
 
 
 def predict_ch1_saturated(t, h1, h2, h3, box, handle_pbc):
-    th1 = h1 - t
-    th2 = h2 - t
-    th3 = h3 - t
+    tp, h1p, h2p, h3p, boxp = _planarize(t, h1, h2, h3, box)
+    return _restack(
+        predict_ch1_saturated_planar(tp, h1p, h2p, h3p, boxp, handle_pbc))
+
+
+# ---------------------------------------------------------------------------
+# Planar (structure-of-arrays) formulation — the production path.
+#
+# A vector-layout formulation operates on (..., 3) arrays whose minor
+# dimension is 3: on TPU the minor axis maps to the VPU's 128 lanes, so
+# every elementwise op runs at 3/128 lane occupancy. Measured on the UA
+# benchmark (v5e, batch 256, 17.4k virtual bonds/frame) the prediction
+# stage alone cost 8.1 of the step's 14.5 µs/frame in that layout. The
+# planar formulation computes on three (B, n) x/y/z planes (lanes across
+# atoms, fully occupied). A planar triple is a Python tuple (x, y, z) of
+# same-shaped arrays. The vector-signature predictors above are thin
+# planarize→compute→restack wrappers so there is exactly one numeric
+# formulation (tests/test_kernel_units.py planar parity).
+# ---------------------------------------------------------------------------
+
+
+def _psub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _pdot(a, b):
+    # jnp.sum(v, axis=-1) reduction order over a size-3 minor axis:
+    # (x + y) + z
+    return (a[0] * b[0] + a[1] * b[1]) + a[2] * b[2]
+
+
+def _pcross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _pnormalize(v, eps=1e-30):
+    n = jnp.sqrt(jnp.maximum(_pdot(v, v), eps))
+    return (v[0] / n, v[1] / n, v[2] / n)
+
+
+def _pmin_image(d, box):
+    return tuple(di - bi * jnp.round(di / bi) for di, bi in zip(d, box))
+
+
+def _pwrap(x, box):
+    return tuple(xi - bi * jnp.floor(xi / bi) for xi, bi in zip(x, box))
+
+
+def _prodrigues(v, axis, angle):
+    """Planar _rodrigues: v·cos + (axis×v)·sin + (axis·(axis·v))·(1−cos),
+    with the vector version's exact multiply grouping
+    ((axis * k_dot_v) * (1 − cos))."""
+    cos = jnp.cos(angle)
+    sin = jnp.sin(angle)
+    kc = _pcross(axis, v)
+    kdv = _pdot(axis, v)
+    one_m = 1.0 - cos
+    return tuple(v[i] * cos + kc[i] * sin + (axis[i] * kdv) * one_m
+                 for i in range(3))
+
+
+def _padd_bond(t, hv):
+    """t + normalize(hv) * BOND_LENGTH, planar."""
+    u = _pnormalize(hv)
+    return (t[0] + u[0] * BOND_LENGTH,
+            t[1] + u[1] * BOND_LENGTH,
+            t[2] + u[2] * BOND_LENGTH)
+
+
+def predict_ch3_planar(t, h1, h2, box, handle_pbc):
+    th1 = _psub(h1, t)
+    th2 = _psub(h2, t)
     if handle_pbc:
-        th1 = min_image(th1, box)
-        th2 = min_image(th2, box)
-        th3 = min_image(th3, box)
-    hv = -(_normalize(th1) + _normalize(th2) + _normalize(th3))
-    return [t + _normalize(hv) * BOND_LENGTH]
+        th1 = _pmin_image(th1, box)
+        th2 = _pmin_image(th2, box)
+    axis1 = _pnormalize(_pcross(th2, th1))
+    hv1 = _prodrigues(th1, axis1, TETRAHEDRAL_ANGLE)
+    hydrogen1 = _padd_bond(t, hv1)
+    axis2 = _pnormalize(th1)
+    hv2 = _prodrigues(hv1, axis2, CH3_ANGLE)
+    hv3 = _prodrigues(hv1, axis2, -CH3_ANGLE)
+    return [hydrogen1, _padd_bond(t, hv2), _padd_bond(t, hv3)]
+
+
+def predict_ch2_planar(t, h1, h2, box, handle_pbc):
+    th1 = _psub(h1, t)
+    th2 = _psub(h2, t)
+    if handle_pbc:
+        th1 = _pmin_image(th1, box)
+        th2 = _pmin_image(th2, box)
+    u1 = _pnormalize(th1)
+    u2 = _pnormalize(th2)
+    plane_normal = _pcross(u2, u1)
+    rot_axis = _pnormalize(_psub(u1, u2))
+    rot_vec = _pcross(plane_normal, rot_axis)
+    hv1 = _prodrigues(rot_vec, rot_axis, TETRAHEDRAL_ANGLE_HALF)
+    hv2 = _prodrigues(rot_vec, rot_axis, -TETRAHEDRAL_ANGLE_HALF)
+    return [_padd_bond(t, hv1), _padd_bond(t, hv2)]
+
+
+def predict_ch1_unsaturated_planar(t, h1, h2, box, handle_pbc):
+    th1 = _psub(h1, t)
+    th2 = _psub(h2, t)
+    if handle_pbc:
+        th1 = _pmin_image(th1, box)
+        th2 = _pmin_image(th2, box)
+    dot = _pdot(th1, th2)
+    norms = jnp.sqrt(_pdot(th1, th1) * _pdot(th2, th2))
+    gamma = jnp.arccos(jnp.clip(dot / jnp.maximum(norms, 1e-30), -1.0, 1.0))
+    axis = _pnormalize(_pcross(th1, th2))
+    hv = _prodrigues(th2, axis, jnp.pi - gamma / 2.0)
+    return [_padd_bond(t, hv)]
+
+
+def predict_ch1_saturated_planar(t, h1, h2, h3, box, handle_pbc):
+    th1 = _psub(h1, t)
+    th2 = _psub(h2, t)
+    th3 = _psub(h3, t)
+    if handle_pbc:
+        th1 = _pmin_image(th1, box)
+        th2 = _pmin_image(th2, box)
+        th3 = _pmin_image(th3, box)
+    n1 = _pnormalize(th1)
+    n2 = _pnormalize(th2)
+    n3 = _pnormalize(th3)
+    hv = tuple(-(n1[i] + n2[i] + n3[i]) for i in range(3))
+    return [_padd_bond(t, hv)]
 
 
 def _ua_step_impl(coords, box_diag, normal, frame_mask, indices, bond_mol,
@@ -129,54 +213,80 @@ def _ua_step_impl(coords, box_diag, normal, frame_mask, indices, bond_mol,
     from .geometry import inside_mask
     from .ordermap import map_cells, update_maps
 
+    # Planar (structure-of-arrays) execution: all per-sample math runs on
+    # (B, n) x/y/z planes so the TPU's 128-lane VPU is fully occupied
+    # (see the planar-predictor block above). Planarize the coordinate
+    # array ONCE; every op from here on is bit-identical to the vector
+    # formulation.
     if quantized:
-        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
-    box3 = box_diag[:, None, :]
+        cs = inv_scale[:, None]
+        cpl = tuple(coords[..., i].astype(jnp.float32) * cs
+                    for i in range(3))
+    else:
+        cpl = tuple(coords[..., i] for i in range(3))
+    boxp = tuple(box_diag[:, i:i + 1] for i in range(3))  # (B, 1) columns
+    if normal_mode == "static":
+        npl = None
+    else:
+        npl = tuple(normal[..., i] for i in range(3))     # (B, M) planes
+
+    def gather(ix):
+        return tuple(jnp.take(p, ix, axis=1) for p in cpl)
 
     with_pos = map_spec is not None or geom_spec is not None
     pos_parts = []
     sch_parts = []
     for category, _n in layout:
         ix = indices[category]
-        t = _gather(coords, ix["target"])
-        h1 = _gather(coords, ix["h1"])
-        h2 = _gather(coords, ix["h2"]) if "h2" in ix else None
+        t = gather(ix["target"])
+        h1 = gather(ix["h1"])
+        h2 = gather(ix["h2"]) if "h2" in ix else None
         if category == "ch3":
-            hydrogens = predict_ch3(t, h1, h2, box3, handle_pbc)
+            hydrogens = predict_ch3_planar(t, h1, h2, boxp, handle_pbc)
         elif category == "ch2":
-            hydrogens = predict_ch2(t, h1, h2, box3, handle_pbc)
+            hydrogens = predict_ch2_planar(t, h1, h2, boxp, handle_pbc)
         elif category == "ch1u":
-            hydrogens = predict_ch1_unsaturated(t, h1, h2, box3, handle_pbc)
+            hydrogens = predict_ch1_unsaturated_planar(
+                t, h1, h2, boxp, handle_pbc)
         else:  # ch1s
-            h3 = _gather(coords, ix["h3"])
-            hydrogens = predict_ch1_saturated(t, h1, h2, h3, box3, handle_pbc)
+            h3 = gather(ix["h3"])
+            hydrogens = predict_ch1_saturated_planar(
+                t, h1, h2, h3, boxp, handle_pbc)
+
+        if normal_mode != "static":
+            pb_normal = tuple(jnp.take(p, ix["mol"], axis=1) for p in npl)
+            n2 = jnp.maximum(_pdot(pb_normal, pb_normal), 1e-18)
 
         per_atom = []
         per_atom_pos = []
         for hpos in hydrogens:
             if handle_pbc:
-                hpos = wrap(hpos, box3)
-            vec = hpos - t
+                hpos = _pwrap(hpos, boxp)
+            vec = _psub(hpos, t)
             if handle_pbc:
-                vec = min_image(vec, box3)
+                vec = _pmin_image(vec, boxp)
             if normal_mode == "static":
-                proj = jnp.einsum("bnc,c->bn", vec, normal)
+                proj = (vec[0] * normal[0] + vec[1] * normal[1]) \
+                    + vec[2] * normal[2]
                 n2 = jnp.float32(1.0)
             else:
-                pb_normal = jnp.take(normal, ix["mol"], axis=1)
-                proj = jnp.sum(vec * pb_normal, axis=-1)
-                n2 = jnp.maximum(jnp.sum(pb_normal * pb_normal, axis=-1), 1e-18)
-            d2 = jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-18)
+                proj = _pdot(vec, pb_normal)
+            d2 = jnp.maximum(_pdot(vec, vec), 1e-18)
             per_atom.append(1.5 * (proj * proj) / (d2 * n2) - 0.5)
             if with_pos:
                 # the reference's bond position (uaorder.rs:386):
                 # hydrogen + (hydrogen − target)/2
-                per_atom_pos.append(hpos + vec * 0.5)
+                per_atom_pos.append(tuple(
+                    hpos[i] + vec[i] * 0.5 for i in range(3)))
         # hydrogen-major per atom: (B, n, K) → (B, n*K)
         stacked = jnp.stack(per_atom, axis=-1)
         sch_parts.append(stacked.reshape(stacked.shape[0], -1))
         if with_pos:
-            pstacked = jnp.stack(per_atom_pos, axis=-2)   # (B, n, K, 3)
+            # (B, n, K, 3) in the vector layout the map/geometry kernels
+            # expect — assembled only when those kernels are active
+            pstacked = jnp.stack(
+                [jnp.stack([p[i] for p in per_atom_pos], axis=-1)
+                 for i in range(3)], axis=-1)              # (B, n, K, 3)
             pos_parts.append(
                 pstacked.reshape(pstacked.shape[0], -1, 3))
 
@@ -191,7 +301,8 @@ def _ua_step_impl(coords, box_diag, normal, frame_mask, indices, bond_mol,
     if geom_spec is not None:
         from .order import _geometry_reference
 
-        ref = _geometry_reference(coords, box_diag, geom_ref, handle_pbc)
+        coords_f = jnp.stack(cpl, axis=-1)          # dequantized (B, N, 3)
+        ref = _geometry_reference(coords_f, box_diag, geom_ref, handle_pbc)
         geo = inside_mask(bond_pos, ref, box_diag, geom_spec, handle_pbc)
         ones = ones * geo
 

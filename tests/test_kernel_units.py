@@ -186,6 +186,51 @@ def test_ua_hydrogen_prediction_hand_values(fixtures):
           [[1.5022101, 2.6938448, 1.7839708]])
 
 
+def test_ua_planar_predictors_bit_match_vector_forms():
+    """The planar (structure-of-arrays) predictors — the production UA
+    path, lane-efficient on TPU — must be BIT-identical to the vector
+    reference formulation: same f32 operations in the same order
+    (core/ua.py planar block)."""
+    import jax.numpy as jnp
+
+    from gorder_tpu.core.ua import (
+        predict_ch1_saturated, predict_ch1_saturated_planar,
+        predict_ch1_unsaturated, predict_ch1_unsaturated_planar,
+        predict_ch2, predict_ch2_planar,
+        predict_ch3, predict_ch3_planar,
+    )
+
+    rng = np.random.default_rng(11)
+    B, n = 3, 257
+    box = np.asarray(rng.uniform(4.0, 9.0, (B, 1, 3)), np.float32)
+    pts = [np.asarray(rng.uniform(-2.0, 11.0, (B, n, 3)), np.float32)
+           for _ in range(4)]
+    t, h1, h2, h3 = (jnp.asarray(p) for p in pts)
+    boxv = jnp.asarray(box)
+    tp, h1p, h2p, h3p = (tuple(p[..., i] for i in range(3))
+                         for p in (t, h1, h2, h3))
+    boxp = tuple(boxv[:, :, i] for i in range(3))
+
+    for handle_pbc in (True, False):
+        cases = [
+            (predict_ch3(t, h1, h2, boxv, handle_pbc),
+             predict_ch3_planar(tp, h1p, h2p, boxp, handle_pbc)),
+            (predict_ch2(t, h1, h2, boxv, handle_pbc),
+             predict_ch2_planar(tp, h1p, h2p, boxp, handle_pbc)),
+            (predict_ch1_unsaturated(t, h1, h2, boxv, handle_pbc),
+             predict_ch1_unsaturated_planar(tp, h1p, h2p, boxp,
+                                            handle_pbc)),
+            (predict_ch1_saturated(t, h1, h2, h3, boxv, handle_pbc),
+             predict_ch1_saturated_planar(tp, h1p, h2p, h3p, boxp,
+                                          handle_pbc)),
+        ]
+        for vec_out, pl_out in cases:
+            assert len(vec_out) == len(pl_out)
+            for hv, hp in zip(vec_out, pl_out):
+                got = np.stack([np.asarray(c) for c in hp], axis=-1)
+                np.testing.assert_array_equal(np.asarray(hv), got)
+
+
 def test_quantize_matches_f64_reference_rule_brute_force():
     """quantize_split reproduces the reference's f64 quantization
     (order.rs:21-26: round(v as f64 * 1e6) half away from zero) bit for
