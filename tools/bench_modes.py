@@ -436,10 +436,101 @@ def _measure_device_resident_ua(analysis, batch=512, iters=30):
     return best
 
 
+def _measure_device_resident_aa_leaflets(analysis, batch=256, iters=30):
+    """AA + global-leaflets analogue of bench.measure_device_resident:
+    one real batch's b7g wire payload (bond residuals + head-position and
+    Bai-Breen COG side channels) staged on the device, then the
+    production fused body (analysis.py _build_fused_steps 'b7g' branch:
+    _b7_impl -> channel classification -> leaflet-wise order kernel)
+    timed over `iters` scan repetitions in ONE dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gorder_tpu.analysis import (_b7_impl, _build_atom_space,
+                                     _prepare_bond_kinds,
+                                     build_leaflet_runtime, load_structure)
+    from gorder_tpu.core.order import make_order_step
+    from gorder_tpu.io.native import b7_stride
+    from gorder_tpu.io.traj import Trajectory
+
+    system = load_structure(analysis)
+    kinds, compiled = _prepare_bond_kinds(system, analysis)
+    space, remap = _build_atom_space(system, analysis,
+                                     [compiled.atom_a, compiled.atom_b])
+    leaflets = build_leaflet_runtime(system, analysis, kinds,
+                                     compiled.n_molecules, 2, remap)
+    ch = leaflets.fused_channel_impl()
+    assert ch is not None, "global every-frame leaflets should ride b7g"
+    channel_classify, (ch_membrane, ch_heads, ch_axis) = ch
+    step = make_order_step(
+        remap(compiled.atom_a), remap(compiled.atom_b), compiled.bond_type,
+        compiled.molecule, compiled.n_types, compiled.n_molecules,
+        handle_pbc=True, with_leaflets=True, normal_mode="static")
+    use_pallas = bool(step.pallas_ok(batch, has_classes=True,
+                                     has_geom=False))
+    bond_slots = (remap(compiled.atom_a), remap(compiled.atom_b))
+
+    traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
+    idx = traj.select_frames(None, None, 1)[:batch]
+    n = len(idx)
+    esc_cap = 4096
+    pk = np.zeros((n, b7_stride(len(bond_slots[0]))), np.uint8)
+    eg = np.zeros((n, esc_cap), np.uint16)
+    ev = np.zeros((n, esc_cap), np.int16)
+    aux = np.zeros((n, len(ch_heads), 3), np.int32)
+    cog = np.zeros(n, np.float32)
+    res, _ = traj.read_frames_b7(idx, space, bond_slots[0], bond_slots[1],
+                                 pk, eg, ev, aux_slots=ch_heads,
+                                 aux_out=aux, cog_slots=ch_membrane,
+                                 cog_axis=ch_axis, cog_out=cog)
+    assert res is not None, "synthesized AA batch should fit the b7 wire"
+    base, inv_prec, boxes, _, _ = res
+    staged = tuple(jax.device_put(a) for a in (pk, eg, ev, base, aux, cog))
+    scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
+    box_dev = jax.device_put(boxes[:, [0, 1, 2], [0, 1, 2]].copy())
+    normal_dev = jax.device_put(np.array([0, 0, 1], np.float32))
+    mask_dev = jax.device_put(np.ones(n, bool))
+    jax.block_until_ready([box_dev, normal_dev, mask_dev])
+
+    def one(carry):
+        pk_d, eg_d, ev_d, base_d, aux_d, cog_d = staged
+        scale = scale_dev + carry
+        dq = _b7_impl(pk_d, eg_d, ev_d, base_d)
+        heads = aux_d.astype(jnp.float32) * scale[:, None, None]
+        classes = channel_classify(heads, cog_d, box_dev)
+        return step.impl(dq, box_dev, normal_dev, mask_dev,
+                         leaflet_classes=classes, inv_scale=scale,
+                         map_state=None, geom_ref=None,
+                         diff_input=True, use_pallas=use_pallas)
+
+    @jax.jit
+    def many(eps):
+        def body(carry, _):
+            result, _ = one(carry)
+            return eps * result["total"][0, 0, 0], None
+
+        carry, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        result, _ = one(carry)
+        return result
+
+    eps0 = jnp.float32(0.0)
+    jax.block_until_ready(many(eps0))
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        result = many(eps0)
+        jax.block_until_ready(result)
+        dt = time.perf_counter() - t0
+        {k: np.asarray(v) for k, v in result.items()}
+        best = max(best, (iters + 1) * n / dt)
+    return best
+
+
 def run_device_resident(mode):
-    """Device-resident compute throughput for the CG / UA modes — fills
-    the benchmark table's device-resident column beyond the AA headline
-    (bench.py measures that one)."""
+    """Device-resident compute throughput for the CG / UA / AA-leaflets
+    modes — fills the benchmark table's device-resident column beyond the
+    AA headline (bench.py measures that one)."""
     import bench
 
     ok, detail = bench.preflight_device()
@@ -450,7 +541,8 @@ def run_device_resident(mode):
                           "unit": "frames/s", "device_unreachable": True}))
         return
     analysis = _make_analysis(mode)
-    baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T}[mode]
+    baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T,
+                "aa-leaflets": AA_LEAFLETS_BASELINE_8T}[mode]
     best = 0.0
     # bigger is NOT better here: on the AA headline the sweep peaks at
     # batch 256 (131.6k f/s) and cliffs at 512+ (53.5k @512, 32.8k @1024,
@@ -461,6 +553,9 @@ def run_device_resident(mode):
             if mode == "cg":
                 probe = bench.measure_wire_bytes(analysis)
                 r = bench.measure_device_resident(probe, batch=batch)
+            elif mode == "aa-leaflets":
+                r = _measure_device_resident_aa_leaflets(analysis,
+                                                         batch=batch)
             else:
                 r = _measure_device_resident_ua(analysis, batch=batch)
         except Exception as exc:        # e.g. HBM limit at the largest batch
@@ -487,12 +582,12 @@ def main():
         print("synthesized CG + UA benchmark inputs")
     elif cmd in ("cg", "ua", "aa-leaflets"):
         run_mode(cmd)
-    elif cmd in ("cg-dr", "ua-dr"):
-        run_device_resident(cmd[:2])
+    elif cmd in ("cg-dr", "ua-dr", "aa-leaflets-dr"):
+        run_device_resident(cmd[:-3])
     else:
         raise SystemExit(
             f"unknown mode {cmd!r} (use synth|cg|ua|aa-leaflets|"
-            "cg-dr|ua-dr)")
+            "cg-dr|ua-dr|aa-leaflets-dr)")
 
 
 if __name__ == "__main__":
