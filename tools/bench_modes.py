@@ -50,6 +50,15 @@ UA_BASELINE_8T = 3000 / 1.749           # frames/s, BASELINE.md row 7
 # (performance/leaflets_benchmarks.md §Atomistic; BASELINE.md row 17)
 AA_LEAFLETS_BASELINE_8T = 10000 / 9.86
 
+# AA with LOCAL leaflets every frame: ~508 s / 10k frames at 8 threads —
+# the reference's pathological case (per-lipid neighborhood scans on the
+# CPU; leaflets_benchmarks.md §Atomistic; BASELINE.md row 17)
+AA_LOCAL_LEAFLETS_BASELINE_8T = 10000 / 508.0
+
+# AA with dynamic membrane normals: 6.68 s / 10k frames at 8 threads
+# (performance/export_benchmarks.md §Normals; BASELINE.md row 19)
+AA_DYNAMIC_BASELINE_8T = 10000 / 6.68
+
 
 def _cg_template():
     """Martini-like POPC: NC3-PO4-GL1(-GL2)-C1A..C4A / C1B..C4B."""
@@ -227,11 +236,14 @@ def _make_analysis(mode):
         gro, bnd, xtc = synth_cg()
         atype = AnalysisType.cgorder("resname POPC")
         out = os.path.join(CACHE, "cg_bench_order.yaml")
-    elif mode == "aa-leaflets":
-        # leaflet-overhead row (performance/leaflets_benchmarks.md
-        # §Atomistic, global method, every frame): the AA headline system
-        # with global leaflet classification
-        from gorder_tpu.input.config import LeafletClassification
+    elif mode in ("aa-leaflets", "aa-local-leaflets", "aa-dynamic"):
+        # AA-headline-system variants of the reference's other published
+        # rows: global leaflets (leaflets_benchmarks.md §Atomistic),
+        # LOCAL leaflets every frame (same table — the reference's
+        # pathological ~508 s case), dynamic membrane normals
+        # (export_benchmarks.md §Normals)
+        from gorder_tpu.input.config import (LeafletClassification,
+                                             MembraneNormal)
 
         gro = os.path.join(CACHE, "bench.gro")
         bnd = os.path.join(CACHE, "bench.bnd")
@@ -239,15 +251,24 @@ def _make_analysis(mode):
         if not all(os.path.exists(p) for p in (gro, bnd, xtc)):
             raise SystemExit("run bench.py once first (synthesizes the AA "
                              "inputs this mode reuses)")
+        kwargs = {}
+        if mode == "aa-leaflets":
+            kwargs["leaflets"] = LeafletClassification.global_(
+                "resname POPC", "resname POPC and name P")
+        elif mode == "aa-local-leaflets":
+            # radius 2.5 nm — the reference manual's local-method example
+            kwargs["leaflets"] = LeafletClassification.local(
+                "resname POPC", "resname POPC and name P", 2.5)
+        else:
+            kwargs["membrane_normal"] = MembraneNormal.dynamic(
+                "resname POPC and name P")   # default radius 2.0 nm
         return Analysis(
             structure=gro, bonds=bnd, trajectory=xtc,
             analysis_type=AnalysisType.aaorder(
                 "resname POPC and name r'^C'",
                 "resname POPC and name r'^H'"),
-            leaflets=LeafletClassification.global_(
-                "resname POPC", "resname POPC and name P"),
-            output_yaml=os.path.join(CACHE, "aa_leaflets_order.yaml"),
-            silent=True, overwrite=True)
+            output_yaml=os.path.join(CACHE, f"{mode}_order.yaml"),
+            silent=True, overwrite=True, **kwargs)
     else:
         gro, bnd, xtc = synth_ua()
         atype = AnalysisType.uaorder(
@@ -283,7 +304,9 @@ def run_mode(mode):
         os.environ.setdefault("GORDER_TPU_B7_LEAFLETS", "1")
     analysis = _make_analysis(mode)
     baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T,
-                "aa-leaflets": AA_LEAFLETS_BASELINE_8T}[mode]
+                "aa-leaflets": AA_LEAFLETS_BASELINE_8T,
+                "aa-local-leaflets": AA_LOCAL_LEAFLETS_BASELINE_8T,
+                "aa-dynamic": AA_DYNAMIC_BASELINE_8T}[mode]
 
     # warm: compile + first-execution tunnel stall excluded, like bench.py
     warm = _make_analysis(mode)
@@ -330,6 +353,12 @@ def run_mode(mode):
             "aa-leaflets": "AA 256-lipid order analysis with global "
                            "leaflet classification every frame, "
                            f"end-to-end ({n_frames} XTC frames)",
+            "aa-local-leaflets": "AA 256-lipid order analysis with LOCAL "
+                                 "leaflet classification every frame, "
+                                 f"end-to-end ({n_frames} XTC frames)",
+            "aa-dynamic": "AA 256-lipid order analysis with dynamic "
+                          "membrane normals, end-to-end "
+                          f"({n_frames} XTC frames)",
             }[mode]
     implied = (best_tunnel * 1024 / best_kbf) if best_kbf > 0 else 0.0
     print(json.dumps({
@@ -580,7 +609,8 @@ def main():
         synth_cg()
         synth_ua()
         print("synthesized CG + UA benchmark inputs")
-    elif cmd in ("cg", "ua", "aa-leaflets"):
+    elif cmd in ("cg", "ua", "aa-leaflets", "aa-local-leaflets",
+                 "aa-dynamic"):
         run_mode(cmd)
     elif cmd in ("cg-dr", "ua-dr", "aa-leaflets-dr"):
         run_device_resident(cmd[:-3])
