@@ -418,6 +418,70 @@ def measure_device_resident(probe, batch=512, iters=30):
     return best
 
 
+def _replay_artifact(reason):
+    """The artifact to emit when no fresh capture is possible: the most
+    recent successful capture (persisted at LATEST_PATH), relabeled so a
+    reader can tell it was replayed and why — or, with no prior capture,
+    an explicit zero-valued unreachable record."""
+    if os.path.exists(LATEST_PATH):
+        with open(LATEST_PATH) as fh:
+            last = json.load(fh)
+        last["metric"] += (" [REPLAYED from the last good capture at "
+                           f"{last.get('captured_iso', '?')}; {reason}]")
+        last["replayed"] = True
+        last["replay_reason"] = reason
+        return last
+    return {
+        "metric": "AA 256-lipid 64.5k-atom order analysis, end-to-end "
+                  f"(NO CAPTURE: {reason})",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "device_unreachable": True,
+    }
+
+
+# Watchdog shared state: "partial" holds the best completed trial's payload
+# (if any) so a mid-run tunnel collapse still reports the real measurement.
+_WD = {"partial": None}
+
+
+def _arm_watchdog():
+    """Guarantee ONE JSON line on stdout even if a device call blocks
+    forever mid-run (observed: the tunnel going unresponsive AFTER a
+    successful preflight, hanging warm/trial device_puts indefinitely —
+    which would otherwise run the harness into its own timeout with no
+    artifact). A daemon thread waits out GORDER_BENCH_DEADLINE_S (device
+    calls block in C with the GIL released, so it stays runnable), then
+    emits the best completed trial of THIS run, or the replay artifact,
+    and hard-exits. Returns the Event that cancels it."""
+    import threading
+
+    deadline_s = float(os.environ.get("GORDER_BENCH_DEADLINE_S", "1380"))
+    done = threading.Event()
+
+    def fire():
+        if done.wait(deadline_s):
+            return
+        reason = (f"capture exceeded the {deadline_s:.0f}s deadline — "
+                  "device tunnel went unresponsive mid-run")
+        out = _WD.get("partial")
+        if out is not None:
+            out = dict(out)
+            out["metric"] += (f" [PARTIAL: {reason}; best completed trial "
+                              "of this run]")
+            out["partial_capture"] = True
+        else:
+            out = _replay_artifact(reason)
+        print(f"# watchdog: {reason}", file=sys.stderr)
+        sys.stderr.flush()
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+    return done
+
+
 def preflight_device(timeout_s=100, attempts=3, retry_wait_s=60):
     """Probe the accelerator in a SUBPROCESS with a hard timeout. The
     sandbox's device tunnel sometimes goes fully unresponsive (observed:
@@ -453,6 +517,7 @@ def preflight_device(timeout_s=100, attempts=3, retry_wait_s=60):
 
 def main():
     os.makedirs(CACHE, exist_ok=True)
+    watchdog_done = _arm_watchdog()
 
     ok, detail = preflight_device()
     if not ok:
@@ -463,25 +528,11 @@ def main():
         # explicit labeling so the measured figure is not lost to weather —
         # a reader can distinguish it by the "replayed" flag and timestamp.
         print(f"# device preflight failed: {detail}", file=sys.stderr)
-        if os.path.exists(LATEST_PATH):
-            with open(LATEST_PATH) as fh:
-                last = json.load(fh)
-            last["metric"] += (" [REPLAYED from the last good capture at "
-                               f"{last.get('captured_iso', '?')}; device "
-                               "tunnel unreachable at this capture time]")
-            last["replayed"] = True
-            last["device_unreachable_now"] = True
-            print(json.dumps(last))
-            return
-        print(json.dumps({
-            "metric": "AA 256-lipid 64.5k-atom order analysis, end-to-end "
-                      "(DEVICE UNREACHABLE in this window — tunnel down; "
-                      "see stderr)",
-            "value": 0.0,
-            "unit": "frames/s",
-            "vs_baseline": 0.0,
-            "device_unreachable": True,
-        }))
+        out = _replay_artifact("device tunnel unreachable at this capture "
+                               "time")
+        out["device_unreachable_now"] = True
+        watchdog_done.set()
+        print(json.dumps(out))
         return
 
     from gorder_tpu.input import Analysis, AnalysisType
@@ -603,6 +654,22 @@ def main():
             best = (rate, tunnel, ceiling, frac)
             best_stages = stages
             trial_wire = (last[0], last[1])
+            # keep the watchdog able to report this run's real measurement
+            # if a later trial's device call blocks forever
+            _WD["partial"] = {
+                "metric": "AA 256-lipid 64.5k-atom order analysis, "
+                          f"end-to-end ({nf} XTC frames: decode + TPU "
+                          "compute + results)",
+                "value": round(rate, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(rate / BASELINE_FRAMES_PER_S, 4),
+                "wire_format": last[0],
+                "wire_KB_frame": round(last[1] / 1024, 1),
+                "tunnel_MBps": round(tunnel, 1),
+                "implied_ceiling_frames_s": round(ceiling, 1),
+                "ceiling_fraction": round(frac, 3),
+                **stages,
+            }
         worst = max(worst, dt)
         spent = time.perf_counter() - bench_t0
         # pessimistic stopping: assume the NEXT trial could be as slow as
@@ -661,6 +728,7 @@ def main():
             fh.write("\n")
     except OSError as exc:  # read-only checkout: the capture still prints
         print(f"# could not persist {LATEST_PATH}: {exc}", file=sys.stderr)
+    watchdog_done.set()
     print(json.dumps(payload))
 
 

@@ -603,8 +603,37 @@ def run_device_resident(mode):
     }))
 
 
+def _arm_watchdog(cmd):
+    """One JSON line on stdout no matter what: if a device call blocks
+    past GORDER_BENCH_DEADLINE_S (observed: the tunnel going unresponsive
+    AFTER a successful preflight), emit an explicit unreachable record for
+    THIS mode and hard-exit instead of hanging the caller. Mirrors
+    bench._arm_watchdog; modes print their own label rather than replaying
+    the AA headline capture."""
+    import threading
+
+    deadline_s = float(os.environ.get("GORDER_BENCH_DEADLINE_S", "1380"))
+
+    def fire():
+        time.sleep(deadline_s)
+        reason = (f"capture exceeded the {deadline_s:.0f}s deadline — "
+                  "device tunnel went unresponsive mid-run")
+        print(f"# watchdog: {reason}", file=sys.stderr)
+        sys.stderr.flush()
+        print(json.dumps({
+            "metric": f"{cmd.upper()} (NO CAPTURE: {reason})",
+            "value": 0.0, "unit": "frames/s",
+            "device_unreachable": True,
+        }), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "synth"
+    if cmd != "synth":
+        _arm_watchdog(cmd)
     if cmd == "synth":
         synth_cg()
         synth_ua()
