@@ -472,7 +472,27 @@ def _arm_watchdog():
                               "of this run]")
             out["partial_capture"] = True
         else:
-            out = _replay_artifact(reason)
+            try:
+                out = _replay_artifact(reason)
+            except Exception as exc:
+                # a corrupt/truncated LATEST_PATH must not kill the
+                # watchdog thread — that would leave the harness with no
+                # artifact at all, the exact failure this thread prevents
+                print(f"# watchdog: replay artifact unreadable ({exc})",
+                      file=sys.stderr)
+                out = {
+                    "metric": "AA 256-lipid 64.5k-atom order analysis, "
+                              f"end-to-end (NO CAPTURE: {reason})",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "device_unreachable": True,
+                }
+        # the run may have completed while the artifact was being built:
+        # never print a second JSON line (or truncate the real payload's
+        # print by exiting) once main() has signalled completion
+        if done.is_set():
+            return
         print(f"# watchdog: {reason}", file=sys.stderr)
         sys.stderr.flush()
         print(json.dumps(out), flush=True)
@@ -718,17 +738,24 @@ def main():
         "device_resident_vs_baseline": round(
             device_rate / BASELINE_FRAMES_PER_S, 3),
     }
+    # cancel the watchdog BEFORE the final persist+print so it can never
+    # fire mid-write (os._exit during json.dump would truncate LATEST_PATH
+    # and/or print a second JSON line)
+    watchdog_done.set()
     try:
         stamped = dict(payload)
         stamped["captured_unix"] = round(time.time(), 1)
         stamped["captured_iso"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                 time.gmtime())
-        with open(LATEST_PATH, "w") as fh:
+        # atomic replace: a reader (or a future watchdog replay) never
+        # sees a half-written file
+        tmp = LATEST_PATH + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(stamped, fh, indent=1)
             fh.write("\n")
+        os.replace(tmp, LATEST_PATH)
     except OSError as exc:  # read-only checkout: the capture still prints
         print(f"# could not persist {LATEST_PATH}: {exc}", file=sys.stderr)
-    watchdog_done.set()
     print(json.dumps(payload))
 
 

@@ -100,3 +100,59 @@ def test_watchdog_silent_when_cancelled():
     assert out.returncode == 0
     assert out.stdout.strip() == "NORMAL-EXIT"
     assert "watchdog" not in out.stderr
+
+
+def test_watchdog_survives_corrupt_latest(tmp_path):
+    """A truncated/corrupt BENCH_LATEST.json must not kill the watchdog
+    thread silently — it falls back to the explicit zero record."""
+    latest = tmp_path / "latest.json"
+    latest.write_text('{"metric": "AA end-to-end", "valu')   # truncated
+    code = (
+        "import time, bench\n"
+        f"bench.LATEST_PATH = {str(latest)!r}\n"
+        "bench._arm_watchdog()\n"
+        "time.sleep(300)\n"
+    )
+    out = _run_snippet(code, {"GORDER_BENCH_DEADLINE_S": "1"})
+    assert out.returncode == 0
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["value"] == 0.0
+    assert payload["device_unreachable"] is True
+    assert "replay artifact unreadable" in out.stderr
+
+
+def test_bench_modes_watchdog_prefers_partial_capture():
+    code = (
+        "import sys, time\n"
+        "sys.path.insert(0, 'tools')\n"
+        "import bench_modes\n"
+        "bench_modes._WD['partial'] = {'metric': 'CG order', 'value': 77.0,\n"
+        "                              'unit': 'frames/s'}\n"
+        "bench_modes._arm_watchdog('cg')\n"
+        "time.sleep(300)\n"
+    )
+    out = _run_snippet(code, {"GORDER_BENCH_DEADLINE_S": "1"})
+    assert out.returncode == 0
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["value"] == 77.0
+    assert payload["partial_capture"] is True
+    assert "PARTIAL" in payload["metric"]
+
+
+def test_bench_modes_watchdog_silent_when_cancelled():
+    """bench_modes._arm_watchdog returns a cancellation Event symmetric
+    with bench._arm_watchdog — a completed mode must not trigger a
+    spurious zero artifact (or an os._exit) afterwards."""
+    code = (
+        "import sys, time\n"
+        "sys.path.insert(0, 'tools')\n"
+        "import bench_modes\n"
+        "done = bench_modes._arm_watchdog('cg')\n"
+        "done.set()\n"
+        "time.sleep(2)\n"
+        "print('NORMAL-EXIT')\n"
+    )
+    out = _run_snippet(code, {"GORDER_BENCH_DEADLINE_S": "1"})
+    assert out.returncode == 0
+    assert out.stdout.strip() == "NORMAL-EXIT"
+    assert "watchdog" not in out.stderr

@@ -342,6 +342,19 @@ def run_mode(mode):
         if rate > best_rate:
             best_rate, best_tunnel = rate, tunnel
             best_kbf, best_wire = kbf, wire_fmt
+            # keep the watchdog able to report this run's real measurement
+            # if a later trial's device call blocks forever (bench.py's
+            # _WD['partial'] pattern)
+            _WD["partial"] = {
+                "metric": f"{mode.upper()} order analysis, end-to-end "
+                          f"({n_frames} XTC frames)",
+                "value": round(rate, 1),
+                "unit": "frames/s",
+                "vs_baseline_8T": round(rate / baseline, 4),
+                "tunnel_MBps": round(tunnel, 1),
+                "wire_format": wire_fmt,
+                "wire_KB_frame": round(kbf, 1),
+            }
         worst = max(worst, dt)
         if time.perf_counter() - t_start + worst * 1.15 > budget_s:
             break
@@ -594,6 +607,13 @@ def run_device_resident(mode):
         print(f"# {mode} device-resident @ batch {batch}: {r:.0f} frames/s "
               "(wire payload staged, no decode/transfer)", file=sys.stderr)
         best = max(best, r)
+        _WD["partial"] = {
+            "metric": f"{mode.upper()} device-resident compute (wire "
+                      "payload pre-staged, production per-batch program)",
+            "value": round(best, 1),
+            "unit": "frames/s",
+            "vs_baseline_8T": round(best / baseline, 2),
+        }
     print(json.dumps({
         "metric": f"{mode.upper()} device-resident compute (wire payload "
                   "pre-staged, production per-batch program)",
@@ -603,37 +623,58 @@ def run_device_resident(mode):
     }))
 
 
+# Watchdog shared state, mirroring bench._WD: "partial" holds the best
+# completed trial's payload of the current mode run (if any), so a healthy
+# run that merely outlives the deadline (larger GORDER_BENCH_*_FRAMES, a
+# slow-but-alive tunnel) reports its real measurement instead of 0.0.
+_WD = {"partial": None}
+
+
 def _arm_watchdog(cmd):
     """One JSON line on stdout no matter what: if a device call blocks
     past GORDER_BENCH_DEADLINE_S (observed: the tunnel going unresponsive
-    AFTER a successful preflight), emit an explicit unreachable record for
-    THIS mode and hard-exit instead of hanging the caller. Mirrors
-    bench._arm_watchdog; modes print their own label rather than replaying
-    the AA headline capture."""
+    AFTER a successful preflight), emit the best completed trial of this
+    run (PARTIAL) — or an explicit unreachable record — and hard-exit
+    instead of hanging the caller. Mirrors bench._arm_watchdog (same
+    cancellation Event contract); modes print their own label rather than
+    replaying the AA headline capture. Returns the Event that cancels
+    it."""
     import threading
 
     deadline_s = float(os.environ.get("GORDER_BENCH_DEADLINE_S", "1380"))
+    done = threading.Event()
 
     def fire():
-        time.sleep(deadline_s)
+        if done.wait(deadline_s):
+            return
         reason = (f"capture exceeded the {deadline_s:.0f}s deadline — "
                   "device tunnel went unresponsive mid-run")
+        out = _WD.get("partial")
+        if out is not None:
+            out = dict(out)
+            out["metric"] += (f" [PARTIAL: {reason}; best completed trial "
+                              "of this run]")
+            out["partial_capture"] = True
+        else:
+            out = {
+                "metric": f"{cmd.upper()} (NO CAPTURE: {reason})",
+                "value": 0.0, "unit": "frames/s",
+                "device_unreachable": True,
+            }
+        if done.is_set():   # the run finished while we built the artifact
+            return
         print(f"# watchdog: {reason}", file=sys.stderr)
         sys.stderr.flush()
-        print(json.dumps({
-            "metric": f"{cmd.upper()} (NO CAPTURE: {reason})",
-            "value": 0.0, "unit": "frames/s",
-            "device_unreachable": True,
-        }), flush=True)
+        print(json.dumps(out), flush=True)
         os._exit(0)
 
     threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+    return done
 
 
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "synth"
-    if cmd != "synth":
-        _arm_watchdog(cmd)
+    done = _arm_watchdog(cmd) if cmd != "synth" else None
     if cmd == "synth":
         synth_cg()
         synth_ua()
@@ -647,6 +688,8 @@ def main():
         raise SystemExit(
             f"unknown mode {cmd!r} (use synth|cg|ua|aa-leaflets|"
             "cg-dr|ua-dr|aa-leaflets-dr)")
+    if done is not None:
+        done.set()   # the mode printed its JSON: the watchdog must not fire
 
 
 if __name__ == "__main__":
