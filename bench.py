@@ -418,6 +418,94 @@ def measure_device_resident(probe, batch=512, iters=30):
     return best
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_golden")
+
+
+class BenchValidationError(AssertionError):
+    """The benchmark run's output does not match the pinned golden."""
+
+
+def validate_output(yaml_path, label, n_frames):
+    """Assert the run's YAML against the pinned golden
+    (tools/bench_golden/{label}_{n_frames}.yaml, generated once on the
+    CPU backend by tools/gen_bench_golden.py — the synthesized inputs
+    are seed-deterministic). A corrupted kernel fails the benchmark
+    loudly instead of posting a healthy-looking frames/s figure.
+
+    Tolerance: byte equality per line, except values may differ by ONE
+    4-dp print quantum on at most a handful of lines — the documented
+    Pallas-vs-XLA per-sample fixed-point contrast (ops/pallas_p2.py:
+    |Δsum| ≤ n_samples·1e-6 per bond type) can cross a print boundary
+    on long aggregates. Structural differences or larger deviations
+    raise BenchValidationError. Returns a status string, or None when
+    no golden is pinned for this configuration (e.g. a non-default
+    GORDER_BENCH_FRAMES)."""
+    import re
+
+    golden = os.path.join(GOLDEN_DIR, f"{label}_{n_frames}.yaml")
+    if not os.path.exists(golden):
+        print(f"# output NOT validated: no pinned golden at {golden}",
+              file=sys.stderr)
+        return None
+    with open(yaml_path) as fh:
+        got = [ln for ln in fh.read().splitlines()
+               if not ln.startswith("#")]
+    with open(golden) as fh:
+        want = [ln for ln in fh.read().splitlines()
+                if not ln.startswith("#")]
+    if len(got) != len(want):
+        raise BenchValidationError(
+            f"{label}: output has {len(got)} lines, golden has "
+            f"{len(want)} ({yaml_path} vs {golden})")
+    num = re.compile(r"-?\d+\.\d+")
+    n_vals = 0
+    n_off = 0
+    for i, (g, w) in enumerate(zip(got, want)):
+        if g == w:
+            n_vals += len(num.findall(w))
+            continue
+        gv = num.findall(g)
+        wv = num.findall(w)
+        if len(gv) != len(wv) or num.sub("@", g) != num.sub("@", w):
+            raise BenchValidationError(
+                f"{label}: structural difference at line {i + 1}: "
+                f"{g!r} vs golden {w!r}")
+        for a, b in zip(gv, wv):
+            n_vals += 1
+            d = abs(float(a) - float(b))
+            if d == 0.0:
+                continue
+            if d > 1.0001e-4:
+                raise BenchValidationError(
+                    f"{label}: value {a} differs from golden {b} by {d:g} "
+                    f"at line {i + 1} (tolerance: one 4-dp print quantum)")
+            n_off += 1
+    if n_off > max(3, int(0.005 * n_vals)):
+        raise BenchValidationError(
+            f"{label}: {n_off} of {n_vals} values off by one print "
+            f"quantum — beyond the documented Pallas-vs-XLA contrast")
+    status = "exact" if n_off == 0 else f"quantum({n_off}/{n_vals})"
+    print(f"# output validated against pinned golden: {status} "
+          f"({n_vals} values)", file=sys.stderr)
+    return status
+
+
+def correctness_failure_artifact(metric_label, exc):
+    """The single JSON line to emit when validation fails: value 0.0 and
+    an explicit flag, so a corrupted-results run can never post a
+    healthy-looking benchmark figure."""
+    return {
+        "metric": f"{metric_label} (CORRECTNESS FAILURE: output does not "
+                  "match the pinned golden)",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "correctness_failed": True,
+        "detail": str(exc)[:400],
+    }
+
+
 def _replay_artifact(reason):
     """The artifact to emit when no fresh capture is possible: the most
     recent successful capture (persisted at LATEST_PATH), relabeled so a
@@ -622,11 +710,24 @@ def main():
     import gorder_tpu.analysis as _mod
 
     trial_wire = (wire_fmt, wire_per_frame)
+    validated = None
     for trial in range(max_trials):
         t0 = time.perf_counter()
         r = analysis.run()
         r.write()
         dt = time.perf_counter() - t0
+        # pin correctness INSIDE the capture: the figure only posts if
+        # this run's actual output matches the committed golden
+        try:
+            validated = validate_output(
+                os.path.join(CACHE, "bench_order.yaml"), "aa", N_FRAMES)
+        except BenchValidationError as exc:
+            print(f"# BENCH CORRECTNESS FAILURE: {exc}", file=sys.stderr)
+            watchdog_done.set()
+            print(json.dumps(correctness_failure_artifact(
+                "AA 256-lipid 64.5k-atom order analysis, end-to-end",
+                exc)))
+            return
         tunnel = measure_tunnel_mbps()
         steal = measure_steal_factor()
         rate = r.n_analyzed_frames / dt
@@ -737,6 +838,7 @@ def main():
         "device_resident_frames_s": round(device_rate, 1),
         "device_resident_vs_baseline": round(
             device_rate / BASELINE_FRAMES_PER_S, 3),
+        "output_validated": validated or "no-golden",
     }
     # cancel the watchdog BEFORE the final persist+print so it can never
     # fire mid-write (os._exit during json.dump would truncate LATEST_PATH

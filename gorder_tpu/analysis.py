@@ -324,9 +324,56 @@ class LeafletRuntime:
         return ch, (np.asarray(membrane, np.int32),
                     np.asarray(heads, np.int32), int(axis))
 
-    def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray
+    def channel_coords_info(self):
+        """(flip-wrapped traceable (coords, cog, box) -> classes,
+        (membrane_slots, axis)) when this run's classification is in the
+        decoder-COG channel class — global method, every-frame frequency,
+        PBC on — else None. Unlike fused_channel_impl, collection does
+        NOT disqualify: collect runs classify through classes_for_batch
+        but must compare against the same per-frame COG, or an export run
+        could differ from its non-export twin within float noise."""
+        if (self.manual_table is not None or self.orienter is not None
+                or self.cloud_to_mol is not None
+                or self.frequency.kind != "every" or self.frequency.n != 1):
+            return None
+        ch = getattr(self.classify, "channel_coords_impl", None)
+        info = getattr(self.classify, "channel_info", None)
+        if ch is None or info is None:
+            return None
+        membrane, heads, axis, handle_pbc = info
+        if not handle_pbc:
+            return None
+        if self.flip:
+            inner = ch
+
+            def ch(coords, cog, box):           # noqa: F811
+                return 1 - inner(coords, cog, box)
+
+        return ch, (np.asarray(membrane, np.int32), int(axis))
+
+    def _channel_classify_host(self, coords_dev, cog, box_dev):
+        """Raw (unflipped) channel classification for the host-visible
+        path (classes_for_batch applies flip/collect itself)."""
+        if getattr(self, "_channel_jit", None) is None:
+            import jax
+
+            self._channel_jit = jax.jit(self.classify.channel_coords_impl)
+        # the (B,) cog goes in as numpy: jit commits it; pre-sharding it
+        # with put_frames would reject short batches (frame-0 stats) on a
+        # device mesh
+        return np.asarray(self._channel_jit(
+            coords_dev, np.asarray(cog, np.float32), box_dev))
+
+    def classes_for_batch(self, coords_dev, box_dev, analyzed_idx: np.ndarray,
+                          channel_cog: Optional[np.ndarray] = None
                           ) -> np.ndarray:
-        """(B, M) leaflet classes for the analyzed frames of the batch."""
+        """(B, M) leaflet classes for the analyzed frames of the batch.
+
+        With channel_cog (decoder-COG channel class, see
+        channel_coords_info), classification compares against the
+        decoder's per-frame Bai-Breen center instead of a device-computed
+        one — keeping host-visible paths (collection) bitwise consistent
+        with the fused channel paths."""
         src = self.assignment_source(analyzed_idx)
         is_assign = src == analyzed_idx
         if self.manual_table is not None:
@@ -337,7 +384,11 @@ class LeafletRuntime:
             classes = self.manual_table[table_idx]
         else:
             batch_start = analyzed_idx[0]
-            assigned = np.asarray(self.classify(coords_dev, box_dev))
+            if channel_cog is not None:
+                assigned = self._channel_classify_host(coords_dev,
+                                                       channel_cog, box_dev)
+            else:
+                assigned = np.asarray(self.classify(coords_dev, box_dev))
             if self.orienter is not None:
                 # cluster identities are resolved sequentially per
                 # assignment frame (clustering.rs classify_by_match)
@@ -1100,7 +1151,8 @@ def _unpack12_impl(p, n):
     return vals[:, :n * 3].reshape(p.shape[0], n, 3).astype(jnp.int16)
 
 
-def _d8_impl(lo, ci, ch, a0, ip):
+def _d8_ints_impl(lo, ci, ch, a0):
+    """Temporal-delta wire → (B, n, 3) int32 absolute XTC integers."""
     import jax.numpy as jnp
 
     b, n, _ = lo.shape
@@ -1111,10 +1163,18 @@ def _d8_impl(lo, ci, ch, a0, ip):
         ch.astype(jnp.int32) << 8, mode="drop")
     delta = delta + corr[:, :nv]
     absr = a0.reshape(1, nv).astype(jnp.int32) + jnp.cumsum(delta, axis=0)
-    return (absr.astype(jnp.float32) * ip[:, None]).reshape(b, n, 3)
+    return absr.reshape(b, n, 3)
 
 
-def _s6_impl(pk, gp, vl, bs, gm, vg, ip):
+def _d8_impl(lo, ci, ch, a0, ip):
+    import jax.numpy as jnp
+
+    return _d8_ints_impl(lo, ci, ch, a0).astype(jnp.float32) \
+        * ip[:, None, None]
+
+
+def _s6_ints_impl(pk, gp, vl, bs, gm, vg):
+    """Smoothed-base 6-bit wire → (B, n, 3) int32 absolute XTC integers."""
     import jax.numpy as jnp
 
     b = pk.shape[0]
@@ -1131,8 +1191,14 @@ def _s6_impl(pk, gp, vl, bs, gm, vg, ip):
                                               mode="drop")
     gmv = jnp.take(gm.astype(jnp.int32), vg, axis=1)
     absr = bs.reshape(1, nv).astype(jnp.int32) + gmv + r
-    return (absr.astype(jnp.float32) * ip[:, None]).reshape(
-        b, nv // 3, 3)
+    return absr.reshape(b, nv // 3, 3)
+
+
+def _s6_impl(pk, gp, vl, bs, gm, vg, ip):
+    import jax.numpy as jnp
+
+    return _s6_ints_impl(pk, gp, vl, bs, gm, vg).astype(jnp.float32) \
+        * ip[:, None, None]
 
 
 def _b7_residuals_impl(pk, gp, vl, nv: int):
@@ -1195,7 +1261,8 @@ def _device_codecs():
     import jax
 
     return (jax.jit(_unpack12_impl, static_argnames=("n",)),
-            jax.jit(_d8_impl), jax.jit(_s6_impl), jax.jit(_dequant_impl))
+            jax.jit(_d8_impl), jax.jit(_s6_impl), jax.jit(_dequant_impl),
+            jax.jit(_d8_ints_impl), jax.jit(_s6_ints_impl))
 
 
 def _unpack12(packed_u8, first_n: int):
@@ -1224,6 +1291,21 @@ def _s6_to_f32(pack_u8, esc_gap, esc_val, base, gmean, vgidx, inv_prec):
     Bit-identical to the host f32 decode."""
     return _device_codecs()[2](pack_u8, esc_gap, esc_val, base, gmean,
                                vgidx, inv_prec)
+
+
+def _d8_to_int(lo_i8, corr_idx, corr_hi, abs0):
+    """Device-side d8 reconstruction stopping at the int32 absolute XTC
+    integers — the two-dispatch path keeps integers so the order kernel's
+    quantized path takes the single-rounding integer-difference bond
+    vectors (bit-identical to the b7 wire and the fused programs)."""
+    return _device_codecs()[4](lo_i8, corr_idx, corr_hi, abs0)
+
+
+def _s6_to_int(pack_u8, esc_gap, esc_val, base, gmean, vgidx):
+    """Device-side s6 reconstruction stopping at the int32 absolute XTC
+    integers (see _d8_to_int)."""
+    return _device_codecs()[5](pack_u8, esc_gap, esc_val, base, gmean,
+                               vgidx)
 
 
 def _wire_groups(system: System, space: AtomSubset):
@@ -1270,7 +1352,8 @@ def _pop_normal_guard(result) -> None:
 
 
 def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
-                       normals_impl=None, channel_classify=None):
+                       normals_impl=None, channel_classify=None,
+                       channel_coords_classify=None):
     """Fused per-batch programs: wire reconstruction traced inline into
     the order kernel, so XLA compiles ONE program per batch.
 
@@ -1299,21 +1382,31 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
     import jax
     import jax.numpy as jnp
 
-    def run(coords, box, normal, mask, map_state, geom_ref, inv_scale=None):
+    def run(coords, box, normal, mask, map_state, geom_ref, inv_scale=None,
+            cog=None):
         """Shared tail: optional in-program classification / dynamic
         normals + the kernel. When either consumer is present,
         coordinates are dequantized once up front (the multiply is fused
-        either way; traces identically to inv_scale)."""
+        either way; traces identically to inv_scale). With `cog` (the
+        decoder-COG channel class riding a coordinate wire),
+        classification compares against the decoder's per-frame
+        Bai-Breen center — the same number the b7g side channel ships —
+        so output is bitwise identical across wire formats."""
         classes = guard = None
-        if classify_impl is not None or normals_impl is not None:
-            if inv_scale is not None:
-                coords = coords.astype(jnp.float32) \
-                    * inv_scale[:, None, None]
-                inv_scale = None
-        if classify_impl is not None:
-            classes = classify_impl(coords, box)
+        cf = coords
+        if (classify_impl is not None or normals_impl is not None
+                or cog is not None) and inv_scale is not None:
+            # f32 view for the coordinate consumers; the kernel keeps the
+            # INTEGER coords + inv_scale so its bond vectors take the
+            # single-rounding integer-difference path (core/order.py) —
+            # XLA fuses the dequantization into each consumer
+            cf = coords.astype(jnp.float32) * inv_scale[:, None, None]
+        if cog is not None:
+            classes = channel_coords_classify(cf, cog, box)
+        elif classify_impl is not None:
+            classes = classify_impl(cf, box)
         if normals_impl is not None:
-            normal, counts = normals_impl(coords, box)
+            normal, counts = normals_impl(cf, box)
             # min cloud size over the valid frames — the ≥3-points
             # validation, checked host-side when the result drains
             guard = jnp.min(jnp.where(mask[:, None], counts,
@@ -1364,31 +1457,43 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                 return impl(dq, box, normal, mask, leaflet_classes=classes,
                             inv_scale=scale, map_state=None, geom_ref=None,
                             diff_input=True, use_pallas=use_pallas)
-        elif kind == "s6":
+        else:
+            # coordinate wires, with or without the decoder-COG channel:
+            # kinds 's6g'/'d8g'/'i12g'/'i16g'/'f32g' carry a trailing
+            # per-frame (B,) f32 COG the channel classifier consumes
+            chan = kind.endswith("g")
+            base_kind = kind[:-1] if chan else kind
+            if chan:
+                assert channel_coords_classify is not None, \
+                    f"{kind} requires a leaflet channel classifier"
+
+            def recon(w, scale):
+                """(coords-or-quant, inv_scale) for the base wire kind —
+                integer wires stay INTEGER here so the kernel's quantized
+                path takes exact integer bond differences (single
+                rounding, bit-identical to b7)."""
+                if base_kind == "s6":
+                    pk, eg, ev, bs, gm, vg = w
+                    return _s6_ints_impl(pk, eg, ev, bs, gm, vg), scale
+                if base_kind == "d8":
+                    lo, ci, ch, abs0 = w
+                    return _d8_ints_impl(lo, ci, ch, abs0), scale
+                if base_kind == "i12":
+                    (packed,) = w
+                    return _unpack12_impl(packed, n_out), scale
+                if base_kind == "i16":
+                    (quant,) = w
+                    return quant, scale
+                (coords,) = w                                # f32
+                return coords, None
+
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                pk, eg, ev, base, gm, vg = w
-                coords = _s6_impl(pk, eg, ev, base, gm, vg, scale)
-                return run(coords, box, normal, mask, map_state, geom_ref)
-        elif kind == "d8":
-            def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                lo, ci, ch, abs0 = w
-                coords = _d8_impl(lo, ci, ch, abs0, scale)
-                return run(coords, box, normal, mask, map_state, geom_ref)
-        elif kind == "i12":
-            def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                (packed,) = w
-                quant = _unpack12_impl(packed, n_out)
-                return run(quant, box, normal, mask, map_state, geom_ref,
-                           inv_scale=scale)
-        elif kind == "i16":
-            def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                (quant,) = w
-                return run(quant, box, normal, mask, map_state, geom_ref,
-                           inv_scale=scale)
-        else:  # f32
-            def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                (coords,) = w
-                return run(coords, box, normal, mask, map_state, geom_ref)
+                cog = None
+                if chan:
+                    *w, cog = w
+                coords, inv = recon(w, scale)
+                return run(coords, box, normal, mask, map_state, geom_ref,
+                           inv_scale=inv, cog=cog)
         return jax.jit(fused)
 
     cache = {}
@@ -1822,20 +1927,25 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  and geom_mode is None
                  and getattr(step, "impl", None) is not None
                  and bond_slots is not None)
-    # The leaflet channel wire is OPT-IN (GORDER_TPU_B7_LEAFLETS=1 or an
-    # explicit GORDER_TPU_WIRE=b7): its host-computed COG differs from
-    # the coordinate path's device COG within float noise, which breaks
-    # the default configuration's exact cross-path invariants (e.g.
-    # "geometry z>=0 equals the upper leaflet" byte-for-byte,
-    # tests/test_geometry.py) for heads/atoms within ~1e-5 nm of the
-    # membrane center plane. Reference-golden parity holds either way.
+    # Decoder-COG channel class (global method, every-frame frequency,
+    # PBC on, XTC input): leaflet classification consumes the decoder's
+    # per-frame refined Bai-Breen membrane center on EVERY wire — the
+    # b7g wire ships it as a side channel; coordinate wires run the
+    # standalone xtc_cog_axis pass — so the printed output is bitwise
+    # identical across wire formats (this resolved the round-3 carve-out
+    # where the b7g host COG differed from the device COG within float
+    # noise; the channel wire now defaults ON). GORDER_TPU_B7_LEAFLETS=0
+    # restores the device-COG path for debugging.
+    chan_coords = None          # (classify(coords, cog, box), (slots, axis))
+    if (leaflets is not None and analysis.handle_pbc
+            and os.environ.get("GORDER_TPU_B7_LEAFLETS", "1") != "0"
+            and traj._all_xtc(frame_indices)):
+        chan_coords = leaflets.channel_coords_info()
     leaf_channels = None
-    if (not pure_bond and leaflets is not None and normals is None
+    if (not pure_bond and chan_coords is not None and normals is None
             and map_spec is None and geom_mode is None
             and getattr(step, "impl", None) is not None
-            and bond_slots is not None and analysis.handle_pbc
-            and (os.environ.get("GORDER_TPU_B7_LEAFLETS", "0") != "0"
-                 or os.environ.get("GORDER_TPU_WIRE") == "b7")):
+            and bond_slots is not None):
         leaf_channels = leaflets.fused_channel_impl()
     wire, wire_cap = _pick_wire_format(traj, frame_indices, space, n_threads,
                                        group_of, n_groups, batch_size_probe,
@@ -1951,6 +2061,15 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         buffers = [np.zeros((batch_size, n_out, 3), np.float32)
                    for _ in range(prefetch)]
 
+    # decoder-COG ring for coordinate wires in the channel class (the b7g
+    # wire computes it inline; fallback batches of a b7g run use this too)
+    chan_membrane = chan_axis = None
+    cog_bufs = None
+    if chan_coords is not None:
+        chan_membrane, chan_axis = chan_coords[1]
+        cog_bufs = [np.zeros(batch_size, np.float32)
+                    for _ in range(prefetch)]
+
     from .utils.timers import timers
 
     import threading
@@ -2011,13 +2130,26 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             timers.add("decode", _time.perf_counter() - t0)
             timers.add("decode_cpu", _time.thread_time() - c0)
 
-    def _fallback_f32(chunk):
+    def _chan_cog(chunk, b):
+        """Per-frame decoder COG for channel-class batches riding a
+        coordinate wire — the exact value the b7g side channel ships
+        (native/xdr.cpp xtc_cog_axis); padding rows zeroed (masked)."""
+        cb = cog_bufs[b % prefetch]
+        if len(chunk) < batch_size:
+            cb[len(chunk):] = 0
+        traj.read_cog_axis(chunk, space, chan_membrane, chan_axis, cb,
+                           n_threads=n_threads)
+        return cb
+
+    def _fallback_f32(chunk, b):
         """Mid-run fallback: decode as f32 into a fresh zero-padded
         batch-size buffer (jitted shapes never change mid-run)."""
         buf = np.zeros((batch_size, n_out, 3), np.float32)
         _, boxes, times, steps = traj.read_frames(chunk, space,
                                                   n_threads=n_threads,
                                                   out=buf)
+        if chan_coords is not None:
+            return ("f32g", buf, _chan_cog(chunk, b)), None, boxes, len(chunk)
         return ("f32", buf), None, boxes, len(chunk)
 
     def _decode_batch(b):
@@ -2058,8 +2190,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 coords, inv_prec, boxes, times, steps = res
                 out = np.zeros((batch_size, n_out, 3), np.int16)
                 out[:len(chunk)] = coords[:len(chunk)]
+                if chan_coords is not None:
+                    return ("i16g", out, _chan_cog(chunk, b)), inv_prec, \
+                        boxes, len(chunk)
                 return ("i16", out), inv_prec, boxes, len(chunk)
-            return _fallback_f32(chunk)
+            return _fallback_f32(chunk, b)
         if wire == "s6":
             pk, eg, ev, gm = buf
             if len(chunk) < batch_size:
@@ -2073,6 +2208,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                          n_threads=n_threads)
             if res is not None:
                 base, inv_prec, boxes, times, steps = res
+                if chan_coords is not None:
+                    return ("s6g", pk, eg, ev, gm, base,
+                            _chan_cog(chunk, b)), inv_prec, boxes, len(chunk)
                 return ("s6", pk, eg, ev, gm, base), inv_prec, boxes, \
                     len(chunk)
             log.warning(
@@ -2085,8 +2223,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 coords, inv_prec, boxes, times, steps = res
                 out = np.zeros((batch_size, n_out, 3), np.int16)
                 out[:len(chunk)] = coords[:len(chunk)]
+                if chan_coords is not None:
+                    return ("i16g", out, _chan_cog(chunk, b)), inv_prec, \
+                        boxes, len(chunk)
                 return ("i16", out), inv_prec, boxes, len(chunk)
-            return _fallback_f32(chunk)
+            return _fallback_f32(chunk, b)
         if wire == "d8":
             lo, ci, ch = buf
             if len(chunk) < batch_size:
@@ -2097,6 +2238,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                              n_threads=n_threads)
             if res is not None:
                 abs0, inv_prec, boxes, times, steps = res
+                if chan_coords is not None:
+                    return ("d8g", lo, ci, ch, abs0,
+                            _chan_cog(chunk, b)), inv_prec, boxes, len(chunk)
                 return ("d8", lo, ci, ch, abs0), inv_prec, boxes, len(chunk)
             log.warning(
                 "wire fallback: batch %d exceeds the d8 format (correction "
@@ -2108,24 +2252,36 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 coords, inv_prec, boxes, times, steps = res
                 out = np.zeros((batch_size, n_out, 3), np.int16)
                 out[:len(chunk)] = coords[:len(chunk)]
+                if chan_coords is not None:
+                    return ("i16g", out, _chan_cog(chunk, b)), inv_prec, \
+                        boxes, len(chunk)
                 return ("i16", out), inv_prec, boxes, len(chunk)
-            return _fallback_f32(chunk)
+            return _fallback_f32(chunk, b)
         if wire == "i12":
             res = traj.read_frames_packed12(chunk, space, out=buf,
                                             n_threads=n_threads)
             if res is not None:
                 coords, inv_prec, boxes, times, steps = res
+                if chan_coords is not None:
+                    return ("i12g", buf, _chan_cog(chunk, b)), inv_prec, \
+                        boxes, len(chunk)
                 return ("i12", buf), inv_prec, boxes, len(chunk)
-            return _fallback_f32(chunk)
+            return _fallback_f32(chunk, b)
         if wire == "i16":
             res = traj.read_frames_quantized(chunk, space, out=buf,
                                              n_threads=n_threads)
             if res is not None:
                 coords, inv_prec, boxes, times, steps = res
+                if chan_coords is not None:
+                    return ("i16g", buf, _chan_cog(chunk, b)), inv_prec, \
+                        boxes, len(chunk)
                 return ("i16", buf), inv_prec, boxes, len(chunk)
-            return _fallback_f32(chunk)
+            return _fallback_f32(chunk, b)
         coords, boxes, times, steps = traj.read_frames(
             chunk, space, n_threads=n_threads, out=buf)
+        if chan_coords is not None:
+            return ("f32g", buf, _chan_cog(chunk, b)), None, boxes, \
+                len(chunk)
         return ("f32", buf), None, boxes, len(chunk)
 
     from .utils.progress import ProgressPrinter
@@ -2164,25 +2320,41 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     fused_normals = normals.fused_impl() if normals is not None else None
     if ((leaflets is None or fused_classify is not None)
             and (normals is None or fused_normals is not None)):
+        # mesh-aware: pallas_ok itself checks per-device batch tiling —
+        # the fused kernel runs under shard_map over the frames mesh
+        # (ops/pallas_p2.py), so a device mesh no longer forces the XLA
+        # einsum fallback
         pallas_ok = getattr(step, "pallas_ok", None)
         use_pallas = bool(
-            active_mesh() is None and pallas_ok is not None
+            pallas_ok is not None
             and pallas_ok(batch_size, has_classes=leaflets is not None,
                           has_geom=geom_mode is not None))
         fused_get = _build_fused_steps(step, n_out=n_out,
                                        use_pallas=use_pallas,
                                        classify_impl=fused_classify,
                                        normals_impl=fused_normals,
-                                       channel_classify=channel_classify)
+                                       channel_classify=channel_classify,
+                                       channel_coords_classify=(
+                                           chan_coords[0]
+                                           if chan_coords is not None
+                                           else None))
         if (fused_get is not None and leaflets is not None
                 and not leaflets._logged_stats):
             # the fused path never materializes classes on the host;
             # reproduce the reference's first-frame population log
-            # (topology/mod.rs:178-225) from one cheap frame-0 read
+            # (topology/mod.rs:178-225) from one cheap frame-0 read —
+            # classified against the decoder COG when this run is in the
+            # channel class, so the logged populations match the run
             c0, b0, _, _ = traj.read_frames(frame_indices[:1], space,
                                             n_threads=n_threads)
-            cls0 = np.asarray(
-                leaflets.classify(c0, b0[:, [0, 1, 2], [0, 1, 2]]))[0]
+            box0 = b0[:, [0, 1, 2], [0, 1, 2]]
+            if chan_coords is not None:
+                cog0 = np.zeros(1, np.float32)
+                traj.read_cog_axis(frame_indices[:1], space, chan_membrane,
+                                   chan_axis, cog0)
+                cls0 = leaflets._channel_classify_host(c0, cog0, box0)[0]
+            else:
+                cls0 = np.asarray(leaflets.classify(c0, box0))[0]
             if leaflets.flip:
                 cls0 = 1 - cls0
             leaflets._log_first_stats(cls0.astype(np.int32))
@@ -2206,7 +2378,11 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                            use_pallas=False,
                                            classify_impl=fused_classify,
                                            normals_impl=fused_normals,
-                                           channel_classify=channel_classify)
+                                           channel_classify=channel_classify,
+                                           channel_coords_classify=(
+                                               chan_coords[0]
+                                               if chan_coords is not None
+                                               else None))
         return True
 
     geom_point_dev = None
@@ -2297,6 +2473,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 last_scale, last_scale_dev = scale, scale_dev
 
             kind = payload[0]
+            # channel-class coordinate wires carry a trailing per-frame
+            # decoder COG: strip it here, re-append to the fused program's
+            # operand tuple (or hand it to classes_for_batch) below
+            chan_cog = None
+            if kind in ("s6g", "d8g", "i12g", "i16g", "f32g"):
+                chan_cog = payload[-1].copy()   # ring buffer: copy out
+                payload = (kind[:-1],) + payload[1:-1]
+                wire_kind = kind
+                kind = kind[:-1]
+            else:
+                wire_kind = kind
             coords_dev = None      # f32 coords (or None until reconstructed)
             quant_dev = None       # int16 absolutes awaiting dequantization
             wire_devs = None       # raw wire arrays for the fused programs
@@ -2324,16 +2511,15 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, gm_dev,
                              vgidx_dev)
                 if fused_get is None:
-                    coords_dev = _s6_to_f32(pk_dev, eg_dev, ev_dev, base_dev,
-                                            gm_dev, vgidx_dev, scale_dev)
+                    quant_dev = _s6_to_int(pk_dev, eg_dev, ev_dev, base_dev,
+                                           gm_dev, vgidx_dev)
             elif kind == "d8":
                 _, lo, ci, ch, abs0 = payload
                 lo_dev, ci_dev, ch_dev = ship(lo, ci, ch)
                 abs0_dev = abs0 if host_args_ok else put_const(abs0)
                 wire_devs = (lo_dev, ci_dev, ch_dev, abs0_dev)
                 if fused_get is None:
-                    coords_dev = _d8_to_f32(lo_dev, ci_dev, ch_dev, abs0_dev,
-                                            scale_dev)
+                    quant_dev = _d8_to_int(lo_dev, ci_dev, ch_dev, abs0_dev)
             elif kind == "i12":
                 packed_dev, = ship(payload[1])
                 wire_devs = (packed_dev,)
@@ -2403,7 +2589,12 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 # single dispatch: decode + kernel in one compiled program;
                 # the call runs on the dispatch worker so its client-side
                 # RPC wait never serializes with the next batch's transfer
-                def thunk(k=kind, w=wire_devs, s=scale_dev, bx=box_dev,
+                if chan_cog is not None:
+                    cog_dev = (chan_cog if host_args_ok
+                               else put_frames(chan_cog))
+                    wire_devs = wire_devs + (cog_dev,)
+
+                def thunk(k=wire_kind, w=wire_devs, s=scale_dev, bx=box_dev,
                           fm=frame_mask_dev, gr=geom_ref):
                     return fused_get(k)(w, s, bx, normal_dev, fm,
                                         map_zero, gr)
@@ -2426,7 +2617,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     normal_arg = normal_dev
                 if leaflets is not None:
                     classes_arr = leaflets.classes_for_batch(
-                        coords_f32, box_dev, analyzed)
+                        coords_f32, box_dev, analyzed,
+                        channel_cog=chan_cog)
                     if classes_arr.shape[0] < batch_size:
                         classes_arr = np.concatenate([
                             classes_arr,
@@ -2435,10 +2627,21 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     classes_dev = put_frames(classes_arr)
                 else:
                     classes_dev = None
-                def thunk(c=coords_f32, bx=box_dev, na=normal_arg,
-                          fm=frame_mask_dev, cl=classes_dev, gr=geom_ref):
-                    return step(c, bx, na, fm, cl, map_state=map_zero,
-                                geom_ref=gr)
+                if quant_dev is not None:
+                    # keep the kernel on the INTEGER coords so its bond
+                    # vectors take the single-rounding integer-difference
+                    # path (bit-identical to the fused programs / b7)
+                    def thunk(q=quant_dev, bx=box_dev, na=normal_arg,
+                              fm=frame_mask_dev, cl=classes_dev,
+                              s=scale_dev, gr=geom_ref):
+                        return step(q, bx, na, fm, cl, inv_scale=s,
+                                    map_state=map_zero, geom_ref=gr)
+                else:
+                    def thunk(c=coords_f32, bx=box_dev, na=normal_arg,
+                              fm=frame_mask_dev, cl=classes_dev,
+                              gr=geom_ref):
+                        return step(c, bx, na, fm, cl, map_state=map_zero,
+                                    geom_ref=gr)
             elif coords_dev is not None:
                 def thunk(c=coords_dev, bx=box_dev, fm=frame_mask_dev,
                           gr=geom_ref):

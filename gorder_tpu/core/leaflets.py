@@ -80,8 +80,23 @@ def make_global_classifier(membrane_indices, head_indices, normal_axis,
             delta = delta - length * jnp.round(delta / length)
         return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
 
+    def channel_coords_impl(coords, cog, box_diag):
+        """Traceable classes from full coordinates + the decoder's COG
+        channel: the coordinate-wire twin of channel_impl, so every wire
+        format classifies against the SAME per-frame Bai-Breen center
+        (native/xdr.cpp xtc_cog_axis) and the printed output is bitwise
+        identical across wires. The gathered heads are bit-identical to
+        the b7g aux channel (same decode integers, same dequantization)."""
+        heads = jnp.take(coords, heads_d, axis=1)          # (B, M, 3)
+        delta = heads[..., int(normal_axis)] - cog[:, None]
+        if handle_pbc:
+            length = box_diag[:, None, int(normal_axis)]
+            delta = delta - length * jnp.round(delta / length)
+        return jnp.where(delta >= 0, 0, 1).astype(jnp.int32)
+
     classify.impl = impl
     classify.channel_impl = channel_impl
+    classify.channel_coords_impl = channel_coords_impl
     # (membrane slots, head slots, axis, pbc) for the decoder's channels
     classify.channel_info = (np.asarray(membrane_indices, np.int64),
                              np.asarray(head_indices, np.int64),

@@ -131,18 +131,47 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     from .geometry import inside_mask
     from .ordermap import map_cells, update_maps
 
-    if quantized:
-        # XTC fixed-point int16 → f32 nm, fused into the kernel so each
-        # batch is a single device execution (matters on high-latency links)
-        coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
     if diff_input:
         # `coords` is already the (B, N, 3) bond-vector array (b7 wire:
         # exact integer differences dequantized on device) — positions
         # never materialize, so midpoints are unavailable
         assert map_spec is None and geom_spec is None
+        if quantized:
+            coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
         pa = None
         d = coords
+    elif quantized and map_spec is None:
+        # Integer wire (s6/d8/i12/i16 XTC integers): subtract FIRST, in
+        # exact integer arithmetic, then dequantize — the single-rounding
+        # bond vector d = f32(q_b − q_a)·s, bit-identical to the b7
+        # wire's formulation, so every integer wire yields
+        # bitwise-identical output, and so do cross-configuration
+        # invariants like "geometry z≥0 equals the upper leaflet"
+        # (tests/test_geometry.py) — the position-pair difference of two
+        # rounded products differs at the last ulp and survives only on
+        # the f32 wire (TRR/GRO input or mixed-precision XTC, where no
+        # integers exist). ORDERMAP configurations instead keep the PAIR
+        # formulation below, matching the reference's f32-position
+        # arithmetic exactly: re-encoded fixtures quantize coordinates
+        # onto grids whose bond midpoints sit exactly on map-bin
+        # boundaries, where a last-ulp change reassigns samples
+        # wholesale — and b7 is ineligible there anyway, so every wire
+        # a map run can ride agrees bitwise either way. (Geometry shape
+        # boundaries are COG-anchored, not grid-aligned, so geometry
+        # runs stay on the single-rounding path.)
+        scale3 = inv_scale[:, None, None]
+        pa_i = jnp.take(coords, atom_a, axis=1).astype(jnp.int32)
+        pb_i = jnp.take(coords, atom_b, axis=1).astype(jnp.int32)
+        d = (pb_i - pa_i).astype(jnp.float32) * scale3
+        pa = None
+        if geom_spec is not None:
+            # geometry needs positions: same f32(int)·s rounding as the
+            # host decode (bit-identical)
+            pa = pa_i.astype(jnp.float32) * scale3
+            coords = coords.astype(jnp.float32) * scale3
     else:
+        if quantized:
+            coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
         pa = jnp.take(coords, atom_a, axis=1)        # (B, N, 3)
         pb = jnp.take(coords, atom_b, axis=1)
         d = pb - pa
@@ -230,6 +259,9 @@ def _map_only_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     from .ordermap import map_cells, update_maps
 
     if quantized:
+        # pair formulation like _order_step_impl's map/geom branch: map
+        # configurations match the reference's f32-position arithmetic
+        # exactly (see the single-rounding comment there)
         coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
     pa = jnp.take(coords, atom_a, axis=1)
     pb = jnp.take(coords, atom_b, axis=1)
@@ -317,7 +349,7 @@ def make_order_step(
             np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
             np.asarray(bond_type, np.int32), np.asarray(bond_mol, np.int32),
             n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets,
-            normal_mode=normal_mode)
+            normal_mode=normal_mode, pair_quantized=map_spec is not None)
         if not with_leaflets and normal_mode == "static":
             # b7 wire variants: consume bond vectors directly (b7 is only
             # eligible for pure bond-order runs, so this combination is
@@ -338,16 +370,33 @@ def make_order_step(
                 n_types, handle_pbc=handle_pbc, with_leaflets=False,
                 normal_mode="static", resid_input=True)
 
-    def _single_device(x):
+    def _mesh_shards() -> int:
+        from ..parallel.context import active_mesh
+
+        mesh = active_mesh()
+        return int(mesh.devices.size) if mesh is not None else 1
+
+    def _batch_ok(batch_size: int) -> bool:
+        """The batch must tile the kernel's frame dimension on every
+        device of the active mesh (the kernel runs under shard_map over
+        the 'frames' axis — ops/pallas_p2.py)."""
+        n = _mesh_shards()
+        return batch_size % n == 0 and (batch_size // n) % 8 == 0
+
+    def _placement_ok(x):
         s = getattr(x, "sharding", None)
-        return s is None or len(s.device_set) == 1
+        if s is None or len(s.device_set) == 1:
+            return True
+        # multi-device placement: the shard_map wrapper handles arrays
+        # sharded over the active frames mesh
+        return _mesh_shards() > 1
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
         if (fast_step is not None
                 and (leaflet_classes is not None) == with_leaflets
                 and geom_ref is None
-                and coords.shape[0] % 8 == 0 and _single_device(coords)):
+                and _batch_ok(coords.shape[0]) and _placement_ok(coords)):
             out, _ = fast_step(coords, box_diag, normal, frame_mask,
                                leaflet_classes=leaflet_classes,
                                inv_scale=inv_scale)
@@ -445,10 +494,11 @@ def make_order_step(
 
     def pallas_ok(batch_size, has_classes, has_geom):
         """Host-side predicate: may a fused program built for these batch
-        parameters route through the Pallas kernel? (The caller must also
-        confirm the batch arrays live on a single device.)"""
+        parameters route through the Pallas kernel? Mesh-aware: under a
+        frames mesh the kernel runs in shard_map, so the PER-DEVICE batch
+        must tile the frame dimension."""
         return (fast_step is not None and has_classes == with_leaflets
-                and not has_geom and batch_size % 8 == 0)
+                and not has_geom and _batch_ok(batch_size))
 
     def disable_pallas():
         """Permanently route this step through the XLA path — the

@@ -362,8 +362,45 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
     bond_type_d = put_const(np.asarray(bond_type, np.int32))
     dummy = put_const(np.zeros((1, 1), np.int32))
 
+    fast_impl = None
+    from ..ops.pallas_ua import make_pallas_ua_step, pallas_ua_supported
+
+    if pallas_ua_supported(with_leaflets=with_leaflets,
+                           normal_mode=normal_mode, map_spec=map_spec,
+                           geom_spec=geom_spec, n_types=n_types):
+        fast_impl = make_pallas_ua_step(
+            categories, bond_type, bond_mol, n_types,
+            handle_pbc=handle_pbc, with_leaflets=with_leaflets,
+            normal_mode=normal_mode)
+    _fast_jit = [None]
+
+    def _mesh_shards() -> int:
+        from ..parallel.context import active_mesh
+
+        mesh = active_mesh()
+        return int(mesh.devices.size) if mesh is not None else 1
+
+    def _batch_ok(batch_size: int) -> bool:
+        n = _mesh_shards()
+        return batch_size % n == 0 and (batch_size // n) % 8 == 0
+
+    def _placement_ok(x):
+        s = getattr(x, "sharding", None)
+        if s is None or len(s.device_set) == 1:
+            return True
+        return _mesh_shards() > 1
+
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
+        if (fast_impl is not None
+                and (leaflet_classes is not None) == with_leaflets
+                and geom_ref is None and map_state is None
+                and _batch_ok(coords.shape[0]) and _placement_ok(coords)):
+            if _fast_jit[0] is None:
+                _fast_jit[0] = jax.jit(fast_impl)
+            return _fast_jit[0](coords, box_diag, normal, frame_mask,
+                                leaflet_classes=leaflet_classes,
+                                inv_scale=inv_scale)
         return _ua_step(
             coords, box_diag, normal, frame_mask, indices, bond_mol_d,
             onehot_d,
@@ -380,9 +417,16 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
              use_pallas=False, diff_input=False):
         """Traceable (unjitted) body for fused per-batch programs
         (analysis.py _build_fused_steps): wire reconstruction and the UA
-        kernel compile as ONE XLA program. No Pallas/diff variants — the
-        virtual-H geometry needs absolute positions."""
-        assert not use_pallas and not diff_input
+        kernel compile as ONE XLA program. With use_pallas, routes
+        through the fused UA Pallas kernel (ops/pallas_ua.py) — virtual-H
+        reconstruction + P2 + exact limb reduction in VMEM."""
+        assert not diff_input
+        if use_pallas:
+            assert fast_impl is not None and map_state is None \
+                and geom_ref is None
+            return fast_impl(coords, box_diag, normal, frame_mask,
+                             leaflet_classes=leaflet_classes,
+                             inv_scale=inv_scale)
         return _ua_step_impl(
             coords, box_diag, normal, frame_mask, indices, bond_mol_d,
             onehot_d,
@@ -394,5 +438,21 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
             map_spec=map_spec, geom_spec=geom_spec,
         )
 
+    def pallas_ok(batch_size, has_classes, has_geom):
+        """Host-side predicate for fused programs (analysis.py), mirroring
+        core/order.py make_order_step.pallas_ok."""
+        return (fast_impl is not None and has_classes == with_leaflets
+                and not has_geom and _batch_ok(batch_size))
+
+    def disable_pallas():
+        """Production fallback when the backend's Mosaic compiler rejects
+        the fused kernel — the XLA path computes equivalent output."""
+        nonlocal fast_impl
+        fast_impl = None
+        _fast_jit[0] = None
+
     step.impl = impl
+    step.pallas_ok = pallas_ok
+    step.disable_pallas = disable_pallas
+    step.pallas_active = lambda: fast_impl is not None
     return step

@@ -169,6 +169,15 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
             ]
+            lib.xtc_cog_axis.restype = ctypes.c_int32
+            lib.xtc_cog_axis.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+            ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -499,6 +508,32 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
         raise TrajectoryError(
             f"could not decode xtc file '{path}': {_err(lib)}")
     return rc, int(max_nesc[0])
+
+
+def xtc_cog_axis(path: str, offsets: np.ndarray, first_n: int,
+                 cog_slots: np.ndarray, cog_axis: int, cog_out: np.ndarray,
+                 slot_of: np.ndarray = None, n_out: int = None,
+                 n_threads: int = 1) -> None:
+    """Per-frame refined Bai-Breen center of the cog_slots subset along
+    cog_axis (native/xdr.cpp xtc_cog_axis) — the exact computation the
+    b7g wire's side channel performs, as a standalone pass so
+    global-leaflet runs riding a COORDINATE wire classify against the
+    same per-frame value (bitwise cross-wire output equality)."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
+    n = len(offsets)
+    if n == 0:
+        return
+    cog_slots = np.ascontiguousarray(cog_slots, np.int32)
+    assert cog_out.dtype == np.float32 and cog_out.shape[0] >= n
+    rc = lib.xtc_cog_axis(
+        path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
+        _i32p(cog_slots), len(cog_slots), int(cog_axis), _f32p(cog_out),
+        n_threads)
+    if rc != 0:
+        raise TrajectoryError(
+            f"could not decode xtc file '{path}': {_err(lib)}")
 
 
 def xtc_write(path: str, coords: np.ndarray, boxes: np.ndarray,

@@ -589,6 +589,27 @@ class Trajectory:
             return None, worst_nesc
         return (base, inv_prec, boxes, times, steps), worst_nesc
 
+    def read_cog_axis(self, frame_indices: Sequence[int], subset,
+                      cog_slots: np.ndarray, cog_axis: int,
+                      cog_out: np.ndarray, n_threads: int = 1) -> bool:
+        """Per-frame refined Bai-Breen membrane center along one axis
+        (native/xdr.cpp xtc_cog_axis) — the exact value the b7g wire's
+        side channel ships, computed as a standalone pass so
+        global-leaflet runs riding a COORDINATE wire classify against
+        the same number (bitwise cross-wire output equality; see
+        analysis.py channel unification). Fills cog_out[:n]; returns
+        False when unsupported (non-XTC frames)."""
+        sub = _as_subset(subset)
+        frame_indices = np.asarray(frame_indices, np.int64)
+        if not self._all_xtc(frame_indices):
+            return False
+        for sl, f, local in self._segments(frame_indices):
+            native.xtc_cog_axis(f.path, f.offsets[local], sub.first_n,
+                                cog_slots, cog_axis, cog_out[sl],
+                                slot_of=sub.slot_of, n_out=sub.n_out,
+                                n_threads=n_threads)
+        return True
+
     def iter_batches(self, frame_indices: Sequence[int], subset,
                      batch_size: int, n_threads: int = 1
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,

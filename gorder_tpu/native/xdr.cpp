@@ -2401,6 +2401,64 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
   return status.load();
 }
 
+// Standalone per-frame Bai-Breen COG pass over one axis of a slot
+// subset, for global-leaflet runs riding a COORDINATE wire: leaflet
+// classification must consume the decoder's COG on every wire so the
+// printed output is bitwise identical across wire formats (the b7g
+// side channel computes this inline; this pass supplies the same value
+// to s6/d8/i12/i16/f32 batches and to host-side classification paths).
+// Decodes each frame's XTC integers into thread-local scratch (slot
+// space, early-stop after first_n) and runs the exact bai_breen_axis
+// the b7g channel uses. Returns 0 ok / -1 corruption.
+int32_t xtc_cog_axis(const char *path, const int64_t *frame_offsets,
+                     int64_t n, int32_t first_n, const int32_t *slot_of,
+                     int32_t n_out, const int32_t *cog_slots, int32_t n_cog,
+                     int32_t cog_axis, float *cog_out, int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  std::atomic<int32_t> status{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<int32_t> scratch((size_t)n_out * 3, 0);
+    for (int64_t f = lo; f < hi; f++) {
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f],
+                            &h)) {
+        status.store(-1);
+        return;
+      }
+      I32Sink sink{scratch.data(), 0.0f};
+      bool ok;
+      if (slot_of) {
+        SlotSink<I32Sink> ss{sink, slot_of};
+        ok = decode_xtc_coords_t(h, first_n, ss);
+      } else {
+        ok = decode_xtc_coords_t(h, first_n, sink);
+      }
+      if (!ok) {
+        status.store(-1);
+        return;
+      }
+      float p = h.plain ? 1000.0f : h.precision;
+      float L = h.box[cog_axis * 3 + cog_axis];
+      cog_out[f] = bai_breen_axis(scratch.data(), cog_slots, n_cog,
+                                  cog_axis, 1.0f / p, L);
+    }
+  };
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return status.load();
+}
+
 // Append frames to an XTC file (creates it when absent).
 int32_t xtc_write(const char *path, int32_t natoms, int64_t n_frames,
                   const float *coords, const float *boxes, const float *times,

@@ -207,7 +207,8 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
                             leaflet_classes=None, inv_scale=None, *,
                             handle_pbc, quantized, interpret, n_types,
                             with_leaflets, per_bond_normal=False,
-                            diff_input=False, resid_input=False):
+                            diff_input=False, resid_input=False,
+                            pair_quantized=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -233,9 +234,10 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
         bzb = jnp.pad(b3[:, 2], pad)[None, :]
         Np = n_pad
     else:
-        if quantized:
-            coords = coords.astype(jnp.float32) * inv_scale[:, None, None]
         if diff_input:
+            if quantized:
+                coords = coords.astype(jnp.float32) \
+                    * inv_scale[:, None, None]
             # `coords` is already the (B, N, 3) bond-vector array (b7
             # wire) — pad the bond axis to the tile width; padded rows are
             # zero vectors whose one-hot membership row is zero (no
@@ -243,7 +245,21 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
             # cos² = 0/1e-18 = 0)
             d = jnp.pad(coords,
                         ((0, 0), (0, n_pad - coords.shape[1]), (0, 0)))
+        elif quantized and not pair_quantized:
+            # single-rounding bond vector from exact integer differences
+            # (core/order.py _order_step_impl quantized path): every
+            # integer wire matches the b7 formulation bit for bit
+            pa_i = jnp.take(coords, atom_a, axis=1).astype(jnp.int32)
+            pb_i = jnp.take(coords, atom_b, axis=1).astype(jnp.int32)
+            d = (pb_i - pa_i).astype(jnp.float32) \
+                * inv_scale[:, None, None]
         else:
+            if quantized:
+                # ordermap hybrid: pair formulation so the type sums and
+                # the map tiles (core/order.py _map_only_impl) derive
+                # from the same per-sample values
+                coords = coords.astype(jnp.float32) \
+                    * inv_scale[:, None, None]
             pa = jnp.take(coords, atom_a, axis=1)      # (B, Np, 3)
             pb = jnp.take(coords, atom_b, axis=1)
             d = pb - pa
@@ -255,10 +271,22 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
     bz = box_diag[:, 2:3]
     mask = frame_mask.astype(jnp.float32)[:, None]     # (B, 1)
 
-    # largest configured frame tile the batch divides evenly (tests use
-    # small batches; production batches are multiples of 32)
-    bt = _BT if B % _BT == 0 else 8
-    grid = (B // bt, Np // _NT)
+    # Device mesh: the kernel runs under shard_map over the 'frames' axis
+    # — each device executes the identical grid on its local B/n slice
+    # (per-frame rows are independent; no collectives), so the fused fast
+    # path survives multi-chip data parallelism instead of silently
+    # falling back to the XLA einsum (round-3 Weak #2).
+    from ..parallel.context import active_mesh
+
+    mesh = active_mesh()
+    n_shards = int(mesh.devices.size) if mesh is not None else 1
+    assert B % n_shards == 0, "pallas fast path: batch not mesh-divisible"
+    B_loc = B // n_shards
+
+    # largest configured frame tile the local batch divides evenly (tests
+    # use small batches; production batches are multiples of 32)
+    bt = _BT if B_loc % _BT == 0 else 8
+    grid = (B_loc // bt, Np // _NT)
     tile = lambda i, j: (i, j)          # noqa: E731  (Bt, Nt) data tiles
     row = lambda i, j: (0, j)           # noqa: E731  per-slot base rows
     col = lambda i, j: (i, 0)           # noqa: E731  per-frame columns
@@ -269,15 +297,21 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
             return pl.BlockSpec(shape, index_map)
         return pl.BlockSpec(shape, index_map, memory_space=mem)
 
+    # parallel list: is each operand frame-sharded (leading B axis) or
+    # replicated? — the shard_map PartitionSpecs below mirror it
+    frames_axis = []
+
     if per_bond_normal:
         # (B, M, 3) per-molecule normals → per-bond planes, gathered
         # outside the kernel (XLA) like the displacements
         nrm = jnp.take(normal, bond_mol, axis=1)       # (B, Np, 3)
         in_specs = [vspec((bt, _NT), tile)] * 3
         operands = [nrm[..., 0], nrm[..., 1], nrm[..., 2]]
+        frames_axis += [True] * 3
     else:
         in_specs = [vspec((1, 3), lambda i, j: (0, 0))]
         operands = [normal[None, :]]
+        frames_axis += [False]
 
     if resid_input:
         in_specs += [
@@ -290,6 +324,7 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
             vspec((bt, 1), col),                  # dequantization scale
         ]
         operands += [rx, ry, rz, bxb, byb, bzb, inv_scale[:, None]]
+        frames_axis += [True, True, True, False, False, False, True]
     else:
         in_specs += [
             vspec((bt, _NT), tile),               # dx
@@ -297,6 +332,7 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
             vspec((bt, _NT), tile),               # dz
         ]
         operands += [dx, dy, dz]
+        frames_axis += [True] * 3
     in_specs += [
         vspec((bt, 1), col),                      # box x
         vspec((bt, 1), col),                      # box y
@@ -304,6 +340,7 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
         vspec((bt, 1), col),                      # frame mask
     ]
     operands += [bx, by, bz, mask]
+    frames_axis += [True] * 4
 
     if with_leaflets:
         # per-bond class plane, gathered outside the kernel (XLA) so the
@@ -311,6 +348,7 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
         cls = jnp.take(leaflet_classes, bond_mol, axis=1).astype(jnp.float32)
         in_specs.append(vspec((bt, _NT), tile))
         operands.append(cls)
+        frames_axis.append(True)
         n_out = 12
     else:
         n_out = 4
@@ -321,16 +359,31 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
 
     in_specs.append(vspec((_NT, _TP), lambda i, j: (j, 0)))  # one-hot types
     operands.append(onehot_pad)
+    frames_axis.append(False)
 
     out_spec = vspec((bt, _TP), col)
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((B, _TP), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((B_loc, _TP), jnp.float32)] * n_out,
         interpret=interpret,
-    )(*operands)
+    )
+    if n_shards > 1:
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:         # newer jax: promoted out of experimental
+            from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        pspecs = tuple(P("frames") if fa else P() for fa in frames_axis)
+        outs = shard_map(lambda *ops: tuple(call(*ops)), mesh=mesh,
+                         in_specs=pspecs,
+                         out_specs=(P("frames"),) * n_out,
+                         check_rep=False)(*operands)
+    else:
+        outs = call(*operands)
 
     def pack(rows):
         return jnp.stack([r[:, :n_types] for r in rows], axis=1)  # (B,4,T)
@@ -348,7 +401,7 @@ _pallas_order_step = jax.jit(
     _pallas_order_step_impl,
     static_argnames=("handle_pbc", "quantized", "interpret", "n_types",
                      "with_leaflets", "per_bond_normal", "diff_input",
-                     "resid_input"))
+                     "resid_input", "pair_quantized"))
 
 
 def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
@@ -356,7 +409,8 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
                            with_leaflets: bool = False,
                            normal_mode: str = "static",
                            diff_input: bool = False,
-                           resid_input: bool = False):
+                           resid_input: bool = False,
+                           pair_quantized: bool = False):
     """Fused fast-path variant of core.order.make_order_step (same call
     signature and output layout for the configurations it supports).
 
@@ -400,6 +454,7 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
             diff_input=diff_input, resid_input=resid_input,
+            pair_quantized=pair_quantized,
         )
 
     def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
@@ -415,6 +470,7 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
             diff_input=diff_input, resid_input=resid_input,
+            pair_quantized=pair_quantized,
         )
 
     step.impl = impl

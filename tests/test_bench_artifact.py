@@ -156,3 +156,67 @@ def test_bench_modes_watchdog_silent_when_cancelled():
     assert out.returncode == 0
     assert out.stdout.strip() == "NORMAL-EXIT"
     assert "watchdog" not in out.stderr
+
+
+def _write_golden(tmp_path, name, text, monkeypatch):
+    gdir = tmp_path / "golden"
+    gdir.mkdir(exist_ok=True)
+    (gdir / name).write_text(text)
+    monkeypatch.setattr(bench, "GOLDEN_DIR", str(gdir))
+    return gdir
+
+
+_GOLDEN_YAML = (
+    "# Order parameters\n"
+    "POPC:\n"
+    "  average order:\n"
+    "    total: 0.1234\n"
+    "  order parameters:\n"
+    "    C22 (32):\n"
+    "      total: -0.0456\n"
+)
+
+
+def test_validate_output_exact(tmp_path, monkeypatch):
+    _write_golden(tmp_path, "aa_100.yaml", _GOLDEN_YAML, monkeypatch)
+    out = tmp_path / "run.yaml"
+    out.write_text(_GOLDEN_YAML.replace("# Order parameters",
+                                        "# different header comment"))
+    assert bench.validate_output(str(out), "aa", 100) == "exact"
+
+
+def test_validate_output_tolerates_one_print_quantum(tmp_path, monkeypatch):
+    _write_golden(tmp_path, "aa_100.yaml", _GOLDEN_YAML, monkeypatch)
+    out = tmp_path / "run.yaml"
+    out.write_text(_GOLDEN_YAML.replace("0.1234", "0.1235"))
+    status = bench.validate_output(str(out), "aa", 100)
+    assert status.startswith("quantum(1/")
+
+
+def test_validate_output_fails_on_corrupted_values(tmp_path, monkeypatch):
+    """The corrupted-kernel injection: a value off by more than one print
+    quantum must fail the benchmark loudly, never post a number."""
+    import pytest
+
+    _write_golden(tmp_path, "aa_100.yaml", _GOLDEN_YAML, monkeypatch)
+    out = tmp_path / "run.yaml"
+    out.write_text(_GOLDEN_YAML.replace("0.1234", "0.2234"))
+    with pytest.raises(bench.BenchValidationError, match="differs from"):
+        bench.validate_output(str(out), "aa", 100)
+    # structural corruption (missing line) fails too
+    out.write_text("\n".join(_GOLDEN_YAML.splitlines()[:-1]) + "\n")
+    with pytest.raises(bench.BenchValidationError, match="lines"):
+        bench.validate_output(str(out), "aa", 100)
+    # the loud artifact posts value 0.0 with an explicit flag
+    art = bench.correctness_failure_artifact("AA end-to-end",
+                                             "value mismatch")
+    assert art["value"] == 0.0
+    assert art["correctness_failed"] is True
+    assert "CORRECTNESS FAILURE" in art["metric"]
+
+
+def test_validate_output_none_without_golden(tmp_path, monkeypatch):
+    _write_golden(tmp_path, "aa_100.yaml", _GOLDEN_YAML, monkeypatch)
+    out = tmp_path / "run.yaml"
+    out.write_text(_GOLDEN_YAML)
+    assert bench.validate_output(str(out), "aa", 999) is None

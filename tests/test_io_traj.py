@@ -280,17 +280,13 @@ def test_subset_gather_all_formats(fixtures):
 
 
 def test_pipeline_wire_equivalence(fixtures, tmp_path, monkeypatch):
-    """The exactness contract behind every transfer optimization. Two
-    formulation classes:
-
-    - coordinate wires (f32/i16/i12/d8/s6) ship absolute positions; the
-      kernel computes bond vectors as the difference of two dequantized
-      positions — BIT-IDENTICAL results across all of them;
-    - the b7 wire ships exact integer bond differences dequantized once
-      (a single rounding of the exact difference) — bit-identical across
-      b7 runs, and within float ulps of the coordinate formulation
-      (the golden tiers pin the printed output as byte-identical).
-    """
+    """The exactness contract behind every transfer optimization
+    (round 4): every INTEGER wire (b7/s6/d8/i12/i16) yields
+    BIT-IDENTICAL results — the kernel computes bond vectors as the
+    single rounding of the exact integer difference on all of them
+    (core/order.py quantized path; docs/PERFORMANCE.md). The f32 wire
+    (no integers: TRR/GRO, or a debug force) keeps the position-pair
+    difference, within float ulps of the integer formulation."""
     from gorder_tpu.input import Analysis, AnalysisType
 
     def run(wire):
@@ -310,14 +306,14 @@ def test_pipeline_wire_equivalence(fixtures, tmp_path, monkeypatch):
             for mol in results.molecules for bond in mol.bonds
         ]
 
-    f32 = run("f32")
+    b7 = run("b7")
     for wire in ("i16", "s6"):
-        assert run(wire) == f32, wire
+        assert run(wire) == b7, wire
 
     auto = run(None)   # the probe picks b7 for this pure bond-order run
-    b7 = run("b7")
     assert auto == b7
-    for (av, ae), (fv, fe) in zip(auto, f32):
+    f32 = run("f32")
+    for (av, ae), (fv, fe) in zip(b7, f32):
         assert abs(av - fv) < 1e-7
         assert (ae is None) == (fe is None)
         if ae is not None:
@@ -554,8 +550,12 @@ def test_s6_pipeline_picked_and_equivalent(tmp_path, monkeypatch, caplog):
     assert len(auto) > 10   # real values, not an empty comparison
     assert any("wire format: s6" in r.getMessage() for r in caplog.records), \
         "probe did not pick s6 on closely-spaced synthetic data"
-    assert auto == run("f32")
     assert auto == run("s6")
+    assert auto == run("i16")   # integer wires: bitwise identical
+    # the f32 wire keeps the position-pair formulation — within ulps
+    for (av, ae), (fv, fe) in zip(auto, run("f32")):
+        assert abs(av - fv) < 1e-6
+        assert (ae is None) == (fe is None)
 
 
 def test_wire_fallback_on_midrun_precision_change(tmp_path, monkeypatch,
@@ -639,21 +639,23 @@ def test_wire_fallback_on_midrun_precision_change(tmp_path, monkeypatch,
     f32 = run("f32")
     assert len(f32) > 10
 
-    # s6 (coordinate wire): fallback batch is bit-identical to f32
+    # s6 (integer wire): the straddling batch falls back to int16 —
+    # still an integer wire, so the whole run stays on the
+    # single-rounding formulation and remains within ulps of f32
     with caplog.at_level(logging.WARNING, logger="gorder"):
         s6 = run("s6")
     assert any("wire fallback" in r.getMessage() for r in caplog.records)
-    assert s6 == f32
+    for (sv, se), (fv, fe) in zip(s6, f32):
+        assert abs(sv - fv) < 1e-6
+        assert (se is None) == (fe is None)
 
-    # b7 (bond-difference wire): fallback fires too; values agree with the
-    # coordinate formulation within ulps (see test_wire_b7 for the bound)
+    # b7 (bond-difference wire): fallback fires too; its int16 fallback
+    # batches are bit-identical to the s6 run's (same formulation)
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="gorder"):
         b7 = run("b7")
     assert any("wire fallback" in r.getMessage() for r in caplog.records)
-    for (bv, be), (fv, fe) in zip(b7, f32):
-        assert abs(bv - fv) < 1e-6
-        assert (be is None) == (fe is None)
+    assert b7 == s6
 
 
 def test_wire_rate_aware_selection(fixtures):

@@ -366,3 +366,84 @@ def test_pipeline_survives_pallas_compile_failure(monkeypatch, fixtures,
     out = tmp_path / "order.yaml"
     write_yaml(results, str(out))
     assert_eq_order(str(out), str(fixtures / "cg_order_basic.yaml"))
+
+
+def test_pallas_under_frames_mesh_exact(monkeypatch):
+    """The fused kernel runs under shard_map over the frames mesh
+    (ops/pallas_p2.py): with a per-device batch that tiles the frame
+    dimension, the mesh run is BITWISE identical to the single-device
+    run — plain and leaflet-wise. (Round-3 gap: the fast path was
+    silently disabled whenever a mesh was active, so Pallas x sharding
+    was exercised nowhere.)"""
+    import jax
+
+    from gorder_tpu.core.order import recombine_limbs
+    from gorder_tpu.parallel import context
+    from gorder_tpu.parallel.context import put_const, put_frames
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    B, A = 8 * n_dev, 64
+    rng = np.random.default_rng(3)
+    atom_a = np.arange(0, 60, 2, np.int32)
+    atom_b = atom_a + 1
+    btype = (np.arange(30) % 5).astype(np.int32)
+    bmol = (np.arange(30) // 3).astype(np.int32)
+    coords = rng.uniform(0, 5, (B, A, 3)).astype(np.float32)
+    box = np.full((B, 3), 5.0, np.float32)
+    mask = np.ones(B, bool)
+    classes = (rng.random((B, 10)) > 0.5).astype(np.int32)
+    normal = np.array([0, 0, 1], np.float32)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+
+    for with_leaflets in (False, True):
+        single = make_order_step(atom_a, atom_b, btype, bmol, 5, 10,
+                                 with_leaflets=with_leaflets)
+        cl = jax.device_put(classes) if with_leaflets else None
+        o1, _ = single(jax.device_put(coords), jax.device_put(box),
+                       jax.device_put(normal), jax.device_put(mask),
+                       leaflet_classes=cl)
+        mesh = context.activate(B)
+        try:
+            assert mesh is not None and mesh.devices.size == n_dev
+            meshed = make_order_step(atom_a, atom_b, btype, bmol, 5, 10,
+                                     with_leaflets=with_leaflets)
+            cl2 = put_frames(classes) if with_leaflets else None
+            o2, _ = meshed(put_frames(coords), put_frames(box),
+                           put_const(normal), put_frames(mask),
+                           leaflet_classes=cl2)
+        finally:
+            context.deactivate()
+        for c in o1:
+            a = recombine_limbs(np.asarray(o1[c]))
+            b = recombine_limbs(np.asarray(o2[c]))
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_pallas_mesh_requires_per_device_tiling():
+    """A batch whose per-device slice does not tile the kernel's frame
+    dimension must refuse the fast path (fall back to XLA) instead of
+    building an empty grid."""
+    import jax
+
+    from gorder_tpu.parallel import context
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    atom_a = np.arange(0, 10, 2, np.int32)
+    atom_b = atom_a + 1
+    btype = np.zeros(5, np.int32)
+    bmol = np.zeros(5, np.int32)
+    mesh = context.activate(4 * n_dev)
+    try:
+        step = make_order_step(atom_a, atom_b, btype, bmol, 1, 1)
+        # per-device slice = 4 rows < the 8-row tile
+        assert not step.pallas_ok(4 * n_dev, has_classes=False,
+                                  has_geom=False)
+        assert step.pallas_ok(8 * n_dev, has_classes=False, has_geom=False) \
+            == step.pallas_active()
+    finally:
+        context.deactivate()

@@ -181,15 +181,15 @@ def test_b7_forced_but_ineligible_falls_back(fixtures, tmp_path,
     """GORDER_TPU_WIRE=b7 on a run that needs absolute coordinates
     (local leaflet classification: cylinder-local membrane centers)
     warns and probes the coordinate formats — results still match the
-    f32 wire exactly (same formulation)."""
+    auto-picked integer wire exactly (same formulation)."""
     from gorder_tpu.input import LeafletClassification
 
     leaf = dict(leaflets=LeafletClassification.local(
         "@membrane", "name P", 2.5))
-    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", **leaf)
+    y_auto = _run_aa(fixtures, tmp_path, monkeypatch, None, **leaf)
     with caplog.at_level(logging.WARNING, logger="gorder"):
         y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", **leaf)
-    assert y_b7 == y_f32
+    assert y_b7 == y_auto
     assert any("not" in r.message and "eligible" in r.message
                for r in caplog.records)
 
@@ -206,49 +206,74 @@ def _yaml_values(data: bytes):
 
 
 def test_b7_global_leaflets_channel(fixtures, tmp_path, monkeypatch):
-    """Global leaflet classification rides the b7 wire via the decoder's
-    head-position + Bai-Breen COG side channels (native/xdr.cpp
-    emit_channels). The heads dequantize bit-identically to a coordinate
-    gather; the COG itself is f64-accumulated on the host vs f32-summed
-    on the device, so a head sitting within float noise (~1e-5 nm) of
-    the membrane center plane may legitimately class differently — both
-    sides are within noise of the reference's f64 Rust computation
-    (src/analysis/leaflets.rs global method). The contract is therefore
-    semantic: 4-dp output parity with the coordinate wires (at most one
-    rounding step on any aggregate), with batch-size/device-count
-    invariance untouched (the COG is per-frame host data). The golden
-    tier separately pins b7g against the reference outputs byte-for-byte
-    (tests/test_golden_exact.py runs with the probe's choice)."""
+    """Global every-frame leaflet runs are BITWISE identical across every
+    INTEGER wire format — the entire set the probe ever selects for XTC
+    input: classification on every wire consumes the decoder's per-frame
+    Bai-Breen COG (the b7g wire ships it as a side channel,
+    native/xdr.cpp emit_channels; coordinate wires run the standalone
+    xtc_cog_axis pass), the b7g aux-channel heads dequantize
+    bit-identically to a coordinate gather, and every integer wire's
+    bond vector is the single rounding of the exact integer difference
+    (core/order.py quantized path). This upgraded the round-3 semantic
+    4-dp contract to byte equality, which is what lets the channel wire
+    default ON (GORDER_TPU_B7_LEAFLETS=0 restores the device-COG path).
+    The f32 wire (TRR/GRO input, or a debug force on XTC) has no
+    integers and keeps the position-pair difference — it may differ by
+    one last-ulp rounding per sample (test_b7_formulation_bound), at
+    most one 4-dp print quantum on any aggregate."""
+    import numpy as np
+
     from gorder_tpu.input import LeafletClassification
 
     leaf = dict(leaflets=LeafletClassification.global_(
         "@membrane", "name P"))
-    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", **leaf)
-    y_s6 = _run_aa(fixtures, tmp_path, monkeypatch, "s6", **leaf)
-    assert y_s6 == y_f32          # coordinate wires stay bit-identical
     y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", **leaf)
-    a, b = _yaml_values(y_b7), _yaml_values(y_f32)
+    y_s6 = _run_aa(fixtures, tmp_path, monkeypatch, "s6", **leaf)
+    assert y_s6 == y_b7
+    y_i16 = _run_aa(fixtures, tmp_path, monkeypatch, "i16", **leaf)
+    assert y_i16 == y_b7
+    y_auto = _run_aa(fixtures, tmp_path, monkeypatch, None, **leaf)
+    assert y_auto == y_b7
+    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", **leaf)
+    a, b = _yaml_values(y_f32), _yaml_values(y_b7)
     assert len(a) == len(b)
     diff = np.abs(a - b)
-    assert diff.max() <= 2.0e-4, f"max diff {diff.max()}"
+    assert diff.max() <= 1.001e-4, f"max diff {diff.max()}"
     assert (diff == 0).mean() >= 0.999
 
 
 def test_b7_global_leaflets_channel_flip(fixtures, tmp_path, monkeypatch):
     """The flip option inverts the channel-computed classes the same way
     it inverts the coordinate-path classes (leaflets.rs flip); same
-    semantic 4-dp contract as the unflipped case."""
+    bitwise cross-wire contract as the unflipped case."""
     from gorder_tpu.input import LeafletClassification
 
     leaf = LeafletClassification.global_("@membrane", "name P")
     leaf.flip = True
-    y_f32 = _run_aa(fixtures, tmp_path, monkeypatch, "f32", leaflets=leaf)
+    y_s6 = _run_aa(fixtures, tmp_path, monkeypatch, "s6", leaflets=leaf)
     y_b7 = _run_aa(fixtures, tmp_path, monkeypatch, "b7", leaflets=leaf)
-    a, b = _yaml_values(y_b7), _yaml_values(y_f32)
+    assert y_b7 == y_s6
+
+
+def test_channel_cog_opt_out(fixtures, tmp_path, monkeypatch):
+    """GORDER_TPU_B7_LEAFLETS=0 restores the round-3 device-COG path:
+    coordinate wires classify against the device-computed membrane
+    center and the b7g wire is not selected."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import LeafletClassification
+
+    monkeypatch.setenv("GORDER_TPU_B7_LEAFLETS", "0")
+    leaf = dict(leaflets=LeafletClassification.global_(
+        "@membrane", "name P"))
+    y_off = _run_aa(fixtures, tmp_path, monkeypatch, None, **leaf)
+    assert getattr(mod, "_LAST_WIRE")[0] != "b7"
+    monkeypatch.delenv("GORDER_TPU_B7_LEAFLETS", raising=False)
+    y_on = _run_aa(fixtures, tmp_path, monkeypatch, None, **leaf)
+    # same physics either way: any difference is at most one 4-dp print
+    # quantum from a float-noise COG difference
+    a, b = _yaml_values(y_off), _yaml_values(y_on)
     assert len(a) == len(b)
-    diff = np.abs(a - b)
-    assert diff.max() <= 2.0e-4, f"max diff {diff.max()}"
-    assert (diff == 0).mean() >= 0.999
+    assert np.abs(a - b).max() <= 2.0e-4
 
 
 @requires_fixtures

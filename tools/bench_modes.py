@@ -59,6 +59,31 @@ AA_LOCAL_LEAFLETS_BASELINE_8T = 10000 / 508.0
 # (performance/export_benchmarks.md §Normals; BASELINE.md row 19)
 AA_DYNAMIC_BASELINE_8T = 10000 / 6.68
 
+# The rest of the reference's leaflet-overhead table (AA, every frame,
+# 8T — performance/leaflets_benchmarks.md §Atomistic; BASELINE.md row 17):
+# individual 6.48 s, spherical-clustering 6.69 s, (spectral) clustering
+# ~16 s, from-file 6.90 s
+AA_INDIVIDUAL_BASELINE_8T = 10000 / 6.48
+AA_SPHERICAL_BASELINE_8T = 10000 / 6.69
+AA_CLUSTERING_BASELINE_8T = 10000 / 16.0
+AA_FROMFILE_BASELINE_8T = 10000 / 6.90
+
+# Palmitoyl-only rows (performance/main_benchmarks.md; BASELINE.md rows
+# 3 and 8) — the reference publishes these at ONE thread (its direct
+# `gmx order` comparison): AA 10.465 s / 10k frames, UA 4.036 s / 3k
+AA_PALMITOYL_BASELINE_1T = 10000 / 10.465
+UA_PALMITOYL_BASELINE_1T = 3000 / 4.036
+
+# Geometry restriction has no published reference row; the comparison
+# denominator is the reference's plain-AA 8T rate (5.86 s / 10k frames)
+# so the row quantifies the repo's own geometry overhead
+AA_GEOMETRY_BASELINE_8T = 10000 / 5.86
+
+AA_MODES = ("aa-leaflets", "aa-local-leaflets", "aa-dynamic",
+            "aa-individual-leaflets", "aa-spherical-leaflets",
+            "aa-clustering-leaflets", "aa-fromfile-leaflets",
+            "aa-palmitoyl", "aa-geometry")
+
 
 def _cg_template():
     """Martini-like POPC: NC3-PO4-GL1(-GL2)-C1A..C4A / C1B..C4B."""
@@ -236,13 +261,16 @@ def _make_analysis(mode):
         gro, bnd, xtc = synth_cg()
         atype = AnalysisType.cgorder("resname POPC")
         out = os.path.join(CACHE, "cg_bench_order.yaml")
-    elif mode in ("aa-leaflets", "aa-local-leaflets", "aa-dynamic"):
+    elif mode in AA_MODES:
         # AA-headline-system variants of the reference's other published
-        # rows: global leaflets (leaflets_benchmarks.md §Atomistic),
-        # LOCAL leaflets every frame (same table — the reference's
-        # pathological ~508 s case), dynamic membrane normals
-        # (export_benchmarks.md §Normals)
-        from gorder_tpu.input.config import (LeafletClassification,
+        # rows: the full leaflet-overhead table
+        # (leaflets_benchmarks.md §Atomistic: global / local / individual
+        # / spherical-clustering / clustering / from-file, every frame),
+        # dynamic membrane normals (export_benchmarks.md §Normals), the
+        # palmitoyl-only chain (main_benchmarks.md §Atomistic), and a
+        # geometry-restriction row (repo-only; selection-COG cylinder)
+        from gorder_tpu.input.config import (Geometry,
+                                             LeafletClassification,
                                              MembraneNormal)
 
         gro = os.path.join(CACHE, "bench.gro")
@@ -252,6 +280,8 @@ def _make_analysis(mode):
             raise SystemExit("run bench.py once first (synthesizes the AA "
                              "inputs this mode reuses)")
         kwargs = {}
+        heavy = "resname POPC and name r'^C'"
+        hydrogens = "resname POPC and name r'^H'"
         if mode == "aa-leaflets":
             kwargs["leaflets"] = LeafletClassification.global_(
                 "resname POPC", "resname POPC and name P")
@@ -259,16 +289,50 @@ def _make_analysis(mode):
             # radius 2.5 nm — the reference manual's local-method example
             kwargs["leaflets"] = LeafletClassification.local(
                 "resname POPC", "resname POPC and name P", 2.5)
-        else:
+        elif mode == "aa-individual-leaflets":
+            # methyls: the two terminal chain carbons of the synthetic
+            # CHARMM-like template (bench.py build_lipid_template)
+            kwargs["leaflets"] = LeafletClassification.individual(
+                "resname POPC and name P",
+                "resname POPC and name C217 C317")
+        elif mode == "aa-spherical-leaflets":
+            kwargs["leaflets"] = LeafletClassification.spherical(
+                "resname POPC and name P")
+        elif mode == "aa-clustering-leaflets":
+            kwargs["leaflets"] = LeafletClassification.clustering(
+                "resname POPC and name P")
+        elif mode == "aa-fromfile-leaflets":
+            # deterministic per-frame manual assignment for every frame:
+            # the synthetic membrane puts even molecules in the upper
+            # leaflet (bench.py synthesize_structure; manual value 1 =
+            # upper, 0 = lower — the reference's serialization)
+            row = [1 - (m % 2) for m in range(256)]
+            kwargs["leaflets"] = LeafletClassification.from_map(
+                {"POPC": [row] * 10000})
+        elif mode == "aa-dynamic":
             kwargs["membrane_normal"] = MembraneNormal.dynamic(
                 "resname POPC and name P")   # default radius 2.0 nm
+        elif mode == "aa-geometry":
+            # selection-COG cylinder: the reference point is recomputed
+            # every frame from the full lipid selection
+            # (src/analysis/geometry.rs init_reference)
+            kwargs["geometry"] = Geometry(
+                "cylinder", reference="resname POPC", radius=4.0,
+                orientation="z")
+        elif mode == "aa-palmitoyl":
+            # sn-1 chain only — the reference's `gmx order` comparison row
+            heavy = "resname POPC and name r'^C2\\d+$'"
+            hydrogens = "resname POPC and name r'^H\\d+[RST]2$'"
         return Analysis(
             structure=gro, bonds=bnd, trajectory=xtc,
-            analysis_type=AnalysisType.aaorder(
-                "resname POPC and name r'^C'",
-                "resname POPC and name r'^H'"),
+            analysis_type=AnalysisType.aaorder(heavy, hydrogens),
             output_yaml=os.path.join(CACHE, f"{mode}_order.yaml"),
             silent=True, overwrite=True, **kwargs)
+    elif mode == "ua-palmitoyl":
+        gro, bnd, xtc = synth_ua()
+        atype = AnalysisType.uaorder(
+            saturated="resname POPC and name r'^CA\\d+$'")
+        out = os.path.join(CACHE, "ua-palmitoyl_order.yaml")
     else:
         gro, bnd, xtc = synth_ua()
         atype = AnalysisType.uaorder(
@@ -295,18 +359,20 @@ def run_mode(mode):
                           "device_unreachable": True}))
         return
 
-    if mode == "aa-leaflets":
-        # ride the b7 wire's head-position + Bai-Breen COG side channels
-        # (~60 vs 81.8 KB/frame on this system). Opt-in because the
-        # channel COG is host f64-accumulated (semantic 4-dp parity with
-        # the coordinate wires, not bitwise — docs/PERFORMANCE.md);
-        # reference-golden parity is byte-exact either way.
-        os.environ.setdefault("GORDER_TPU_B7_LEAFLETS", "1")
+    # aa-leaflets rides the b7g channel wire by default since round 4
+    # (bitwise identical to the coordinate wires — docs/PERFORMANCE.md)
     analysis = _make_analysis(mode)
     baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T,
                 "aa-leaflets": AA_LEAFLETS_BASELINE_8T,
                 "aa-local-leaflets": AA_LOCAL_LEAFLETS_BASELINE_8T,
-                "aa-dynamic": AA_DYNAMIC_BASELINE_8T}[mode]
+                "aa-dynamic": AA_DYNAMIC_BASELINE_8T,
+                "aa-individual-leaflets": AA_INDIVIDUAL_BASELINE_8T,
+                "aa-spherical-leaflets": AA_SPHERICAL_BASELINE_8T,
+                "aa-clustering-leaflets": AA_CLUSTERING_BASELINE_8T,
+                "aa-fromfile-leaflets": AA_FROMFILE_BASELINE_8T,
+                "aa-palmitoyl": AA_PALMITOYL_BASELINE_1T,
+                "ua-palmitoyl": UA_PALMITOYL_BASELINE_1T,
+                "aa-geometry": AA_GEOMETRY_BASELINE_8T}[mode]
 
     # warm: compile + first-execution tunnel stall excluded, like bench.py
     warm = _make_analysis(mode)
@@ -318,12 +384,26 @@ def run_mode(mode):
     t_start = time.perf_counter()
     best_rate, best_tunnel, best_kbf, best_wire, worst = 0.0, 0.0, 0.0, "", 0.0
     n_frames = None
+    validated = None
+    out_yaml = {"cg": os.path.join(CACHE, "cg_bench_order.yaml"),
+                "ua": os.path.join(CACHE, "ua_bench_order.yaml")}.get(
+        mode, os.path.join(CACHE, f"{mode}_order.yaml"))
     from gorder_tpu import analysis as _mod
     for trial in range(max_trials):
         t0 = time.perf_counter()
         r = analysis.run()
         r.write()
         dt = time.perf_counter() - t0
+        # pin correctness inside the capture (bench.validate_output):
+        # the figure only posts if this run's output matches the golden
+        try:
+            validated = bench.validate_output(out_yaml, mode,
+                                              r.n_analyzed_frames)
+        except bench.BenchValidationError as exc:
+            print(f"# BENCH CORRECTNESS FAILURE: {exc}", file=sys.stderr)
+            print(json.dumps(bench.correctness_failure_artifact(
+                f"{mode.upper()} order analysis, end-to-end", exc)))
+            return
         tunnel = bench.measure_tunnel_mbps()
         n_frames = r.n_analyzed_frames
         rate = n_frames / dt
@@ -372,6 +452,32 @@ def run_mode(mode):
             "aa-dynamic": "AA 256-lipid order analysis with dynamic "
                           "membrane normals, end-to-end "
                           f"({n_frames} XTC frames)",
+            "aa-individual-leaflets": "AA 256-lipid order analysis with "
+                                      "INDIVIDUAL leaflet classification "
+                                      "every frame, end-to-end "
+                                      f"({n_frames} XTC frames)",
+            "aa-spherical-leaflets": "AA 256-lipid order analysis with "
+                                     "spherical-clustering (GMM) leaflet "
+                                     "classification every frame, "
+                                     f"end-to-end ({n_frames} XTC frames)",
+            "aa-clustering-leaflets": "AA 256-lipid order analysis with "
+                                      "spectral-clustering leaflet "
+                                      "classification every frame, "
+                                      f"end-to-end ({n_frames} XTC frames)",
+            "aa-fromfile-leaflets": "AA 256-lipid order analysis with "
+                                    "manual (from-map) leaflet assignment "
+                                    "every frame, end-to-end "
+                                    f"({n_frames} XTC frames)",
+            "aa-palmitoyl": "AA 256-lipid order analysis, palmitoyl chain "
+                            f"only, end-to-end ({n_frames} XTC frames; "
+                            "reference baseline is 1-thread)",
+            "ua-palmitoyl": "UA 256-lipid order analysis, palmitoyl chain "
+                            f"only, end-to-end ({n_frames} XTC frames; "
+                            "reference baseline is 1-thread)",
+            "aa-geometry": "AA 256-lipid order analysis restricted to a "
+                           "selection-COG cylinder (recomputed every "
+                           f"frame), end-to-end ({n_frames} XTC frames; "
+                           "baseline is the reference's plain-AA 8T rate)",
             }[mode]
     implied = (best_tunnel * 1024 / best_kbf) if best_kbf > 0 else 0.0
     print(json.dumps({
@@ -384,6 +490,7 @@ def run_mode(mode):
         "wire_KB_frame": round(best_kbf, 1),
         "implied_ceiling_frames_s": round(implied, 1),
         "ceiling_fraction": round(best_rate / implied, 3) if implied else 0.0,
+        "output_validated": validated or "no-golden",
     }))
     print(f"| {mode.upper()} | {best_rate:.0f} frames/s | "
           f"{baseline:.0f} frames/s (8T reference) | "
@@ -447,13 +554,19 @@ def _measure_device_resident_ua(analysis, batch=512, iters=30):
     mask_dev = jax.device_put(np.ones(n, bool))
     jax.block_until_ready([box_dev, normal_dev, mask_dev])
 
+    use_pallas = bool(getattr(step, "pallas_ok", lambda *a, **k: False)(
+        n, has_classes=False, has_geom=False))
+    print(f"# ua device-resident: pallas={'on' if use_pallas else 'off'}",
+          file=sys.stderr)
+
     def one(carry):
         if staged is not None:
             c = _s6_impl(*staged, scale_dev + carry)
         else:
             c = coords_dev + carry
         return step.impl(c, box_dev, normal_dev, mask_dev,
-                         map_state=None, geom_ref=None)
+                         map_state=None, geom_ref=None,
+                         use_pallas=use_pallas)
 
     @jax.jit
     def many(eps):
@@ -679,15 +792,14 @@ def main():
         synth_cg()
         synth_ua()
         print("synthesized CG + UA benchmark inputs")
-    elif cmd in ("cg", "ua", "aa-leaflets", "aa-local-leaflets",
-                 "aa-dynamic"):
+    elif cmd in ("cg", "ua", "ua-palmitoyl") or cmd in AA_MODES:
         run_mode(cmd)
     elif cmd in ("cg-dr", "ua-dr", "aa-leaflets-dr"):
         run_device_resident(cmd[:-3])
     else:
         raise SystemExit(
-            f"unknown mode {cmd!r} (use synth|cg|ua|aa-leaflets|"
-            "cg-dr|ua-dr|aa-leaflets-dr)")
+            f"unknown mode {cmd!r} (use synth|cg|ua|ua-palmitoyl|"
+            + "|".join(AA_MODES) + "|cg-dr|ua-dr|aa-leaflets-dr)")
     if done is not None:
         done.set()   # the mode printed its JSON: the watchdog must not fire
 
