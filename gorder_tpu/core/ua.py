@@ -119,17 +119,19 @@ def _pwrap(x, box):
     return tuple(xi - bi * jnp.floor(xi / bi) for xi, bi in zip(x, box))
 
 
-def _prodrigues(v, axis, angle):
-    """Planar _rodrigues: v·cos + (axis×v)·sin + (axis·(axis·v))·(1−cos),
-    with the vector version's exact multiply grouping
-    ((axis * k_dot_v) * (1 − cos))."""
-    cos = jnp.cos(angle)
-    sin = jnp.sin(angle)
+def _prodrigues_cs(v, axis, cos, sin):
+    """Planar Rodrigues from precomputed cos/sin:
+    v·cos + (axis×v)·sin + (axis·(axis·v))·(1−cos), with the vector
+    version's exact multiply grouping ((axis * k_dot_v) * (1 − cos))."""
     kc = _pcross(axis, v)
     kdv = _pdot(axis, v)
     one_m = 1.0 - cos
     return tuple(v[i] * cos + kc[i] * sin + (axis[i] * kdv) * one_m
                  for i in range(3))
+
+
+def _prodrigues(v, axis, angle):
+    return _prodrigues_cs(v, axis, jnp.cos(angle), jnp.sin(angle))
 
 
 def _padd_bond(t, hv):
@@ -182,6 +184,30 @@ def predict_ch1_unsaturated_planar(t, h1, h2, box, handle_pbc):
     gamma = jnp.arccos(jnp.clip(dot / jnp.maximum(norms, 1e-30), -1.0, 1.0))
     axis = _pnormalize(_pcross(th1, th2))
     hv = _prodrigues(th2, axis, jnp.pi - gamma / 2.0)
+    return [_padd_bond(t, hv)]
+
+
+def predict_ch1_unsaturated_planar_nacos(t, h1, h2, box, handle_pbc):
+    """acos-free ch1u variant for the Pallas TPU kernel: Mosaic has no
+    `acos` lowering (observed live: 'Unimplemented primitive ... acos'),
+    so the rotation by π − γ/2 is expressed through half-angle
+    identities instead — cos(π−γ/2) = −√((1+cosγ)/2) and
+    sin(π−γ/2) = √((1−cosγ)/2), both exact branches for γ ∈ [0, π].
+    Differs from the libm acos/cos path by a few ulps per sample, inside
+    the kernel's one-quantum-per-sample contract (ops/pallas_ua.py;
+    tests/test_pallas_ua.py)."""
+    th1 = _psub(h1, t)
+    th2 = _psub(h2, t)
+    if handle_pbc:
+        th1 = _pmin_image(th1, box)
+        th2 = _pmin_image(th2, box)
+    dot = _pdot(th1, th2)
+    norms = jnp.sqrt(_pdot(th1, th1) * _pdot(th2, th2))
+    cos_g = jnp.clip(dot / jnp.maximum(norms, 1e-30), -1.0, 1.0)
+    cos_r = -jnp.sqrt(jnp.maximum((1.0 + cos_g) * 0.5, 0.0))
+    sin_r = jnp.sqrt(jnp.maximum((1.0 - cos_g) * 0.5, 0.0))
+    axis = _pnormalize(_pcross(th1, th2))
+    hv = _prodrigues_cs(th2, axis, cos_r, sin_r)
     return [_padd_bond(t, hv)]
 
 

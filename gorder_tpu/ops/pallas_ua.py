@@ -39,9 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.ua import (predict_ch1_saturated_planar,
-                       predict_ch1_unsaturated_planar, predict_ch2_planar,
-                       predict_ch3_planar, _pdot, _pmin_image, _psub,
-                       _pwrap)
+                       predict_ch1_unsaturated_planar_nacos,
+                       predict_ch2_planar, predict_ch3_planar, _pdot,
+                       _pmin_image, _psub, _pwrap)
 
 from .pallas_p2 import _BT, _NT, _TP, _accumulate
 
@@ -99,8 +99,10 @@ def _ua_kernel(*refs, category, handle_pbc, per_bond_normal, with_leaflets,
     elif category == "ch2":
         hydrogens = predict_ch2_planar(t, h1, h2, boxp, handle_pbc)
     elif category == "ch1u":
-        hydrogens = predict_ch1_unsaturated_planar(t, h1, h2, boxp,
-                                                   handle_pbc)
+        # acos-free variant: Mosaic has no acos lowering (core/ua.py
+        # predict_ch1_unsaturated_planar_nacos docstring)
+        hydrogens = predict_ch1_unsaturated_planar_nacos(t, h1, h2, boxp,
+                                                         handle_pbc)
     else:  # ch1s
         hydrogens = predict_ch1_saturated_planar(t, h1, h2, h3, boxp,
                                                  handle_pbc)

@@ -26,13 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    modes = sys.argv[1:] or ["aa", "cg", "ua", "aa-leaflets",
-                             "aa-local-leaflets", "aa-dynamic"]
+    modes = sys.argv[1:] or ["aa", "cg", "ua", "ua-palmitoyl",
+                             "aa-leaflets", "aa-local-leaflets",
+                             "aa-dynamic", "aa-individual-leaflets",
+                             "aa-spherical-leaflets",
+                             "aa-clustering-leaflets",
+                             "aa-fromfile-leaflets", "aa-palmitoyl",
+                             "aa-geometry"]
+    # FORCE the CPU backend: the sandbox sitecustomize presets
+    # jax_platforms to the tunneled TPU and a plain JAX_PLATFORMS env var
+    # is not enough once jax is imported (tests/conftest.py pattern)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    if jax.default_backend() != "cpu":
-        print("warning: not on the CPU backend — goldens should be "
-              "generated on CPU (JAX_PLATFORMS=cpu)", file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
     import bench
     import bench_modes
