@@ -188,12 +188,47 @@ def _spectral_labels(coords, box_diag, head_idx, *, handle_pbc):
             span = _top3_subspace(s_mat, v0)
         span = span - v0[:, None] * (v0 @ span)[None, :]
         u, _, _ = jnp.linalg.svd(span, full_matrices=False)
-        embedding = u[:, :2]
-        norm = jnp.sqrt(jnp.sum(embedding ** 2, axis=1, keepdims=True))
-        embedding = jnp.where(norm > 1e-10, embedding / norm, embedding)
+        embedding = _rayleigh_weighted(u[:, :2],
+                                       lambda v: v - s_mat @ v)
         return _kmeans2(embedding)
 
     return jax.lax.map(per_frame, (coords, box_diag))
+
+
+def _rayleigh_weighted(u2, lap):
+    """Rayleigh–Ritz the normalized Laplacian within the deflated 2-D
+    span, then shrink the higher-energy direction by √(λ₁/λ₂) before
+    row normalization.
+
+    The deflated span's SVD basis is an ARBITRARY rotation of its two
+    directions (their singular values are equal by construction), so
+    the inter-cluster INDICATOR — the direction with near-zero
+    Laplacian energy; an exact null vector for spectrally disconnected
+    leaflets — generally arrives mixed with an intra-sheet mode of
+    strictly positive energy. Diagonalizing the 2×2 restriction
+    H = U₂ᵀ(I−S)U₂ separates them exactly, regardless of basis
+    rotation. Row-normalizing equal-weight columns then lets k-means
+    latch onto the in-sheet mode — observed live on a flat synthetic
+    bilayer: one frame in thousands produced an orthogonal split that
+    failed the ≥80 % frame-to-frame match (SpectralOrienter).
+    Energy-weighting keeps the indicator dominant exactly when the
+    spectrum says it should be, and leaves genuinely
+    two-null-direction geometries (e.g. vesicle shells, where both
+    retained directions have ~zero energy) untouched — λ₁ ≈ λ₂ →
+    weight ≈ 1, the reference's equal-weight embedding."""
+    l0 = lap(u2[:, 0])
+    l1 = lap(u2[:, 1])
+    h00 = jnp.vdot(u2[:, 0], l0)
+    h01 = jnp.vdot(u2[:, 0], l1)
+    h11 = jnp.vdot(u2[:, 1], l1)
+    h = jnp.stack([jnp.stack([h00, h01]), jnp.stack([h01, h11])])
+    lam, q = jnp.linalg.eigh(h)                       # ascending
+    v = u2 @ q
+    lam = jnp.maximum(lam, 1e-9)
+    w = jnp.sqrt(lam[0] / lam[1])                     # ≤ 1
+    embedding = jnp.stack([v[:, 0], v[:, 1] * w], axis=1)
+    norm = jnp.sqrt(jnp.sum(embedding ** 2, axis=1, keepdims=True))
+    return jnp.where(norm > 1e-10, embedding / norm, embedding)
 
 
 # dense spectral clustering holds an (n, n) similarity matrix and runs a
@@ -274,14 +309,14 @@ def _spectral_labels_nystrom(coords, box_diag, head_idx, landmark_pos, *,
             mu_top = jnp.maximum(mu3, 1e-12)
         u = (r @ top) * (1.0 / jnp.sqrt(mu_top))[None, :]   # (n, 3)
 
-        # same rotation-robust embedding as the dense path
+        # same rotation-robust, energy-weighted embedding as the dense
+        # path (S ≈ R Rᵀ, so (I − S)v ≈ v − R(Rᵀv))
         v0 = jnp.sqrt(jnp.maximum(degree, 0.0))
         v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
         span = u - v0[:, None] * (v0 @ u)[None, :]
         uu, _, _ = jnp.linalg.svd(span, full_matrices=False)
-        embedding = uu[:, :2]
-        norm = jnp.sqrt(jnp.sum(embedding ** 2, axis=1, keepdims=True))
-        embedding = jnp.where(norm > 1e-10, embedding / norm, embedding)
+        embedding = _rayleigh_weighted(uu[:, :2],
+                                       lambda v: v - r @ (r.T @ v))
         return _kmeans2(embedding)
 
     return jax.lax.map(per_frame, (coords, box_diag))

@@ -128,11 +128,15 @@ def _ua_template():
 
 
 def _synthesize(tag, template, n_mols, total_atoms, box, resname,
-                water_names, frames, seed):
+                water_names, frames, seed, z_offset=0.4,
+                chains_inward=False):
     """bench.py's layout/motion model at this mode's scale: bonded
     random-walk lipids on a leaflet grid + water fill, then rigid
     per-molecule drift with per-atom jitter, written through our own
-    XTC encoder."""
+    XTC encoder. `z_offset`/`chains_inward` control the bilayer
+    geometry: the clustering benchmark needs realistically separated
+    leaflets (heads ~4 nm apart, tails inward) for spectral leaflet
+    clustering to be well-posed."""
     from gorder_tpu.io import native
     from gorder_tpu.io.gro import write_gro
     from gorder_tpu.system import System, canonical_bonds
@@ -166,10 +170,10 @@ def _synthesize(tag, template, n_mols, total_atoms, box, resname,
         leaflet = m % 2
         cell = m // 2
         gx, gy = cell % grid, (cell // grid) % grid
+        sign = 1.0 if leaflet == 0 else -1.0
         base = np.array([(gx + 0.5) * spacing, (gy + 0.5) * spacing,
-                         box[2] / 2 + (1.0 if leaflet == 0 else -1.0) * 0.4],
-                        np.float32)
-        z_dir = 1.0 if leaflet == 0 else -1.0
+                         box[2] / 2 + sign * z_offset], np.float32)
+        z_dir = -sign if chains_inward else sign
         walk = base.copy()
         for name in lipid_names:
             names.append(name)
@@ -254,6 +258,22 @@ def synth_ua():
                        seed=29)
 
 
+def synth_aa_bilayer():
+    """AA benchmark system with REALISTIC bilayer geometry (heads ~4 nm
+    apart across the midplane, chains pointing inward) for the
+    spectral-clustering leaflet mode: on the shared flat system the
+    leaflet head planes sit closer than the in-plane head spacing, so
+    leaflet clustering is ill-posed there (the reference tool would
+    thrash the same way). Same scale as the headline system."""
+    import bench
+
+    return _synthesize("aab", bench.build_lipid_template, 256, 64500,
+                       np.array([13.0, 13.0, 11.0], np.float32), "POPC",
+                       ["OH2", "H1", "H2"],
+                       int(os.environ.get("GORDER_BENCH_FRAMES", "10000")),
+                       seed=31, z_offset=2.0, chains_inward=True)
+
+
 def _make_analysis(mode):
     from gorder_tpu.input import Analysis, AnalysisType
 
@@ -299,6 +319,8 @@ def _make_analysis(mode):
             kwargs["leaflets"] = LeafletClassification.spherical(
                 "resname POPC and name P")
         elif mode == "aa-clustering-leaflets":
+            # dedicated realistic-bilayer system (see synth_aa_bilayer)
+            gro, bnd, xtc = synth_aa_bilayer()
             kwargs["leaflets"] = LeafletClassification.clustering(
                 "resname POPC and name P")
         elif mode == "aa-fromfile-leaflets":
