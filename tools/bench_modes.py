@@ -399,6 +399,12 @@ def run_mode(mode):
     # warm: compile + first-execution tunnel stall excluded, like bench.py
     warm = _make_analysis(mode)
     warm.begin, warm.end = 0.0, 10_230.0
+    if mode == "aa-fromfile-leaflets":
+        # manual assignment tables must cover exactly the analyzed frame
+        # count; the 10 ps spacing puts 1,024 frames in the warm window
+        warm.leaflets.assignment = {
+            name: rows[:1024]
+            for name, rows in warm.leaflets.assignment.items()}
     warm.run()
 
     budget_s = float(os.environ.get("GORDER_BENCH_BUDGET_S", "390"))
