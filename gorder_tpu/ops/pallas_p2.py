@@ -372,9 +372,9 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
     )
     if n_shards > 1:
         try:
+            from jax import shard_map      # jax ≥ 0.8
+        except ImportError:
             from jax.experimental.shard_map import shard_map
-        except ImportError:         # newer jax: promoted out of experimental
-            from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         pspecs = tuple(P("frames") if fa else P() for fa in frames_axis)

@@ -277,9 +277,9 @@ def make_pallas_ua_step(categories, bond_type, bond_mol, n_types: int, *,
             )
             if n_shards > 1:
                 try:
-                    from jax.experimental.shard_map import shard_map
+                    from jax import shard_map     # jax ≥ 0.8
                 except ImportError:
-                    from jax import shard_map
+                    from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 pspecs = tuple(P("frames") if fa else P()
