@@ -62,6 +62,21 @@ _NT = int(os.environ.get("GORDER_TPU_PALLAS_NT", "2048"))  # bond tile
 _TP = 128      # padded bond-type count (lane width of the output)
 
 
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: ≥0.8 exposes jax.shard_map with a
+    keyword-only signature and `check_vma`; older versions have the
+    experimental module with `check_rep`. The check is disabled either
+    way — pallas_call is not replication-aware."""
+    try:
+        from jax import shard_map      # jax ≥ 0.8
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
 def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
                      n_types: int) -> bool:
     """Whether the fused kernel covers this configuration's type
@@ -371,17 +386,11 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
         interpret=interpret,
     )
     if n_shards > 1:
-        try:
-            from jax import shard_map      # jax ≥ 0.8
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         pspecs = tuple(P("frames") if fa else P() for fa in frames_axis)
-        outs = shard_map(lambda *ops: tuple(call(*ops)), mesh=mesh,
-                         in_specs=pspecs,
-                         out_specs=(P("frames"),) * n_out,
-                         check_rep=False)(*operands)
+        outs = shard_map_compat(lambda *ops: tuple(call(*ops)), mesh,
+                                pspecs, (P("frames"),) * n_out)(*operands)
     else:
         outs = call(*operands)
 

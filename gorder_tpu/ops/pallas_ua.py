@@ -276,18 +276,15 @@ def make_pallas_ua_step(categories, bond_type, bond_mol, n_types: int, *,
                 interpret=interpret,
             )
             if n_shards > 1:
-                try:
-                    from jax import shard_map     # jax ≥ 0.8
-                except ImportError:
-                    from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
+
+                from .pallas_p2 import shard_map_compat
 
                 pspecs = tuple(P("frames") if fa else P()
                                for fa in frames_axis)
-                outs = shard_map(lambda *ops, c=call: tuple(c(*ops)),
-                                 mesh=mesh, in_specs=pspecs,
-                                 out_specs=(P("frames"),) * n_out,
-                                 check_rep=False)(*operands)
+                outs = shard_map_compat(
+                    lambda *ops, c=call: tuple(c(*ops)), mesh, pspecs,
+                    (P("frames"),) * n_out)(*operands)
             else:
                 outs = call(*operands)
             total = list(outs) if total is None else [
