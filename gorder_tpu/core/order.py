@@ -349,7 +349,8 @@ def make_order_step(
             np.asarray(atom_a, np.int32), np.asarray(atom_b, np.int32),
             np.asarray(bond_type, np.int32), np.asarray(bond_mol, np.int32),
             n_types, handle_pbc=handle_pbc, with_leaflets=with_leaflets,
-            normal_mode=normal_mode, pair_quantized=map_spec is not None)
+            normal_mode=normal_mode, pair_quantized=map_spec is not None,
+            with_geom=geom_spec is not None)
         if not with_leaflets and normal_mode == "static":
             # b7 wire variants: consume bond vectors directly (b7 is only
             # eligible for pure bond-order runs, so this combination is
@@ -393,7 +394,7 @@ def make_order_step(
 
     def step(coords, box_diag, normal, frame_mask, leaflet_classes=None,
              inv_scale=None, map_state=None, geom_ref=None):
-        if (fast_step is not None
+        if (fast_step is not None and geom_spec is None
                 and (leaflet_classes is not None) == with_leaflets
                 and geom_ref is None
                 and _batch_ok(coords.shape[0]) and _placement_ok(coords)):
@@ -466,10 +467,42 @@ def make_order_step(
                 map_spec=None, geom_spec=None, diff_input=True,
             )
         if use_pallas:
-            assert geom_ref is None
+            geom_plane = None
+            if geom_spec is not None:
+                # the inside-shape midpoint mask, computed in XLA with
+                # exactly the XLA path's arithmetic (gathers CSE with the
+                # kernel's operand prep inside the one fused program);
+                # the kernel multiplies it into every accumulator mask
+                assert geom_ref is not None
+                from .geometry import inside_mask
+
+                if inv_scale is not None:
+                    scale3 = inv_scale[:, None, None]
+                    pa_i = jnp.take(coords, atom_a_d,
+                                    axis=1).astype(jnp.int32)
+                    pb_i = jnp.take(coords, atom_b_d,
+                                    axis=1).astype(jnp.int32)
+                    d = (pb_i - pa_i).astype(jnp.float32) * scale3
+                    pa = pa_i.astype(jnp.float32) * scale3
+                    coords_f = coords.astype(jnp.float32) * scale3
+                else:
+                    pa = jnp.take(coords, atom_a_d, axis=1)
+                    pb = jnp.take(coords, atom_b_d, axis=1)
+                    d = pb - pa
+                    coords_f = coords
+                if handle_pbc:
+                    d = min_image(d, box_diag[:, None, :])
+                mid = pa + d * 0.5
+                ref = _geometry_reference(coords_f, box_diag, geom_ref,
+                                          handle_pbc)
+                geom_plane = inside_mask(mid, ref, box_diag, geom_spec,
+                                         handle_pbc)
+            else:
+                assert geom_ref is None
             out, _ = fast_step.impl(coords, box_diag, normal, frame_mask,
                                     leaflet_classes=leaflet_classes,
-                                    inv_scale=inv_scale)
+                                    inv_scale=inv_scale,
+                                    geom_plane=geom_plane)
             if map_state is not None:
                 map_state = _map_only_impl(
                     coords, box_diag, normal, frame_mask,
@@ -496,9 +529,11 @@ def make_order_step(
         """Host-side predicate: may a fused program built for these batch
         parameters route through the Pallas kernel? Mesh-aware: under a
         frames mesh the kernel runs in shard_map, so the PER-DEVICE batch
-        must tile the frame dimension."""
+        must tile the frame dimension. Geometry runs take the kernel via
+        a precomputed midpoint mask plane (ops/pallas_p2.py with_geom)."""
         return (fast_step is not None and has_classes == with_leaflets
-                and not has_geom and _batch_ok(batch_size))
+                and has_geom == (geom_spec is not None)
+                and _batch_ok(batch_size))
 
     def disable_pallas():
         """Permanently route this step through the XLA path — the

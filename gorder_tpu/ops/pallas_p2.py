@@ -33,7 +33,10 @@ configurations also ride this kernel for the per-type reduction; the
 map-tile accumulation itself stays on XLA's scatter engine
 (core/ordermap.py segment_sum) because a one-sample-one-cell scatter is
 not a fusion/MXU problem — see core/order.py make_order_step. Geometry
-selection uses the XLA path. Selection: GORDER_TPU_PALLAS=1 forces on
+selection rides the kernel too: the inside-shape midpoint mask is
+computed in XLA outside the kernel and multiplies into every
+accumulator's mask plane (with_geom); only the map+geometry combination
+stays fully on XLA. Selection: GORDER_TPU_PALLAS=1 forces on
 (interpreted off-TPU), =0 forces off, unset → enabled exactly on real
 TPU backends.
 """
@@ -81,13 +84,16 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
                      n_types: int) -> bool:
     """Whether the fused kernel covers this configuration's type
     reduction (ordermap tile scatter composes with it — see
-    core/order.py make_order_step's hybrid routing)."""
+    core/order.py make_order_step's hybrid routing). Geometry selection
+    rides the kernel as a precomputed per-bond mask plane (with_geom)
+    unless ordermaps are also active — the map+geom combination stays
+    on the XLA path."""
     flag = os.environ.get("GORDER_TPU_PALLAS")
     if flag == "0":
         return False
     if normal_mode not in ("static", "per_molecule"):
         return False
-    if geom_spec is not None:
+    if geom_spec is not None and map_spec is not None:
         return False
     if n_types > _TP:
         return False
@@ -148,14 +154,18 @@ def _accumulate(out_refs, parts):
 
 
 def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets,
-               resid_input=False):
+               resid_input=False, with_geom=False):
     """Grid-step body. Ref order:
-    <normal refs> dx dy dz bx by bz mask [cls] onehot *outs, where the
-    normal refs are one (1, 3) ref (static) or three (Bt, Nt) planes
+    <normal refs> dx dy dz bx by bz mask [geo] [cls] onehot *outs, where
+    the normal refs are one (1, 3) ref (static) or three (Bt, Nt) planes
     (per-bond). Without leaflets: 4 accumulators [l2, l1, l0, count];
     with leaflets: 12 — the same quadruple for the total membrane and each
     leaflet, masked by the per-bond class plane (0 = upper, 1 = lower;
-    bond.rs add_order's three-way accumulation).
+    bond.rs add_order's three-way accumulation). With geometry selection
+    the (Bt, Nt) `geo` plane — the inside-shape test of the bond
+    midpoints, computed outside the kernel (core/geometry.py
+    inside_mask) — multiplies into every accumulator's mask
+    (geometry.rs:139-211's per-bond gate).
 
     With resid_input the displacement refs are instead
     rx ry rz basex basey basez scale — int16 7-bit/escape residual planes
@@ -183,6 +193,10 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets,
             refs[nn:nn + 7]
         rest = refs[nn + 7:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    geo_ref = None
+    if with_geom:
+        geo_ref = rest[0]
+        rest = rest[1:]
     if with_leaflets:
         cls_ref, oh_ref = rest[0], rest[1]
         out_refs = rest[2:]
@@ -194,6 +208,8 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets,
                            bx_ref, by_ref, bz_ref, handle_pbc=handle_pbc,
                            per_bond_normal=per_bond_normal)
     m = jnp.broadcast_to(mask_ref[:], l0.shape)        # (Bt, Nt)
+    if with_geom:
+        m = m * geo_ref[:]
     if with_leaflets:
         cls = cls_ref[:]
         masks = (m, m * (cls == 0.0), m * (cls == 1.0))
@@ -219,11 +235,12 @@ def _p2_kernel(*refs, handle_pbc, per_bond_normal, with_leaflets,
 
 def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
                             atom_b, bond_mol, onehot_pad,
-                            leaflet_classes=None, inv_scale=None, *,
+                            leaflet_classes=None, inv_scale=None,
+                            geom_plane=None, *,
                             handle_pbc, quantized, interpret, n_types,
                             with_leaflets, per_bond_normal=False,
                             diff_input=False, resid_input=False,
-                            pair_quantized=False):
+                            pair_quantized=False, with_geom=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -357,6 +374,15 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
     operands += [bx, by, bz, mask]
     frames_axis += [True] * 4
 
+    if with_geom:
+        # per-bond inside-shape plane, computed outside the kernel
+        # (padded rows zero — excluded anyway via the zero one-hot rows)
+        geo = jnp.pad(geom_plane.astype(jnp.float32),
+                      ((0, 0), (0, Np - geom_plane.shape[1])))
+        in_specs.append(vspec((bt, _NT), tile))
+        operands.append(geo)
+        frames_axis.append(True)
+
     if with_leaflets:
         # per-bond class plane, gathered outside the kernel (XLA) so the
         # kernel consumes plain (Bt, Nt) tiles like the displacements
@@ -370,7 +396,8 @@ def _pallas_order_step_impl(coords, box_diag, normal, frame_mask, atom_a,
     kernel = functools.partial(_p2_kernel, handle_pbc=handle_pbc,
                                per_bond_normal=per_bond_normal,
                                with_leaflets=with_leaflets,
-                               resid_input=resid_input)
+                               resid_input=resid_input,
+                               with_geom=with_geom)
 
     in_specs.append(vspec((_NT, _TP), lambda i, j: (j, 0)))  # one-hot types
     operands.append(onehot_pad)
@@ -410,7 +437,7 @@ _pallas_order_step = jax.jit(
     _pallas_order_step_impl,
     static_argnames=("handle_pbc", "quantized", "interpret", "n_types",
                      "with_leaflets", "per_bond_normal", "diff_input",
-                     "resid_input", "pair_quantized"))
+                     "resid_input", "pair_quantized", "with_geom"))
 
 
 def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
@@ -419,7 +446,8 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
                            normal_mode: str = "static",
                            diff_input: bool = False,
                            resid_input: bool = False,
-                           pair_quantized: bool = False):
+                           pair_quantized: bool = False,
+                           with_geom: bool = False):
     """Fused fast-path variant of core.order.make_order_step (same call
     signature and output layout for the configurations it supports).
 
@@ -467,19 +495,22 @@ def make_pallas_order_step(atom_a, atom_b, bond_type, bond_mol,
         )
 
     def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
-             inv_scale=None):
+             inv_scale=None, geom_plane=None):
         """Traceable (unjitted) body for fused per-batch programs: the wire
-        reconstruction and the Pallas kernel compile as ONE XLA program."""
+        reconstruction and the Pallas kernel compile as ONE XLA program.
+        With with_geom, `geom_plane` is the (B, N) inside-shape mask of
+        the bond midpoints computed by the caller (core/order.py)."""
         assert (leaflet_classes is not None) == with_leaflets
+        assert (geom_plane is not None) == with_geom
         return _pallas_order_step_impl(
             coords, box_diag, normal, frame_mask, atom_a_d, atom_b_d,
-            bond_mol_d, onehot_d, leaflet_classes, inv_scale,
+            bond_mol_d, onehot_d, leaflet_classes, inv_scale, geom_plane,
             handle_pbc=handle_pbc,
             quantized=not resid_input and inv_scale is not None,
             interpret=interpret, n_types=n_types,
             with_leaflets=with_leaflets, per_bond_normal=per_bond_normal,
             diff_input=diff_input, resid_input=resid_input,
-            pair_quantized=pair_quantized,
+            pair_quantized=pair_quantized, with_geom=with_geom,
         )
 
     step.impl = impl

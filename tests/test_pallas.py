@@ -173,8 +173,9 @@ def test_pallas_end_to_end_leaflets_golden(monkeypatch, fixtures, tmp_path):
 
 
 def test_pallas_supported_gates(monkeypatch):
-    """Geometry-selection configs must not use the fused kernel;
-    leaflet-wise, per-molecule-normal and ordermap (hybrid) configs do."""
+    """Leaflet-wise, per-molecule-normal, ordermap (hybrid) and geometry
+    (midpoint-mask plane) configs all use the fused kernel; only the
+    map+geometry combination stays fully on the XLA path."""
     from gorder_tpu.ops.pallas_p2 import pallas_supported
 
     monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
@@ -184,7 +185,9 @@ def test_pallas_supported_gates(monkeypatch):
     assert pallas_supported(**{**base, "with_leaflets": True})
     assert pallas_supported(**{**base, "normal_mode": "per_molecule"})
     assert pallas_supported(**{**base, "map_spec": object()})
-    assert not pallas_supported(**{**base, "geom_spec": object()})
+    assert pallas_supported(**{**base, "geom_spec": object()})
+    assert not pallas_supported(**{**base, "geom_spec": object(),
+                                   "map_spec": object()})
     assert not pallas_supported(**{**base, "n_types": 1000})
     monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
     assert not pallas_supported(**base)
@@ -447,3 +450,126 @@ def test_pallas_mesh_requires_per_device_tiling():
             == step.pallas_active()
     finally:
         context.deactivate()
+
+
+def test_pallas_geometry_mask(monkeypatch):
+    """Geometry runs ride the fused kernel via a precomputed midpoint
+    mask plane (with_geom): counts identical to the XLA geometry path,
+    sums within one quantum per sample."""
+    from gorder_tpu.core.geometry import build_geometry_spec
+    from gorder_tpu.input.config import Geometry
+
+    coords, box, atom_a, atom_b, btype, bmol, mask, T = _random_problem(7)
+    normal = np.array([0, 0, 1], np.float32)
+    spec = build_geometry_spec(Geometry("cylinder", reference=(5, 5, 5),
+                                        radius=3.0, orientation="z"))
+    geom_ref = np.tile(np.array([5, 5, 5], np.float32), (len(coords), 1))
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, 1,
+                           geom_spec=spec)
+    assert fast.pallas_active()
+    assert fast.pallas_ok(len(coords), has_classes=False, has_geom=True)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, 1,
+                          geom_spec=spec)
+
+    import jax.numpy as jnp
+
+    out_f, _ = fast.impl(jnp.asarray(coords), jnp.asarray(box),
+                         jnp.asarray(normal), jnp.asarray(mask),
+                         geom_ref=jnp.asarray(geom_ref), use_pallas=True)
+    out_r, _ = ref.impl(jnp.asarray(coords), jnp.asarray(box),
+                        jnp.asarray(normal), jnp.asarray(mask),
+                        geom_ref=jnp.asarray(geom_ref), use_pallas=False)
+    sum_f, ct_f = _decode(np.asarray(out_f["total"]))
+    sum_r, ct_r = _decode(np.asarray(out_r["total"]))
+    np.testing.assert_array_equal(ct_f, ct_r)
+    assert ct_f.sum() > 0       # the cylinder keeps a real subset
+    # and excludes a real subset (the mask is not a no-op)
+    no_geom = make_order_step(atom_a, atom_b, btype, bmol, T, 1)
+    out_n, _ = no_geom(coords, box, normal, mask)
+    _, ct_n = _decode(np.asarray(out_n["total"]))
+    assert ct_f.sum() < ct_n.sum()
+    assert (np.abs(sum_f - sum_r) <= np.maximum(ct_r, 1)).all()
+
+
+def test_pallas_geometry_quantized_and_leaflets(monkeypatch):
+    """Quantized input + leaflet classes + geometry mask through the
+    kernel, against the XLA path."""
+    from gorder_tpu.core.geometry import build_geometry_spec
+    from gorder_tpu.input.config import Geometry
+
+    coords, box, atom_a, atom_b, btype, bmol, mask, T = _random_problem(8)
+    normal = np.array([0, 0, 1], np.float32)
+    spec = build_geometry_spec(Geometry("sphere", reference=(5, 5, 5),
+                                        radius=4.0))
+    geom_ref = np.tile(np.array([5, 5, 5], np.float32), (len(coords), 1))
+    prec = 500.0
+    q = np.round(coords * prec).astype(np.int16)
+    inv = np.full(len(coords), 1.0 / prec, np.float32)
+    classes = (np.random.default_rng(9).random((len(coords), 1))
+               > 0.5).astype(np.int32)
+
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+    fast = make_order_step(atom_a, atom_b, btype, bmol, T, 1,
+                           with_leaflets=True, geom_spec=spec)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "0")
+    ref = make_order_step(atom_a, atom_b, btype, bmol, T, 1,
+                          with_leaflets=True, geom_spec=spec)
+    out_f, _ = fast.impl(jnp.asarray(q), jnp.asarray(box),
+                         jnp.asarray(normal), jnp.asarray(mask),
+                         leaflet_classes=jnp.asarray(classes),
+                         inv_scale=jnp.asarray(inv),
+                         geom_ref=jnp.asarray(geom_ref), use_pallas=True)
+    out_r, _ = ref.impl(jnp.asarray(q), jnp.asarray(box),
+                        jnp.asarray(normal), jnp.asarray(mask),
+                        leaflet_classes=jnp.asarray(classes),
+                        inv_scale=jnp.asarray(inv),
+                        geom_ref=jnp.asarray(geom_ref), use_pallas=False)
+    for cls in ("total", "upper", "lower"):
+        sum_f, ct_f = _decode(np.asarray(out_f[cls]))
+        sum_r, ct_r = _decode(np.asarray(out_r[cls]))
+        np.testing.assert_array_equal(ct_f, ct_r)
+        assert (np.abs(sum_f - sum_r) <= np.maximum(ct_r, 1)).all()
+
+
+def test_pallas_end_to_end_geometry_golden(monkeypatch, fixtures, tmp_path):
+    """Full AA analysis with a geometry restriction through the Pallas
+    path (with_geom midpoint-mask plane) reproduces the reference golden
+    (tests_cg.rs test_cg_order_geometry_cylinder)."""
+    from gorder_tpu.input import Analysis, AnalysisType, Geometry
+    from gorder_tpu.present import write_yaml
+
+    from .golden import assert_eq_order
+
+    def run(pallas):
+        monkeypatch.setenv("GORDER_TPU_PALLAS", "1" if pallas else "0")
+        analysis = Analysis(
+            structure=str(fixtures / "cg.tpr"),
+            trajectory=str(fixtures / "split" / "cg*.xtc"),
+            analysis_type=AnalysisType.cgorder("@membrane"),
+            geometry=Geometry("cylinder", reference=(2.0, 1.0, 0.0),
+                              radius=3.25, orientation="z"),
+            silent=True, overwrite=True,
+        )
+        results = analysis.run()
+        out = tmp_path / f"order_{pallas}.yaml"
+        write_yaml(results, str(out))
+        return out
+
+    out_p = run(True)
+    assert_eq_order(str(out_p), str(fixtures / "cg_order_cylinder.yaml"))
+    out_x = run(False)
+    # kernel vs XLA: at most one 4-dp print quantum on any aggregate
+    import re
+
+    num = re.compile(r"-?\d+\.\d+")
+    a = [float(x) for ln in out_p.read_text().splitlines()
+         if not ln.startswith("#") for x in num.findall(ln)]
+    b = [float(x) for ln in out_x.read_text().splitlines()
+         if not ln.startswith("#") for x in num.findall(ln)]
+    assert len(a) == len(b) > 10
+    assert max(abs(x - y) for x, y in zip(a, b)) <= 1.001e-4
