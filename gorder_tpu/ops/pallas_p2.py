@@ -85,9 +85,14 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
     """Whether the fused kernel covers this configuration's type
     reduction (ordermap tile scatter composes with it — see
     core/order.py make_order_step's hybrid routing). Geometry selection
-    rides the kernel as a precomputed per-bond mask plane (with_geom)
-    unless ordermaps are also active — the map+geom combination stays
-    on the XLA path."""
+    CAN ride the kernel as a precomputed per-bond mask plane (with_geom,
+    forced with GORDER_TPU_PALLAS=1) but defaults to the XLA path:
+    measured on the v5e (batch 512, device-resident), geometry runs are
+    dominated by the full-coordinate work the mask needs (s6
+    reconstruction of every atom, midpoints, per-frame selection COG),
+    and the kernel route only duplicates the displacement gathers —
+    40.8k f/s on XLA vs 33.2k through the kernel. The map+geometry
+    combination stays on XLA always."""
     flag = os.environ.get("GORDER_TPU_PALLAS")
     if flag == "0":
         return False
@@ -99,6 +104,8 @@ def pallas_supported(*, with_leaflets, normal_mode, map_spec, geom_spec,
         return False
     if flag == "1":
         return True
+    if geom_spec is not None:
+        return False        # measured slower than XLA — see docstring
     return jax.default_backend() == "tpu"
 
 

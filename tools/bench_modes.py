@@ -710,6 +710,98 @@ def _measure_device_resident_aa_leaflets(analysis, batch=256, iters=30):
     return best
 
 
+def _measure_device_resident_aa_geometry(analysis, batch=256, iters=30):
+    """Geometry analogue of bench.measure_device_resident: one real
+    batch's s6 wire payload staged, then the production fused body
+    (reconstruction -> per-frame selection-COG reference -> inside-mask
+    plane -> Pallas kernel with with_geom) timed over `iters` scan
+    repetitions in ONE dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gorder_tpu.analysis import (_build_atom_space, _prepare_bond_kinds,
+                                     _prepare_geometry, _s6_impl,
+                                     _wire_groups, load_structure)
+    from gorder_tpu.core.order import make_order_step
+    from gorder_tpu.io.native import s6_stride
+    from gorder_tpu.io.traj import Trajectory
+
+    system = load_structure(analysis)
+    kinds, compiled = _prepare_bond_kinds(system, analysis)
+    geom_spec, geom_mode, geom_payload = _prepare_geometry(system, analysis)
+    assert geom_mode == "selection", geom_mode
+    space, remap = _build_atom_space(system, analysis,
+                                     [compiled.atom_a, compiled.atom_b])
+    geom_dev = jax.device_put(remap(geom_payload))
+    step = make_order_step(
+        remap(compiled.atom_a), remap(compiled.atom_b), compiled.bond_type,
+        compiled.molecule, compiled.n_types, compiled.n_molecules,
+        handle_pbc=True, with_leaflets=False, normal_mode="static",
+        geom_spec=geom_spec)
+    use_pallas = bool(step.pallas_ok(batch, has_classes=False,
+                                     has_geom=True))
+    print(f"# aa-geometry device-resident: pallas="
+          f"{'on' if use_pallas else 'off'}", file=sys.stderr)
+
+    traj = Trajectory(analysis.trajectory, expected_atoms=system.n_atoms)
+    idx = traj.select_frames(None, None, 1)[:batch]
+    group_of, n_groups, vgidx = _wire_groups(system, space)
+    n, n_out = len(idx), space.n_out
+    esc_cap = 8192
+    pk = np.zeros((n, s6_stride(n_out)), np.uint8)
+    eg = np.zeros((n, esc_cap), np.uint16)
+    ev = np.zeros((n, esc_cap), np.int16)
+    gm = np.zeros((n, (n_groups + 1) * 3), np.int16)
+    res, _ = traj.read_frames_s6(idx, space, group_of, n_groups,
+                                 pk, eg, ev, gm)
+    staged = coords_dev = scale_dev = None
+    if res is not None:
+        base, inv_prec, boxes, _, _ = res
+        staged = tuple(jax.device_put(a)
+                       for a in (pk, eg, ev, base, gm,
+                                 vgidx.astype(np.int32)))
+        scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
+    else:
+        coords, boxes, _, _ = traj.read_frames(idx, space)
+        coords_dev = jax.device_put(coords)
+    box_dev = jax.device_put(boxes[:, [0, 1, 2], [0, 1, 2]].copy())
+    normal_dev = jax.device_put(np.array([0, 0, 1], np.float32))
+    mask_dev = jax.device_put(np.ones(n, bool))
+    jax.block_until_ready([box_dev, normal_dev, mask_dev])
+
+    def one(carry):
+        if staged is not None:
+            c = _s6_impl(*staged, scale_dev + carry)
+        else:
+            c = coords_dev + carry
+        return step.impl(c, box_dev, normal_dev, mask_dev,
+                         map_state=None, geom_ref=geom_dev,
+                         use_pallas=use_pallas)
+
+    @jax.jit
+    def many(eps):
+        def body(carry, _):
+            result, _ = one(carry)
+            return eps * result["total"][0, 0, 0], None
+
+        carry, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        result, _ = one(carry)
+        return result
+
+    eps0 = jnp.float32(0.0)
+    jax.block_until_ready(many(eps0))
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        result = many(eps0)
+        jax.block_until_ready(result)
+        dt = time.perf_counter() - t0
+        {k: np.asarray(v) for k, v in result.items()}
+        best = max(best, (iters + 1) * n / dt)
+    return best
+
+
 def run_device_resident(mode):
     """Device-resident compute throughput for the CG / UA / AA-leaflets
     modes — fills the benchmark table's device-resident column beyond the
@@ -725,7 +817,8 @@ def run_device_resident(mode):
         return
     analysis = _make_analysis(mode)
     baseline = {"cg": CG_BASELINE_8T, "ua": UA_BASELINE_8T,
-                "aa-leaflets": AA_LEAFLETS_BASELINE_8T}[mode]
+                "aa-leaflets": AA_LEAFLETS_BASELINE_8T,
+                "aa-geometry": AA_GEOMETRY_BASELINE_8T}[mode]
     best = 0.0
     # bigger is NOT better here: on the AA headline the sweep peaks at
     # batch 256 (131.6k f/s) and cliffs at 512+ (53.5k @512, 32.8k @1024,
@@ -738,6 +831,9 @@ def run_device_resident(mode):
                 r = bench.measure_device_resident(probe, batch=batch)
             elif mode == "aa-leaflets":
                 r = _measure_device_resident_aa_leaflets(analysis,
+                                                         batch=batch)
+            elif mode == "aa-geometry":
+                r = _measure_device_resident_aa_geometry(analysis,
                                                          batch=batch)
             else:
                 r = _measure_device_resident_ua(analysis, batch=batch)
@@ -822,12 +918,13 @@ def main():
         print("synthesized CG + UA benchmark inputs")
     elif cmd in ("cg", "ua", "ua-palmitoyl") or cmd in AA_MODES:
         run_mode(cmd)
-    elif cmd in ("cg-dr", "ua-dr", "aa-leaflets-dr"):
+    elif cmd in ("cg-dr", "ua-dr", "aa-leaflets-dr", "aa-geometry-dr"):
         run_device_resident(cmd[:-3])
     else:
         raise SystemExit(
             f"unknown mode {cmd!r} (use synth|cg|ua|ua-palmitoyl|"
-            + "|".join(AA_MODES) + "|cg-dr|ua-dr|aa-leaflets-dr)")
+            + "|".join(AA_MODES)
+            + "|cg-dr|ua-dr|aa-leaflets-dr|aa-geometry-dr)")
     if done is not None:
         done.set()   # the mode printed its JSON: the watchdog must not fire
 
