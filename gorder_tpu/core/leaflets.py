@@ -209,4 +209,17 @@ def make_individual_classifier(head_indices, methyl_indices, methyl_mol,
             normal_axis=int(normal_axis), handle_pbc=handle_pbc)
 
     classify.impl = impl
+    # wire-slot atom demand for the b7 aux side channel: classification
+    # consumes only head + methyl positions (a few per molecule), so a b7
+    # run ships those instead of full coordinates (analysis engine b7x
+    # path; reference leaflets.rs Individual)
+    classify.aux_info = {
+        "atoms": np.unique(np.concatenate([
+            np.asarray(head_indices, np.int64),
+            np.asarray(methyl_indices, np.int64)])),
+        "rebuild": lambda pos_of: make_individual_classifier(
+            pos_of(np.asarray(head_indices, np.int64)),
+            pos_of(np.asarray(methyl_indices, np.int64)),
+            methyl_mol, n_molecules, normal_axis, handle_pbc),
+    }
     return classify

@@ -75,4 +75,15 @@ def make_dynamic_normals(head_indices, cloud_indices, radius,
                                      radius_d, handle_pbc=handle_pbc)
 
     compute.impl = impl
+    # wire-slot atom demand for the b7 aux side channel: the PCA consumes
+    # only the normal-heads cloud (~hundreds of atoms), so a b7 run ships
+    # cloud positions instead of full coordinates (analysis engine b7x
+    # path; reference normal.rs:179-199 builds the same heads cloud)
+    compute.aux_info = {
+        "atoms": np.asarray(cloud_indices, np.int64),
+        "rebuild": lambda pos_of: make_dynamic_normals(
+            pos_of(np.asarray(head_indices, np.int64)),
+            pos_of(np.asarray(cloud_indices, np.int64)),
+            radius, handle_pbc),
+    }
     return compute

@@ -155,3 +155,50 @@ def test_pallas_ua_golden_exact_end_to_end(fixtures, tmp_path, monkeypatch):
     write_yaml(results, str(out))
     assert_eq_order(str(out), str(fixtures / "ua_order_basic.yaml"),
                     exact=True)
+
+def test_pallas_ua_under_frames_mesh_exact(monkeypatch):
+    """The fused UA kernel runs under shard_map over the frames mesh
+    (ops/pallas_ua.py shard_map route): with a per-device batch that
+    tiles the frame dimension, the mesh run is BITWISE identical to the
+    single-device run — plain and leaflet-wise. (Round-4 gap: the UA
+    kernel's mesh route was implemented but exercised nowhere, the exact
+    'fast path silently unexercised under a mesh' pattern round 3 flagged
+    for the bond kernel.)"""
+    import jax
+    import pytest
+
+    from gorder_tpu.parallel import context
+    from gorder_tpu.parallel.context import put_const, put_frames
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    B = 8 * n_dev
+    coords, box, mask, cats, btype, bmol, T, n_mols = _ua_problem(5, B=B)
+    normal = np.array([0, 0, 1], np.float32)
+    classes = (np.random.default_rng(6).random((B, n_mols))
+               > 0.5).astype(np.int32)
+    monkeypatch.setenv("GORDER_TPU_PALLAS", "1")
+
+    for with_leaflets in (False, True):
+        single = make_ua_step(cats, btype, bmol, T,
+                              with_leaflets=with_leaflets)
+        assert single.pallas_active()
+        cl = jax.device_put(classes) if with_leaflets else None
+        o1, _ = single(jax.device_put(coords), jax.device_put(box),
+                       jax.device_put(normal), jax.device_put(mask),
+                       leaflet_classes=cl)
+        mesh = context.activate(B)
+        try:
+            assert mesh is not None and mesh.devices.size == n_dev
+            meshed = make_ua_step(cats, btype, bmol, T,
+                                  with_leaflets=with_leaflets)
+            cl2 = put_frames(classes) if with_leaflets else None
+            o2, _ = meshed(put_frames(coords), put_frames(box),
+                           put_const(normal), put_frames(mask),
+                           leaflet_classes=cl2)
+        finally:
+            context.deactivate()
+        for c in o1:
+            np.testing.assert_array_equal(np.asarray(o1[c]),
+                                          np.asarray(o2[c]))

@@ -328,3 +328,166 @@ def test_b7_formulation_bound(fixtures):
     span = float(boxes[:, [0, 1, 2], [0, 1, 2]].max())
     bound = 2.0 * np.spacing(np.float32(span))
     assert float(np.abs(d_pair - d_single).max()) <= bound
+
+
+@requires_fixtures
+def test_b7_plane_manual_from_map_byte_identical(fixtures, tmp_path,
+                                                 monkeypatch):
+    """Manual (!FromMap) leaflet classes are pure host data, so the run
+    rides the b7 bond-vector wire with a host class plane (reference
+    src/analysis/leaflets.rs manual variants) — output byte-identical to
+    the int16 coordinate wire (both take the single-rounding integer
+    bond-difference path), and the auto probe picks b7."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.analysis import _prepare_bond_kinds, load_structure
+    from gorder_tpu.input import Analysis, AnalysisType, LeafletClassification
+
+    probe = Analysis(
+        structure=str(fixtures / "pcpepg.tpr"),
+        trajectory=str(fixtures / "pcpepg_selected.xtc"),
+        analysis_type=AnalysisType.aaorder(
+            "@membrane and element name carbon",
+            "@membrane and element name hydrogen"),
+        silent=True)
+    kinds, _ = _prepare_bond_kinds(load_structure(probe), probe)
+    rng = np.random.default_rng(7)
+    assignment = {
+        k.name: [rng.integers(0, 2, k.n_molecules).tolist()
+                 for _ in range(4)]
+        for k in kinds
+    }
+
+    def run(wire):
+        leaflets = LeafletClassification.from_map(
+            {k: [list(f) for f in v] for k, v in assignment.items()})
+        return _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                       leaflets=leaflets)
+
+    y_i16 = run("i16")
+    assert getattr(mod, "_LAST_WIRE")[0] == "i16"
+    y_auto = run(None)
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"manual leaflet run did not ride b7: {mod._LAST_WIRE}"
+    assert y_auto == y_i16
+
+
+@requires_fixtures
+def test_b7_plane_frequency_global_byte_identical(fixtures, tmp_path,
+                                                  monkeypatch):
+    """Frequency-gated (!every 2) global leaflet classification re-runs on
+    assignment frames only (src/input/frequency.rs:13-55): the run rides
+    b7 + sparse assignment-frame coordinate side-reads, byte-identical to
+    the int16 coordinate wire (both take the single-rounding integer
+    bond-difference path) across multiple batches (carried state)."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import (Analysis, AnalysisType, Frequency,
+                                  LeafletClassification)
+
+    # two frames per batch: exercises carried state between batches and
+    # a sparse read in each
+    monkeypatch.setenv("GORDER_TPU_BATCH_SIZE", "2")
+
+    def run(wire):
+        leaflets = LeafletClassification.global_(
+            "@membrane", "name P").with_frequency(Frequency.every(2))
+        return _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                       leaflets=leaflets)
+
+    y_i16 = run("i16")
+    assert getattr(mod, "_LAST_WIRE")[0] == "i16"
+    y_b7 = run("b7")
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"frequency-gated run did not ride b7: {mod._LAST_WIRE}"  # forced: at batch 2 the per-batch base amortizes poorly and the bytes policy correctly prefers d8
+    assert y_b7 == y_i16
+
+
+@requires_fixtures
+def test_b7_plane_frequency_once_byte_identical(fixtures, tmp_path,
+                                                monkeypatch):
+    """!once frequency: one classification at the start, carried for the
+    whole run — rides b7 with no per-batch coordinate reads after the
+    first, byte-identical to the int16 wire."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import (Analysis, AnalysisType, Frequency,
+                                  LeafletClassification)
+
+    monkeypatch.setenv("GORDER_TPU_BATCH_SIZE", "2")
+
+    def run(wire):
+        leaflets = LeafletClassification.global_(
+            "@membrane", "name P").with_frequency(Frequency.once())
+        return _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                       leaflets=leaflets)
+
+    y_i16 = run("i16")
+    y_b7 = run("b7")
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"!once run did not ride b7: {mod._LAST_WIRE}"
+    assert y_b7 == y_i16
+
+
+@requires_fixtures
+def test_b7_aux_individual_byte_identical(fixtures, tmp_path, monkeypatch):
+    """Individual leaflet classification consumes only head + methyl
+    positions (leaflets.rs Individual): the run rides b7 + a small aux
+    atom channel (b7x), byte-identical to the int16 coordinate wire (the
+    aux positions are the exact decode integers, dequantized identically
+    to a coordinate gather)."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import LeafletClassification
+
+    def run(wire):
+        leaflets = LeafletClassification.individual("name P",
+                                                    "name C218 C316")
+        return _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                       leaflets=leaflets)
+
+    y_i16 = run("i16")
+    assert getattr(mod, "_LAST_WIRE")[0] == "i16"
+    y_auto = run(None)
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"individual-leaflet run did not ride b7x: {mod._LAST_WIRE}"
+    assert y_auto == y_i16
+
+
+@requires_fixtures
+def test_b7_aux_dynamic_normals_byte_identical(fixtures, tmp_path,
+                                               monkeypatch):
+    """Dynamic membrane normals consume only the NormalHeads cloud
+    (normal.rs:179-199): the run rides b7 + the cloud aux channel (b7x),
+    byte-identical to the int16 coordinate wire."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import MembraneNormal
+
+    def run(wire):
+        return _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                       membrane_normal=MembraneNormal.dynamic("name P", 2.0))
+
+    y_i16 = run("i16")
+    assert getattr(mod, "_LAST_WIRE")[0] == "i16"
+    y_auto = run(None)
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"dynamic-normals run did not ride b7x: {mod._LAST_WIRE}"
+    assert y_auto == y_i16
+
+
+@requires_fixtures
+def test_b7_aux_individual_plus_normals_byte_identical(fixtures, tmp_path,
+                                                       monkeypatch):
+    """Individual leaflets AND dynamic normals together: both consumers
+    ride one union aux channel, byte-identical to the int16 wire."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import LeafletClassification, MembraneNormal
+
+    def run(wire):
+        return _run_aa(
+            fixtures, tmp_path, monkeypatch, wire,
+            leaflets=LeafletClassification.individual(
+                "name P", "name C218 C316").with_membrane_normal("z"),
+            membrane_normal=MembraneNormal.dynamic("name P", 2.0))
+
+    y_i16 = run("i16")
+    y_auto = run(None)
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"combined aux run did not ride b7x: {mod._LAST_WIRE}"
+    assert y_auto == y_i16
