@@ -816,6 +816,7 @@ def main():
     # VMEM-friendly tiling. 256 is the knee; keep 512 as the second point.
     dr_batches = (256, 512) if os.environ.get(
         "GORDER_BENCH_DR_SWEEP", "1") != "0" else (256,)
+    dr_sweep = {}
     for dr_batch in dr_batches:
         try:
             r = measure_device_resident(probe, batch=dr_batch)
@@ -826,6 +827,7 @@ def main():
         print(f"# device-resident compute @ batch {dr_batch}: {r:.0f} "
               f"frames/s (wire payload staged, no decode/transfer)",
               file=sys.stderr)
+        dr_sweep[str(dr_batch)] = round(r, 1)
         device_rate = max(device_rate, r)
 
     frames_per_s = results.n_analyzed_frames / elapsed
@@ -845,6 +847,13 @@ def main():
         "device_resident_frames_s": round(device_rate, 1),
         "device_resident_vs_baseline": round(
             device_rate / BASELINE_FRAMES_PER_S, 3),
+        # capture discipline: the flagship number is best-of-3 timed reps
+        # per batch size over this sweep, in THIS capture's window —
+        # repeat captures vary ~±6% with host/tunnel scheduling weather
+        # (the r4 196.3k vs 184.0k spread), so compare via the sweep
+        # detail, not single headline values
+        "device_resident_best_of": {"reps_per_batch": 3,
+                                    "per_batch": dr_sweep},
         "output_validated": validated or "no-golden",
     }
     # cancel the watchdog BEFORE the final persist+print so it can never

@@ -125,7 +125,8 @@ def _geometry_reference(coords, box_diag, geom_ref, handle_pbc):
 
 def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
                      bond_mol, onehot, leaflet_classes, inv_scale=None,
-                     bond_type_ids=None, map_state=None, geom_ref=None, *,
+                     bond_type_ids=None, map_state=None, geom_ref=None,
+                     geom_plane=None, *,
                      handle_pbc, with_leaflets, normal_mode, quantized=False,
                      map_spec=None, geom_spec=None, diff_input=False):
     from .geometry import inside_mask
@@ -164,7 +165,7 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
         pb_i = jnp.take(coords, atom_b, axis=1).astype(jnp.int32)
         d = (pb_i - pa_i).astype(jnp.float32) * scale3
         pa = None
-        if geom_spec is not None:
+        if geom_spec is not None and geom_plane is None:
             # geometry needs positions: same f32(int)·s rounding as the
             # host decode (bit-identical)
             pa = pa_i.astype(jnp.float32) * scale3
@@ -198,9 +199,16 @@ def _order_step_impl(coords, box_diag, normal, frame_mask, atom_a, atom_b,
     ones = jnp.broadcast_to(valid, sch.shape)
 
     mid = None
-    if map_spec is not None or geom_spec is not None:
+    if map_spec is not None or (geom_spec is not None
+                                and geom_plane is None):
         mid = pa + d * 0.5                            # min-image bond midpoint
-    if geom_spec is not None:
+    if geom_plane is not None:
+        # decoder-evaluated inside mask (io/traj.py read_geo_mask): the
+        # channel class consumes ONE mask on every wire, so geometry
+        # output is bitwise identical across wire formats — and the b7
+        # bond-vector wire (no positions) becomes geometry-eligible
+        ones = ones * geom_plane
+    elif geom_spec is not None:
         ref = _geometry_reference(coords, box_diag, geom_ref, handle_pbc)
         geo = inside_mask(mid, ref, box_diag, geom_spec, handle_pbc)
         ones = ones * geo
@@ -424,7 +432,8 @@ def make_order_step(
         )
 
     def step_impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
-                  inv_scale=None, map_state=None, geom_ref=None, *,
+                  inv_scale=None, map_state=None, geom_ref=None,
+                  geom_plane=None, *,
                   use_pallas=False, diff_input=False, resid_input=False):
         """Traceable (unjitted) step body for fused per-batch programs
         (analysis.py _build_fused_steps): the wire reconstruction and the
@@ -444,7 +453,8 @@ def make_order_step(
             assert map_state is None and geom_ref is None
             assert inv_scale is not None
             r, base = coords
-            if use_pallas and fast_resid_step is not None:
+            if use_pallas and fast_resid_step is not None \
+                    and geom_plane is None:
                 return fast_resid_step.impl((r, base), box_diag, normal,
                                             frame_mask, inv_scale=inv_scale)
             nv = base.shape[0]
@@ -453,7 +463,8 @@ def make_order_step(
             diff_input = True
         if diff_input:
             assert map_state is None and geom_ref is None
-            if use_pallas and fast_diff_step is not None:
+            if use_pallas and fast_diff_step is not None \
+                    and geom_plane is None:
                 return fast_diff_step.impl(coords, box_diag, normal,
                                            frame_mask, inv_scale=inv_scale)
             return _order_step_impl(
@@ -461,14 +472,13 @@ def make_order_step(
                 atom_a_d, atom_b_d, bond_mol_d, onehot_d,
                 leaflet_classes if leaflet_classes is not None
                 else dummy_classes,
-                inv_scale, bond_type_d, None, None,
+                inv_scale, bond_type_d, None, None, geom_plane,
                 handle_pbc=handle_pbc, with_leaflets=with_leaflets,
                 normal_mode=normal_mode, quantized=inv_scale is not None,
                 map_spec=None, geom_spec=None, diff_input=True,
             )
         if use_pallas:
-            geom_plane = None
-            if geom_spec is not None:
+            if geom_spec is not None and geom_plane is None:
                 # the inside-shape midpoint mask, computed in XLA with
                 # exactly the XLA path's arithmetic (gathers CSE with the
                 # kernel's operand prep inside the one fused program);
@@ -497,8 +507,8 @@ def make_order_step(
                                           handle_pbc)
                 geom_plane = inside_mask(mid, ref, box_diag, geom_spec,
                                          handle_pbc)
-            else:
-                assert geom_ref is None
+            elif geom_spec is None:
+                assert geom_ref is None and geom_plane is None
             out, _ = fast_step.impl(coords, box_diag, normal, frame_mask,
                                     leaflet_classes=leaflet_classes,
                                     inv_scale=inv_scale,
@@ -519,7 +529,7 @@ def make_order_step(
             coords, box_diag, normal, frame_mask,
             atom_a_d, atom_b_d, bond_mol_d, onehot_d,
             leaflet_classes if leaflet_classes is not None else dummy_classes,
-            inv_scale, bond_type_d, map_state, geom_ref,
+            inv_scale, bond_type_d, map_state, geom_ref, geom_plane,
             handle_pbc=handle_pbc, with_leaflets=with_leaflets,
             normal_mode=normal_mode, quantized=inv_scale is not None,
             map_spec=map_spec, geom_spec=geom_spec,

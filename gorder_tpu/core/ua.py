@@ -439,14 +439,18 @@ def make_ua_step(categories: Dict[str, Dict[str, np.ndarray]],
         )
 
     def impl(coords, box_diag, normal, frame_mask, leaflet_classes=None,
-             inv_scale=None, map_state=None, geom_ref=None, *,
+             inv_scale=None, map_state=None, geom_ref=None,
+             geom_plane=None, *,
              use_pallas=False, diff_input=False):
         """Traceable (unjitted) body for fused per-batch programs
         (analysis.py _build_fused_steps): wire reconstruction and the UA
         kernel compile as ONE XLA program. With use_pallas, routes
         through the fused UA Pallas kernel (ops/pallas_ua.py) — virtual-H
-        reconstruction + P2 + exact limb reduction in VMEM."""
-        assert not diff_input
+        reconstruction + P2 + exact limb reduction in VMEM. geom_plane
+        is accepted for signature parity with the bond-based step (the
+        decoder geometry channel is bond-wire-only, which UA never
+        rides)."""
+        assert not diff_input and geom_plane is None
         if use_pallas:
             assert fast_impl is not None and map_state is None \
                 and geom_ref is None

@@ -63,7 +63,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                  leaflets: Optional[LeafletRuntime], map_spec=None,
                  geom_mode=None, geom_payload=None,
                  normals: Optional[NormalsRuntime] = None,
-                 shard=None, bond_slots=None):
+                 shard=None, bond_slots=None, geom_spec=None):
     """Shared frame-batch loop: decode → device → kernel → accumulate.
 
     The decode of batch k+1 runs in a worker thread (the native codec
@@ -257,6 +257,20 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 aux_normals_impl = nr_rebuild(_aux_pos_of).impl
             aux_mode = (aux_union.astype(np.int32), aux_classify_impl,
                         aux_normals_impl)
+    # Decoder geometry channel class (b7geo / *G kinds): pure
+    # geometry-restricted runs consume ONE decoder-evaluated per-bond
+    # inside-mask bitplane on every wire (io/traj.py read_geo_mask) —
+    # output is bitwise identical across wire formats, and the b7
+    # bond-vector wire becomes geometry-eligible (the kernel needs only
+    # bond vectors + the mask; reference geometry.rs: bonds whose
+    # midpoint falls outside contribute nothing).
+    geo_channel = (
+        geom_mode is not None and geom_spec is not None
+        and leaflets is None and normals is None and map_spec is None
+        and getattr(step, "impl", None) is not None
+        and bond_slots is not None
+        and os.environ.get("GORDER_TPU_GEO_CHANNEL", "1") != "0"
+        and traj._all_xtc(frame_indices))
     # resolved through the facade so tests/harnesses can monkeypatch
     # gorder_tpu.analysis._pick_wire_format / _measure_link_mbps
     from .. import analysis as _facade
@@ -266,7 +280,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         group_of, n_groups, batch_size_probe,
         bond_slots=bond_slots
         if (pure_bond or leaf_channels is not None or plane_mode
-            or aux_mode is not None) else None,
+            or aux_mode is not None or geo_channel) else None,
         link_mbps=_facade._measure_link_mbps())
     corr_cap = wire_cap if wire == "d8" else 0
     esc_cap = wire_cap if wire in ("s6", "b7") else 0
@@ -296,7 +310,10 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             + (assign_cap * n_out * 6) // max(batch_size, 1)
     aux_active = aux_mode is not None and wire == "b7"
     aux_wire_slots = aux_mode[0] if aux_active else None
-    wire_bytes = {
+    from ..io.native import geo_stride as _geos
+
+    geo_bytes = _geos(n_bonds) if geo_channel else 0
+    wire_bytes = geo_bytes + {
         "b7": _b7s(n_bonds) + esc_cap * 4
         + (len(ch_heads) * 12 + 4 if ch_heads is not None else 0)
         + (len(aux_wire_slots) * 12 if aux_wire_slots is not None else 0)
@@ -313,6 +330,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             extra = f" + {len(ch_heads)}-head leaflet channel"
         elif aux_active:
             extra = f" + {len(aux_wire_slots)}-atom aux channel"
+        elif geo_channel:
+            extra = " + decoder geometry mask bitplane"
         elif plane_active:
             extra = (" + host leaflet-class plane"
                      + (f" (sparse coords on 1/{leaflets.frequency.n} "
@@ -413,6 +432,19 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         cog_bufs = [np.zeros(batch_size, np.float32)
                     for _ in range(prefetch)]
 
+    # decoder geometry-mask ring: one (B, stride) u8 bitplane per slot,
+    # filled by read_geo_mask for EVERY wire kind in the channel class
+    geo_bufs = None
+    geo_ref_mode = geo_ref_point = geo_slots_arr = None
+    if geo_channel:
+        geo_bufs = [np.zeros((batch_size, _geos(n_bonds)), np.uint8)
+                    for _ in range(prefetch)]
+        geo_ref_mode = {"point": 0, "center": 1, "selection": 2}[geom_mode]
+        if geom_mode == "point":
+            geo_ref_point = np.asarray(geom_payload, np.float32)
+        elif geom_mode == "selection":
+            geo_slots_arr = np.asarray(geom_payload, np.int32)
+
     # sparse assignment-frame coordinate ring for the b7 class-plane path:
     # (rows int32 (cap,), i16 coords, f32 coords fallback, scale f32) per
     # slot — only the frames that re-classify leaflets are decoded and
@@ -472,13 +504,39 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         except Exception:  # non-Linux / sandboxed: scheduling hint only
             pass
 
+    def _geo_plane(chunk, b):
+        """Decoder inside-mask bitplane for this batch (every wire kind in
+        the geometry channel class consumes the same mask)."""
+        gb = geo_bufs[b % prefetch]
+        if len(chunk) < batch_size:
+            gb[len(chunk):] = 0
+        traj.read_geo_mask(chunk, space, bond_slots[0], bond_slots[1],
+                           geom_spec, geo_ref_mode, geo_ref_point,
+                           geo_slots_arr, gb,
+                           handle_pbc=analysis.handle_pbc,
+                           n_threads=n_threads)
+        return gb
+
     def decode_batch(b):
         _nice_this_thread()
         slots.acquire()
         t0 = _time.perf_counter()
         c0 = _time.thread_time()
         try:
-            return _decode_batch(b)
+            out = _decode_batch(b)
+            if geo_channel:
+                # append the decoder geometry bitplane to every payload:
+                # "b7" becomes "b7geo", coordinate kinds gain a "G" suffix
+                payload, inv, boxes_, nv = out
+                kind = payload[0]
+                chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
+                plane = _geo_plane(chunk, b)
+                if kind == "b7":
+                    payload = ("b7geo",) + payload[1:] + (plane,)
+                else:
+                    payload = (kind + "G",) + payload[1:] + (plane,)
+                out = (payload, inv, boxes_, nv)
+            return out
         finally:
             # wall (includes contention with the driver on a shared core)
             # AND thread-CPU (the decode's intrinsic cost): their ratio is
@@ -738,7 +796,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                        aux_classify=(aux_mode[1]
                                                      if aux_active else None),
                                        aux_normals=(aux_mode[2]
-                                                    if aux_active else None))
+                                                    if aux_active else None),
+                                       n_bonds=n_bonds)
         if (fused_get is not None and leaflets is not None
                 and not leaflets._logged_stats):
             # the fused path never materializes classes on the host;
@@ -829,7 +888,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                                          else None),
                                            aux_normals=(aux_mode[2]
                                                         if aux_active
-                                                        else None))
+                                                        else None),
+                                           n_bonds=n_bonds)
         if fused_plane_get is not None:
             fused_plane_get = _build_fused_steps(step, n_out=n_out,
                                                  use_pallas=False)
@@ -939,8 +999,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             # decoder COG: strip it here, re-append to the fused program's
             # operand tuple (or hand it to classes_for_batch) below
             chan_cog = None
+            geo_arr = None
             if kind in ("s6g", "d8g", "i12g", "i16g", "f32g"):
                 chan_cog = payload[-1].copy()   # ring buffer: copy out
+                payload = (kind[:-1],) + payload[1:-1]
+                wire_kind = kind
+                kind = kind[:-1]
+            elif kind in ("s6G", "d8G", "i12G", "i16G", "f32G"):
+                # geometry channel class on a coordinate wire: the
+                # trailing decoder bitplane ships as an extra operand of
+                # the *G fused kind
+                geo_arr = payload[-1]
                 payload = (kind[:-1],) + payload[1:-1]
                 wire_kind = kind
                 kind = kind[:-1]
@@ -973,6 +1042,13 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, aux_dev)
                 assert fused_get is not None, \
                     "b7x wire requires the fused aux-channel path"
+            elif kind == "b7geo":
+                _, pk, eg, ev, base, geo = payload
+                pk_dev, eg_dev, ev_dev, geo_dev = ship(pk, eg, ev, geo)
+                base_dev = base if host_args_ok else put_const(base)
+                wire_devs = (pk_dev, eg_dev, ev_dev, base_dev, geo_dev)
+                assert fused_get is not None, \
+                    "b7geo wire requires the fused geometry-channel path"
             elif kind == "b7g":
                 _, pk, eg, ev, base, aux, cog = payload
                 pk_dev, eg_dev, ev_dev, aux_dev = ship(pk, eg, ev, aux)
@@ -1011,6 +1087,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 coords_dev, = ship(payload[1])
                 wire_devs = (coords_dev,)
                 scale_dev = None
+            if geo_arr is not None:
+                geo_dev, = ship(geo_arr)
+                wire_devs = wire_devs + (geo_dev,)
 
             if analysis.handle_pbc:
                 check_box_batch(boxes[:n_valid])

@@ -99,7 +99,8 @@ def _run_bond_based(analysis: Analysis, shard=None, as_partial=False):
             normal_vec if normal_vec is not None else np.zeros(3, np.float32),
             compiled.n_types, compiled.n_molecules, space, leaflets,
             map_spec, geom_mode, geom_payload, normals_rt, shard=shard,
-            bond_slots=(remap(compiled.atom_a), remap(compiled.atom_b)))
+            bond_slots=(remap(compiled.atom_a), remap(compiled.atom_b)),
+            geom_spec=geom_spec)
     if as_partial:
         return _assemble_partial(analysis, kinds, compiled, accum,
                                  map_state, leaflets, normals_rt,

@@ -36,7 +36,7 @@ def _pop_normal_guard(result) -> None:
 def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                        normals_impl=None, channel_classify=None,
                        channel_coords_classify=None, aux_classify=None,
-                       aux_normals=None):
+                       aux_normals=None, n_bonds=None):
     """Fused per-batch programs: wire reconstruction traced inline into
     the order kernel, so XLA compiles ONE program per batch.
 
@@ -65,8 +65,17 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
     import jax
     import jax.numpy as jnp
 
+    def geo_bits(geo_u8, n_bonds):
+        """(B, stride) u8 decoder bitplane → (B, n_bonds) f32 mask (bit j
+        of byte j>>3 = bond j inside the shape; io/traj.py
+        read_geo_mask)."""
+        shifts = jnp.arange(8, dtype=jnp.uint8)
+        bits = (geo_u8[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+        return bits.reshape(geo_u8.shape[0], -1)[:, :n_bonds] \
+            .astype(jnp.float32)
+
     def run(coords, box, normal, mask, map_state, geom_ref, inv_scale=None,
-            cog=None):
+            cog=None, geom_plane=None):
         """Shared tail: optional in-program classification / dynamic
         normals + the kernel. When either consumer is present,
         coordinates are dequantized once up front (the multiply is fused
@@ -97,7 +106,8 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
         result, map_out = impl(
             coords, box, normal, mask, leaflet_classes=classes,
             inv_scale=inv_scale, map_state=map_state,
-            geom_ref=geom_ref, use_pallas=use_pallas)
+            geom_ref=geom_ref, geom_plane=geom_plane,
+            use_pallas=use_pallas)
         if guard is not None:
             result["_normal_guard"] = guard
         return result, map_out
@@ -157,6 +167,21 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                     result = dict(result)
                     result["_normal_guard"] = guard
                 return result, map_out
+        elif kind == "b7geo":
+            # b7 wire + decoder geometry mask bitplane: the decoder
+            # evaluates the shape's midpoint inside-test host-side
+            # (native/xdr.cpp xtc_geo_mask) and ships 1 bit/bond, so
+            # geometry-restricted runs become bond-vector-wire eligible.
+            # Coordinate wires consume the same bitplane (kinds *G), so
+            # geometry output is bitwise identical across wire formats.
+            def fused(w, scale, box, normal, mask, map_state, geom_ref):
+                pk, eg, ev, base, geo = w
+                dq = _b7_impl(pk, eg, ev, base)
+                plane = geo_bits(geo, dq.shape[1])
+                return impl(dq, box, normal, mask, inv_scale=scale,
+                            map_state=None, geom_ref=None,
+                            geom_plane=plane, diff_input=True,
+                            use_pallas=use_pallas)
         elif kind == "b7m":
             # b7 wire + host-computed (B, M) leaflet class plane: manual
             # tables and frequency-gated classification methods never need
@@ -187,9 +212,12 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
         else:
             # coordinate wires, with or without the decoder-COG channel:
             # kinds 's6g'/'d8g'/'i12g'/'i16g'/'f32g' carry a trailing
-            # per-frame (B,) f32 COG the channel classifier consumes
+            # per-frame (B,) f32 COG the channel classifier consumes;
+            # kinds 's6G'/... carry a trailing (B, stride) u8 decoder
+            # geometry bitplane instead (geometry channel class)
+            geo_chan = kind.endswith("G")
             chan = kind.endswith("g")
-            base_kind = kind[:-1] if chan else kind
+            base_kind = kind[:-1] if (chan or geo_chan) else kind
             if chan:
                 assert channel_coords_classify is not None, \
                     f"{kind} requires a leaflet channel classifier"
@@ -215,12 +243,17 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                 return coords, None
 
             def fused(w, scale, box, normal, mask, map_state, geom_ref):
-                cog = None
+                cog = plane = None
                 if chan:
                     *w, cog = w
+                elif geo_chan:
+                    *w, geo = w
                 coords, inv = recon(w, scale)
-                return run(coords, box, normal, mask, map_state, geom_ref,
-                           inv_scale=inv, cog=cog)
+                if geo_chan:
+                    plane = geo_bits(geo, n_bonds)
+                return run(coords, box, normal, mask, map_state,
+                           None if geo_chan else geom_ref,
+                           inv_scale=inv, cog=cog, geom_plane=plane)
         return jax.jit(fused)
 
     cache = {}

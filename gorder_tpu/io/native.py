@@ -178,6 +178,19 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int32,
             ]
+            lib.xtc_geo_mask.restype = ctypes.c_int32
+            lib.xtc_geo_mask.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ]
             lib.xtc_write.restype = ctypes.c_int32
             lib.xtc_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -530,6 +543,56 @@ def xtc_cog_axis(path: str, offsets: np.ndarray, first_n: int,
     rc = lib.xtc_cog_axis(
         path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
         _i32p(cog_slots), len(cog_slots), int(cog_axis), _f32p(cog_out),
+        n_threads)
+    if rc != 0:
+        raise TrajectoryError(
+            f"could not decode xtc file '{path}': {_err(lib)}")
+
+
+def geo_stride(n_bonds: int) -> int:
+    """Bytes per frame of the geometry mask bitplane."""
+    return (n_bonds + 7) // 8
+
+
+def xtc_geo_mask(path: str, offsets: np.ndarray, first_n: int,
+                 bond_a: np.ndarray, bond_b: np.ndarray, spec,
+                 ref_mode: int, ref_point, geo_slots, mask_out: np.ndarray,
+                 handle_pbc: bool = True, slot_of: np.ndarray = None,
+                 n_out: int = None, n_threads: int = 1) -> None:
+    """Per-frame per-bond inside-geometry bitplane (native/xdr.cpp
+    xtc_geo_mask): midpoints from the kernel's single-rounding integer
+    formulation, selection references from an f64 refined circular COG.
+    All wire formats consume this one mask, so geometry output is bitwise
+    identical across wires. spec is a core.geometry.GeometrySpec;
+    ref_mode: 0 point, 1 box center, 2 selection COG over geo_slots."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    slot_of, slot_p, n_out = _slot_args(first_n, slot_of, n_out)
+    n = len(offsets)
+    if n == 0:
+        return
+    bond_a = np.ascontiguousarray(bond_a, np.int32)
+    bond_b = np.ascontiguousarray(bond_b, np.int32)
+    kind = {"cuboid": 0, "cylinder": 1, "sphere": 2}[spec.kind]
+    bounds = np.asarray([spec.xdim[0], spec.xdim[1],
+                         spec.ydim[0], spec.ydim[1],
+                         spec.zdim[0], spec.zdim[1],
+                         spec.radius, spec.span[0], spec.span[1]],
+                        np.float32)
+    ref_arr = np.asarray(ref_point if ref_point is not None
+                         else (0.0, 0.0, 0.0), np.float32)
+    if geo_slots is None:
+        geo_slots = np.zeros(0, np.int32)
+    geo_slots = np.ascontiguousarray(geo_slots, np.int32)
+    assert mask_out.dtype == np.uint8 and mask_out.shape[0] >= n \
+        and mask_out.shape[1] == geo_stride(len(bond_a))
+    rc = lib.xtc_geo_mask(
+        path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
+        _i32p(bond_a), _i32p(bond_b), len(bond_a),
+        kind, int(bool(spec.invert)), int(spec.orientation),
+        int(bool(handle_pbc)), _f32p(bounds),
+        int(ref_mode), _f32p(ref_arr), _i32p(geo_slots), len(geo_slots),
+        mask_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads)
     if rc != 0:
         raise TrajectoryError(

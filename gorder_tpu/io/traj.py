@@ -610,6 +610,32 @@ class Trajectory:
                                 n_threads=n_threads)
         return True
 
+    def read_geo_mask(self, frame_indices: Sequence[int], subset,
+                      bond_a: np.ndarray, bond_b: np.ndarray, spec,
+                      ref_mode: int, ref_point, geo_slots,
+                      mask_out: np.ndarray, handle_pbc: bool = True,
+                      n_threads: int = 1) -> bool:
+        """Per-frame per-bond inside-geometry bitplane (native/xdr.cpp
+        xtc_geo_mask): the decoder evaluates the shape's inside test on
+        every bond midpoint using the kernel's single-rounding integer
+        formulation, with selection references from an f64 refined
+        circular COG. Every wire format consumes this one mask, so
+        geometry output is bitwise identical across wires (the
+        read_cog_axis pattern, extended to geometry-restricted runs).
+        Fills mask_out[:n]; returns False when unsupported (non-XTC)."""
+        sub = _as_subset(subset)
+        frame_indices = np.asarray(frame_indices, np.int64)
+        if not self._all_xtc(frame_indices):
+            return False
+        for sl, f, local in self._segments(frame_indices):
+            native.xtc_geo_mask(f.path, f.offsets[local], sub.first_n,
+                                bond_a, bond_b, spec, ref_mode, ref_point,
+                                geo_slots, mask_out[sl],
+                                handle_pbc=handle_pbc,
+                                slot_of=sub.slot_of, n_out=sub.n_out,
+                                n_threads=n_threads)
+        return True
+
     def iter_batches(self, frame_indices: Sequence[int], subset,
                      batch_size: int, n_threads: int = 1
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,

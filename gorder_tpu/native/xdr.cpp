@@ -2575,6 +2575,214 @@ int64_t trr_scan(const char *path, int64_t cap, int64_t *offsets,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Decoder-side geometry mask channel.
+//
+// For geometry-restricted runs the order kernel consumes only bond vectors
+// plus a per-bond boolean "midpoint inside the shape" mask
+// (src/analysis/geometry.rs: bonds whose midpoint falls outside contribute
+// nothing). The decoder walks every frame's integers anyway, so it can
+// compute that mask host-side — making geometry runs eligible for the b7
+// bond-vector wire (no absolute coordinates shipped). Coordinate wires run
+// this same pass so the mask — and therefore the printed output — is
+// bitwise identical across wire formats (the xtc_cog_axis pattern).
+//
+// Arithmetic: positions and midpoints use the kernel's own single-rounding
+// f32 formulation (pa = f32(int)·s, d = f32(Δint)·s, min-image with
+// round-half-even, mid = pa + d·0.5f); the per-frame selection reference
+// COG uses f64 circular-mean + refined min-image deviations — the same
+// construction as the reference's groan_rs f64 group centers
+// (core/pbc.py circular_mean_cog documents the algorithm). fp-contract is
+// disabled for these helpers so the mask is identical across -march=native
+// rebuilds on different sandbox hosts.
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+
+// f64 refined Bai-Breen center along one axis over the f32-dequantized
+// selection coordinates (sequential: deterministic and thread-invariant).
+static float geo_cog_axis_f64(const int32_t *c, const int32_t *slots,
+                              int32_t n, int32_t axis, float invp, float L) {
+  const double TWO_PI = 6.283185307179586476925286766559;
+  double sc = 0.0, ss = 0.0;
+  for (int32_t i = 0; i < n; i++) {
+    float x = (float)c[(size_t)slots[i] * 3 + axis] * invp;
+    double t = (double)x / (double)L * TWO_PI;
+    sc += std::cos(t);
+    ss += std::sin(t);
+  }
+  double mean_theta = std::atan2(-ss, -sc) + 3.141592653589793238462643;
+  double est = mean_theta / TWO_PI * (double)L;
+  double dsum = 0.0;
+  for (int32_t i = 0; i < n; i++) {
+    float x = (float)c[(size_t)slots[i] * 3 + axis] * invp;
+    double d = (double)x - est;
+    d -= (double)L * std::nearbyint(d / (double)L);
+    dsum += d;
+  }
+  double refined = est + dsum / (double)(n > 0 ? n : 1);
+  refined -= (double)L * std::floor(refined / (double)L);
+  return (float)refined;
+}
+
+// f64 naive center (NoPBC selection references).
+static float geo_cog_axis_naive(const int32_t *c, const int32_t *slots,
+                                int32_t n, int32_t axis, float invp) {
+  double acc = 0.0;
+  for (int32_t i = 0; i < n; i++)
+    acc += (double)((float)c[(size_t)slots[i] * 3 + axis] * invp);
+  return (float)(acc / (double)(n > 0 ? n : 1));
+}
+
+struct GeoSpecC {
+  int32_t kind;         // 0 cuboid, 1 cylinder, 2 sphere
+  int32_t invert;
+  int32_t orientation;  // cylinder axis
+  int32_t handle_pbc;
+  // bounds[9]: xlo xhi ylo yhi zlo zhi radius span_lo span_hi (INFINITY ok)
+  const float *b;
+};
+
+static inline bool geo_axis_ok(float rel, float lo, float hi, float L,
+                               bool pbc) {
+  if (std::isinf(lo) && std::isinf(hi)) return true;
+  float extent = hi - lo;
+  float shifted = rel - lo;
+  if (pbc) shifted -= L * std::floor(shifted / L);
+  return shifted >= 0.0f && shifted <= extent;
+}
+
+static inline bool geo_inside(const float mid[3], const float ref[3],
+                              const float box[3], const GeoSpecC &g) {
+  float rel[3] = {mid[0] - ref[0], mid[1] - ref[1], mid[2] - ref[2]};
+  bool pbc = g.handle_pbc != 0;
+  bool ok;
+  if (g.kind == 0) {
+    ok = geo_axis_ok(rel[0], g.b[0], g.b[1], box[0], pbc)
+         && geo_axis_ok(rel[1], g.b[2], g.b[3], box[1], pbc)
+         && geo_axis_ok(rel[2], g.b[4], g.b[5], box[2], pbc);
+  } else if (g.kind == 1) {
+    int a = g.orientation;
+    int p0 = (a == 0) ? 1 : 0;
+    int p1 = (a == 2) ? 1 : 2;
+    float d0 = rel[p0], d1 = rel[p1];
+    if (pbc) {
+      d0 -= box[p0] * std::nearbyint(d0 / box[p0]);
+      d1 -= box[p1] * std::nearbyint(d1 / box[p1]);
+    }
+    bool radial = std::isinf(g.b[6])
+                  || (d0 * d0 + d1 * d1 <= g.b[6] * g.b[6]);
+    ok = radial && geo_axis_ok(rel[a], g.b[7], g.b[8], box[a], pbc);
+  } else {
+    float d0 = rel[0], d1 = rel[1], d2 = rel[2];
+    if (pbc) {
+      d0 -= box[0] * std::nearbyint(d0 / box[0]);
+      d1 -= box[1] * std::nearbyint(d1 / box[1]);
+      d2 -= box[2] * std::nearbyint(d2 / box[2]);
+    }
+    ok = std::isinf(g.b[6])
+         || (d0 * d0 + d1 * d1 + d2 * d2 <= g.b[6] * g.b[6]);
+  }
+  if (g.invert) ok = !ok;
+  return ok;
+}
+
+#pragma GCC pop_options
+
+// Per-frame per-bond inside-geometry bitplane (bit j of byte j/8 = bond j's
+// midpoint inside the shape). ref_mode: 0 = fixed point (ref_point, 3
+// floats), 1 = per-frame box center, 2 = per-frame selection COG over
+// geo_slots (f64 circular refined under PBC, f64 naive otherwise).
+// Returns 0 ok / -1 corruption / 1 unsupported (mixed precision is fine
+// here — each frame dequantizes with its own precision like the kernel).
+int32_t xtc_geo_mask(const char *path, const int64_t *frame_offsets,
+                     int64_t n, int32_t first_n, const int32_t *slot_of,
+                     int32_t n_out, const int32_t *bond_a,
+                     const int32_t *bond_b, int32_t n_bonds,
+                     int32_t kind, int32_t invert, int32_t orientation,
+                     int32_t handle_pbc, const float *bounds,
+                     int32_t ref_mode, const float *ref_point,
+                     const int32_t *geo_slots, int32_t n_geo,
+                     uint8_t *mask_out, int32_t n_threads) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  const size_t stride = ((size_t)n_bonds + 7) / 8;
+  GeoSpecC g{kind, invert, orientation, handle_pbc, bounds};
+  std::atomic<int32_t> status{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<int32_t> scratch((size_t)n_out * 3, 0);
+    for (int64_t f = lo; f < hi; f++) {
+      XtcHeader h;
+      if (!parse_xtc_header(mf.data, mf.size, (size_t)frame_offsets[f],
+                            &h)) {
+        status.store(-1);
+        return;
+      }
+      I32Sink sink{scratch.data(), 0.0f};
+      bool ok;
+      if (slot_of) {
+        SlotSink<I32Sink> ss{sink, slot_of};
+        ok = decode_xtc_coords_t(h, first_n, ss);
+      } else {
+        ok = decode_xtc_coords_t(h, first_n, sink);
+      }
+      if (!ok) {
+        status.store(-1);
+        return;
+      }
+      float p = h.plain ? 1000.0f : h.precision;
+      float s = 1.0f / p;
+      float box[3] = {h.box[0], h.box[4], h.box[8]};
+      float ref[3];
+      if (ref_mode == 0) {
+        ref[0] = ref_point[0];
+        ref[1] = ref_point[1];
+        ref[2] = ref_point[2];
+      } else if (ref_mode == 1) {
+        ref[0] = box[0] * 0.5f;
+        ref[1] = box[1] * 0.5f;
+        ref[2] = box[2] * 0.5f;
+      } else {
+        for (int a = 0; a < 3; a++)
+          ref[a] = handle_pbc
+                       ? geo_cog_axis_f64(scratch.data(), geo_slots, n_geo,
+                                          a, s, box[a])
+                       : geo_cog_axis_naive(scratch.data(), geo_slots,
+                                            n_geo, a, s);
+      }
+      uint8_t *dst = mask_out + (size_t)f * stride;
+      std::memset(dst, 0, stride);
+      for (int32_t j = 0; j < n_bonds; j++) {
+        const int32_t *ia = scratch.data() + (size_t)bond_a[j] * 3;
+        const int32_t *ib = scratch.data() + (size_t)bond_b[j] * 3;
+        float mid[3];
+        for (int a = 0; a < 3; a++) {
+          // kernel formulation (core/order.py quantized path): single
+          // rounding of the exact integer difference, then min-image
+          float pa = (float)ia[a] * s;
+          float d = (float)(ib[a] - ia[a]) * s;
+          if (handle_pbc) d -= box[a] * std::nearbyintf(d / box[a]);
+          mid[a] = pa + d * 0.5f;
+        }
+        if (geo_inside(mid, ref, box, g))
+          dst[(size_t)j >> 3] |= (uint8_t)(1u << (j & 7));
+      }
+    }
+  };
+  int nt = std::max(1, (int)std::min<int64_t>(n_threads, n));
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
+  return status.load();
+}
+
 int32_t trr_decode(const char *path, const int64_t *frame_offsets, int64_t n,
                    int32_t first_n, float *out_coords, float *out_boxes,
                    float *out_times, int32_t *out_steps) {

@@ -491,3 +491,30 @@ def test_b7_aux_individual_plus_normals_byte_identical(fixtures, tmp_path,
     assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
         f"combined aux run did not ride b7x: {mod._LAST_WIRE}"
     assert y_auto == y_i16
+
+
+@requires_fixtures
+def test_b7_geometry_channel_byte_identical(fixtures, tmp_path, monkeypatch):
+    """Geometry-restricted runs ride b7 + the decoder inside-mask
+    bitplane (native/xdr.cpp xtc_geo_mask): every wire consumes the same
+    decoder-evaluated mask, so output is byte-identical across wires —
+    including the selection-COG reference recomputed every frame
+    (geometry.rs init_reference)."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input.config import Geometry
+
+    for geom in (
+        Geometry("cylinder", reference="@membrane", radius=3.25,
+                 orientation="z"),
+        Geometry("sphere", reference=None, radius=3.0),
+        Geometry("cuboid", reference=(8.0, 2.0, 0.0), xdim=(-2.0, 4.0),
+                 ydim=(-2.0, 2.0)),
+    ):
+        y_i16 = _run_aa(fixtures, tmp_path, monkeypatch, "i16",
+                        geometry=geom)
+        assert getattr(mod, "_LAST_WIRE")[0] == "i16"
+        y_auto = _run_aa(fixtures, tmp_path, monkeypatch, None,
+                         geometry=geom)
+        assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+            f"geometry run did not ride b7geo: {mod._LAST_WIRE}"
+        assert y_auto == y_i16

@@ -68,6 +68,13 @@ AA_SPHERICAL_BASELINE_8T = 10000 / 6.69
 AA_CLUSTERING_BASELINE_8T = 10000 / 16.0
 AA_FROMFILE_BASELINE_8T = 10000 / 6.90
 
+# Export-overhead and frequency-gated rows
+# (performance/export_benchmarks.md §Leaflets / §Normals, gorder 1.2 8T)
+AA_LEAFLETS_EXPORT_BASELINE_8T = 10000 / 9.685     # global + export
+AA_DYNAMIC_EXPORT_BASELINE_8T = 10000 / 8.168      # dyn normals + export
+AA_LEAFLETS_E10_BASELINE_8T = 10000 / 7.314        # global, every 10th
+AA_LEAFLETS_ONCE_BASELINE_8T = 10000 / 6.110       # global, once
+
 # Palmitoyl-only rows (performance/main_benchmarks.md; BASELINE.md rows
 # 3 and 8) — the reference publishes these at ONE thread (its direct
 # `gmx order` comparison): AA 10.465 s / 10k frames, UA 4.036 s / 3k
@@ -82,7 +89,9 @@ AA_GEOMETRY_BASELINE_8T = 10000 / 5.86
 AA_MODES = ("aa-leaflets", "aa-local-leaflets", "aa-dynamic",
             "aa-individual-leaflets", "aa-spherical-leaflets",
             "aa-clustering-leaflets", "aa-fromfile-leaflets",
-            "aa-palmitoyl", "aa-geometry")
+            "aa-palmitoyl", "aa-geometry",
+            "aa-leaflets-export", "aa-dynamic-export",
+            "aa-leaflets-every10", "aa-leaflets-once")
 
 
 def _cg_template():
@@ -305,6 +314,34 @@ def _make_analysis(mode):
         if mode == "aa-leaflets":
             kwargs["leaflets"] = LeafletClassification.global_(
                 "resname POPC", "resname POPC and name P")
+        elif mode == "aa-leaflets-export":
+            # the reference's leaflet-export row: global classification
+            # + per-frame assignment export (export_benchmarks.md
+            # §Leaflets, frequency every)
+            kwargs["leaflets"] = LeafletClassification.global_(
+                "resname POPC", "resname POPC and name P").with_collect(
+                    os.path.join(CACHE, "aa-leaflets-export_leaflets.yaml"))
+        elif mode == "aa-leaflets-every10":
+            # frequency-gated classification (export_benchmarks.md
+            # §Leaflets, frequency every 10th): rides the b7 wire with
+            # sparse assignment-frame coordinate side-reads
+            from gorder_tpu.input.config import Frequency
+
+            kwargs["leaflets"] = LeafletClassification.global_(
+                "resname POPC", "resname POPC and name P").with_frequency(
+                    Frequency.every(10))
+        elif mode == "aa-leaflets-once":
+            from gorder_tpu.input.config import Frequency
+
+            kwargs["leaflets"] = LeafletClassification.global_(
+                "resname POPC", "resname POPC and name P").with_frequency(
+                    Frequency.once())
+        elif mode == "aa-dynamic-export":
+            # the reference's normals-export row (export_benchmarks.md
+            # §Normals): collection forces the host-visible normals path
+            kwargs["membrane_normal"] = MembraneNormal.dynamic(
+                "resname POPC and name P",
+                collect=os.path.join(CACHE, "aa-dynamic-export_normals.yaml"))
         elif mode == "aa-local-leaflets":
             # radius 2.5 nm — the reference manual's local-method example
             kwargs["leaflets"] = LeafletClassification.local(
@@ -394,7 +431,11 @@ def run_mode(mode):
                 "aa-fromfile-leaflets": AA_FROMFILE_BASELINE_8T,
                 "aa-palmitoyl": AA_PALMITOYL_BASELINE_1T,
                 "ua-palmitoyl": UA_PALMITOYL_BASELINE_1T,
-                "aa-geometry": AA_GEOMETRY_BASELINE_8T}[mode]
+                "aa-geometry": AA_GEOMETRY_BASELINE_8T,
+                "aa-leaflets-export": AA_LEAFLETS_EXPORT_BASELINE_8T,
+                "aa-dynamic-export": AA_DYNAMIC_EXPORT_BASELINE_8T,
+                "aa-leaflets-every10": AA_LEAFLETS_E10_BASELINE_8T,
+                "aa-leaflets-once": AA_LEAFLETS_ONCE_BASELINE_8T}[mode]
 
     # warm: compile + first-execution tunnel stall excluded, like bench.py
     warm = _make_analysis(mode)
@@ -506,6 +547,21 @@ def run_mode(mode):
                            "selection-COG cylinder (recomputed every "
                            f"frame), end-to-end ({n_frames} XTC frames; "
                            "baseline is the reference's plain-AA 8T rate)",
+            "aa-leaflets-export": "AA 256-lipid order analysis with "
+                                  "global leaflet classification every "
+                                  "frame + assignment export, end-to-end "
+                                  f"({n_frames} XTC frames)",
+            "aa-dynamic-export": "AA 256-lipid order analysis with "
+                                 "dynamic membrane normals + normals "
+                                 "export, end-to-end "
+                                 f"({n_frames} XTC frames)",
+            "aa-leaflets-every10": "AA 256-lipid order analysis with "
+                                   "global leaflet classification every "
+                                   "10th frame, end-to-end "
+                                   f"({n_frames} XTC frames)",
+            "aa-leaflets-once": "AA 256-lipid order analysis with global "
+                                "leaflet classification once, end-to-end "
+                                f"({n_frames} XTC frames)",
             }[mode]
     implied = (best_tunnel * 1024 / best_kbf) if best_kbf > 0 else 0.0
     print(json.dumps({
@@ -712,19 +768,23 @@ def _measure_device_resident_aa_leaflets(analysis, batch=256, iters=30):
 
 def _measure_device_resident_aa_geometry(analysis, batch=256, iters=30):
     """Geometry analogue of bench.measure_device_resident: one real
-    batch's s6 wire payload staged, then the production fused body
-    (reconstruction -> per-frame selection-COG reference -> inside-mask
-    plane -> Pallas kernel with with_geom) timed over `iters` scan
-    repetitions in ONE dispatch."""
+    batch's wire payload staged, then the production fused body timed
+    over `iters` scan repetitions in ONE dispatch. Since round 5 the
+    production route is b7geo — b7 bond vectors + the decoder-evaluated
+    inside-mask bitplane (native/xdr.cpp xtc_geo_mask), so the body is
+    bond-vector reconstruction + bit-unpack + the masked kernel with no
+    coordinate reconstruction or on-device COG at all; the pre-round-5
+    s6 route (full coordinates + in-program selection COG + inside test)
+    remains as the fallback when b7 staging fails."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from gorder_tpu.analysis import (_build_atom_space, _prepare_bond_kinds,
-                                     _prepare_geometry, _s6_impl,
+                                     _prepare_geometry, _b7_impl, _s6_impl,
                                      _wire_groups, load_structure)
     from gorder_tpu.core.order import make_order_step
-    from gorder_tpu.io.native import s6_stride
+    from gorder_tpu.io.native import b7_stride, geo_stride, s6_stride
     from gorder_tpu.io.traj import Trajectory
 
     system = load_structure(analysis)
@@ -749,28 +809,55 @@ def _measure_device_resident_aa_geometry(analysis, batch=256, iters=30):
     group_of, n_groups, vgidx = _wire_groups(system, space)
     n, n_out = len(idx), space.n_out
     esc_cap = 8192
-    pk = np.zeros((n, s6_stride(n_out)), np.uint8)
-    eg = np.zeros((n, esc_cap), np.uint16)
-    ev = np.zeros((n, esc_cap), np.int16)
-    gm = np.zeros((n, (n_groups + 1) * 3), np.int16)
-    res, _ = traj.read_frames_s6(idx, space, group_of, n_groups,
-                                 pk, eg, ev, gm)
-    staged = coords_dev = scale_dev = None
-    if res is not None:
-        base, inv_prec, boxes, _, _ = res
-        staged = tuple(jax.device_put(a)
-                       for a in (pk, eg, ev, base, gm,
-                                 vgidx.astype(np.int32)))
+    ba, bb = remap(compiled.atom_a), remap(compiled.atom_b)
+    bpk = np.zeros((n, b7_stride(len(ba))), np.uint8)
+    beg = np.zeros((n, esc_cap), np.uint16)
+    bev = np.zeros((n, esc_cap), np.int16)
+    bres, _ = traj.read_frames_b7(idx, space, ba, bb, bpk, beg, bev)
+    staged_b7 = staged = coords_dev = scale_dev = None
+    if bres is not None:
+        base, inv_prec, boxes, _, _ = bres
+        geo = np.zeros((n, geo_stride(len(ba))), np.uint8)
+        ok = traj.read_geo_mask(idx, space, ba, bb, geom_spec, 2, None,
+                                remap(geom_payload), geo)
+        assert ok
+        staged_b7 = tuple(jax.device_put(a)
+                          for a in (bpk, beg, bev, base, geo))
         scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
+        print("# aa-geometry device-resident wire: b7geo", file=sys.stderr)
     else:
-        coords, boxes, _, _ = traj.read_frames(idx, space)
-        coords_dev = jax.device_put(coords)
+        pk = np.zeros((n, s6_stride(n_out)), np.uint8)
+        eg = np.zeros((n, esc_cap), np.uint16)
+        ev = np.zeros((n, esc_cap), np.int16)
+        gm = np.zeros((n, (n_groups + 1) * 3), np.int16)
+        res, _ = traj.read_frames_s6(idx, space, group_of, n_groups,
+                                     pk, eg, ev, gm)
+        if res is not None:
+            base, inv_prec, boxes, _, _ = res
+            staged = tuple(jax.device_put(a)
+                           for a in (pk, eg, ev, base, gm,
+                                     vgidx.astype(np.int32)))
+            scale_dev = jax.device_put(np.asarray(inv_prec, np.float32))
+        else:
+            coords, boxes, _, _ = traj.read_frames(idx, space)
+            coords_dev = jax.device_put(coords)
     box_dev = jax.device_put(boxes[:, [0, 1, 2], [0, 1, 2]].copy())
     normal_dev = jax.device_put(np.array([0, 0, 1], np.float32))
     mask_dev = jax.device_put(np.ones(n, bool))
     jax.block_until_ready([box_dev, normal_dev, mask_dev])
 
     def one(carry):
+        if staged_b7 is not None:
+            pk_d, eg_d, ev_d, base_d, geo_d = staged_b7
+            dq = _b7_impl(pk_d, eg_d, ev_d, base_d)
+            shifts = jnp.arange(8, dtype=jnp.uint8)
+            bits = ((geo_d[:, :, None] >> shifts[None, None, :])
+                    & jnp.uint8(1)).reshape(n, -1)[:, :len(ba)] \
+                .astype(jnp.float32)
+            return step.impl(dq, box_dev, normal_dev, mask_dev,
+                             inv_scale=scale_dev + carry, map_state=None,
+                             geom_ref=None, geom_plane=bits,
+                             diff_input=True, use_pallas=use_pallas)
         if staged is not None:
             c = _s6_impl(*staged, scale_dev + carry)
         else:

@@ -32,7 +32,9 @@ def main():
                              "aa-spherical-leaflets",
                              "aa-clustering-leaflets",
                              "aa-fromfile-leaflets", "aa-palmitoyl",
-                             "aa-geometry"]
+                             "aa-geometry",
+                             "aa-leaflets-export", "aa-dynamic-export",
+                             "aa-leaflets-every10", "aa-leaflets-once"]
     # FORCE the CPU backend: the sandbox sitecustomize presets
     # jax_platforms to the tunneled TPU and a plain JAX_PLATFORMS env var
     # is not enough once jax is imported (tests/conftest.py pattern)
