@@ -485,10 +485,12 @@ def validate_output(yaml_path, label, n_frames):
     # rounds one way), so long-aggregate means shift by up to ~1e-6 in a
     # consistent direction: with 4-dp printing that flips up to ~1e-6/1e-4
     # = O(%) of values by exactly one quantum (measured on the TPU:
-    # 27/345 for the individual-leaflets mode). The corruption guard is
-    # the one-quantum cap above; the count bound only catches systematic
-    # drift well beyond that contrast.
-    if n_off > max(8, int(0.15 * n_vals)):
+    # 27/345 ≈ 7.8 % for the individual-leaflets mode). The corruption
+    # guard is the one-quantum cap above; the count bound catches
+    # systematic drift beyond that contrast — 10 % gives the measured
+    # worst case ~25 % headroom without admitting real corruption
+    # (round-4 review asked for the bound to track the measurement).
+    if n_off > max(8, int(0.10 * n_vals)):
         raise BenchValidationError(
             f"{label}: {n_off} of {n_vals} values off by one print "
             f"quantum — beyond the documented Pallas-vs-XLA contrast")

@@ -151,198 +151,30 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
 
     batch_size_probe = _effective_batch_size()
     group_of, n_groups, vgidx = _wire_groups(system, space)
-    # b7 (bond-vector differences) is eligible on the pure bond-order
-    # path — and, via the decoder's side channels (head positions +
-    # per-frame Bai-Breen membrane center), on every-frame global
-    # leaflet runs too; every other subsystem consumes absolute
-    # coordinates
-    pure_bond = (leaflets is None and normals is None and map_spec is None
-                 and geom_mode is None
-                 and getattr(step, "impl", None) is not None
-                 and bond_slots is not None)
-    # Decoder-COG channel class (global method, every-frame frequency,
-    # PBC on, XTC input): leaflet classification consumes the decoder's
-    # per-frame refined Bai-Breen membrane center on EVERY wire — the
-    # b7g wire ships it as a side channel; coordinate wires run the
-    # standalone xtc_cog_axis pass — so the printed output is bitwise
-    # identical across wire formats (this resolved the round-3 carve-out
-    # where the b7g host COG differed from the device COG within float
-    # noise; the channel wire now defaults ON). GORDER_TPU_B7_LEAFLETS=0
-    # restores the device-COG path for debugging.
-    chan_coords = None          # (classify(coords, cog, box), (slots, axis))
-    if (leaflets is not None and analysis.handle_pbc
-            and os.environ.get("GORDER_TPU_B7_LEAFLETS", "1") != "0"
-            and traj._all_xtc(frame_indices)):
-        chan_coords = leaflets.channel_coords_info()
-    leaf_channels = None
-    if (not pure_bond and chan_coords is not None and normals is None
-            and map_spec is None and geom_mode is None
-            and getattr(step, "impl", None) is not None
-            and bond_slots is not None):
-        leaf_channels = leaflets.fused_channel_impl()
-    # Host-classes plane class (b7m wire): manual leaflet tables and
-    # frequency-gated (`!once` / `!every N`) classification methods never
-    # need device coordinates on non-assignment frames — manual classes
-    # are pure host data, and frequency-gated classes are computed on
-    # assignment frames only (1/N of frames, side-read sparsely) and
-    # carried between them. These runs ride the b7 bond-vector wire and
-    # ship a (B, M) int32 class plane per batch instead of coordinates.
-    # Reference behavior: src/analysis/leaflets.rs manual variants +
-    # Frequency (src/input/frequency.rs:13-55).
-    plane_mode = (
-        leaflets is not None and normals is None and map_spec is None
-        and geom_mode is None and leaf_channels is None
-        and getattr(step, "impl", None) is not None
-        and bond_slots is not None
-        and os.environ.get("GORDER_TPU_B7_LEAFLETS", "1") != "0"
-        and leaflets.plane_eligible())
-    # Aux-channel class (b7x wire): every coordinate consumer of this run
-    # needs only a small atom set — individual leaflet classification
-    # (heads + methyls, leaflets.rs Individual) and/or dynamic membrane
-    # normals (the NormalHeads cloud, normal.rs:179-199) at every-frame
-    # frequency with no collection. The decoder ships those atoms' exact
-    # int32 positions as a side channel (native/xdr.cpp emit_channels);
-    # dequantized f32(int)·inv_precision they are bit-identical to a
-    # full-coordinate gather, so output matches the coordinate wires
-    # byte-for-byte while the wire carries bond vectors + a few KB/frame.
-    aux_mode = None     # (aux_slots i32, aux_classify_impl, aux_normals_impl)
-    if (map_spec is None and geom_mode is None
-            and getattr(step, "impl", None) is not None
-            and bond_slots is not None and not pure_bond
-            and leaf_channels is None and not plane_mode
-            and os.environ.get("GORDER_TPU_B7_LEAFLETS", "1") != "0"):
-        aux_atoms = []
-        cl_rebuild = nr_rebuild = None
-        eligible = True
-        if leaflets is not None:
-            info = (getattr(leaflets.classify, "aux_info", None)
-                    if leaflets.fused_classify_impl() is not None
-                    and leaflets.cloud_to_mol is None else None)
-            if info is None:
-                eligible = False
-            else:
-                aux_atoms.append(info["atoms"])
-                cl_rebuild = info["rebuild"]
-        if normals is not None:
-            info = (getattr(normals.compute, "aux_info", None)
-                    if normals.fused_impl() is not None else None)
-            if info is None:
-                eligible = False
-            else:
-                aux_atoms.append(info["atoms"])
-                nr_rebuild = info["rebuild"]
-        if eligible and aux_atoms:
-            aux_union = np.unique(
-                np.concatenate(aux_atoms)).astype(np.int64)
-            _pos_lut = np.full(n_out, -1, np.int64)
-            _pos_lut[aux_union] = np.arange(len(aux_union))
+    # Channel-class planning + wire selection (engine/channels.py):
+    # decides which decoder side channels this run rides (b7g COG, b7m
+    # class plane, b7x aux atoms, b7geo mask bitplane) and picks the
+    # most effective wire format for the link
+    from .channels import plan_wire_channels
 
-            def _aux_pos_of(idx):
-                out = _pos_lut[np.asarray(idx, np.int64)]
-                if (out < 0).any():  # pragma: no cover - internal invariant
-                    raise AssertionError(
-                        "internal error: aux consumer index outside the "
-                        "aux atom union")
-                return out.astype(np.int32)
-
-            aux_classify_impl = aux_normals_impl = None
-            if cl_rebuild is not None:
-                aux_classify_impl = cl_rebuild(_aux_pos_of).impl
-                if leaflets.flip:
-                    _inner_aux = aux_classify_impl
-
-                    def aux_classify_impl(aux_f, box):
-                        return 1 - _inner_aux(aux_f, box)
-            if nr_rebuild is not None:
-                aux_normals_impl = nr_rebuild(_aux_pos_of).impl
-            aux_mode = (aux_union.astype(np.int32), aux_classify_impl,
-                        aux_normals_impl)
-    # Decoder geometry channel class (b7geo / *G kinds): pure
-    # geometry-restricted runs consume ONE decoder-evaluated per-bond
-    # inside-mask bitplane on every wire (io/traj.py read_geo_mask) —
-    # output is bitwise identical across wire formats, and the b7
-    # bond-vector wire becomes geometry-eligible (the kernel needs only
-    # bond vectors + the mask; reference geometry.rs: bonds whose
-    # midpoint falls outside contribute nothing).
-    geo_channel = (
-        geom_mode is not None and geom_spec is not None
-        and leaflets is None and normals is None and map_spec is None
-        and getattr(step, "impl", None) is not None
-        and bond_slots is not None
-        and os.environ.get("GORDER_TPU_GEO_CHANNEL", "1") != "0"
-        and traj._all_xtc(frame_indices))
-    # resolved through the facade so tests/harnesses can monkeypatch
-    # gorder_tpu.analysis._pick_wire_format / _measure_link_mbps
-    from .. import analysis as _facade
-
-    wire, wire_cap = _facade._pick_wire_format(
-        traj, frame_indices, space, n_threads,
-        group_of, n_groups, batch_size_probe,
-        bond_slots=bond_slots
-        if (pure_bond or leaf_channels is not None or plane_mode
-            or aux_mode is not None or geo_channel) else None,
-        link_mbps=_facade._measure_link_mbps())
-    corr_cap = wire_cap if wire == "d8" else 0
-    esc_cap = wire_cap if wire in ("s6", "b7") else 0
-    n_bonds = len(bond_slots[0]) if bond_slots is not None else 0
-    from ..io.native import b7_stride as _b7s
-    from ..io.native import i12_stride as _i12s
-    from ..io.native import s6_stride as _s6s
-
-    ch_heads = ch_membrane = None
-    ch_axis = 2
-    channel_classify = None
-    if wire == "b7" and leaf_channels is not None:
-        channel_classify, (ch_membrane, ch_heads, ch_axis) = leaf_channels
-    # class-plane bookkeeping: sparse assignment-frame coordinate reads
-    # are needed only for the frequency-gated classification methods
-    # (manual tables are pure host data)
-    plane_active = plane_mode and wire == "b7"
-    plane_sparse = plane_active and leaflets.manual_table is None
-    assign_cap = 0
-    if plane_sparse:
-        freq = leaflets.frequency
-        assign_cap = 1 if freq.kind == "once" \
-            else batch_size // max(freq.n, 1) + 2
-    plane_bytes = 0
-    if plane_active:
-        plane_bytes = n_molecules * 4 \
-            + (assign_cap * n_out * 6) // max(batch_size, 1)
-    aux_active = aux_mode is not None and wire == "b7"
-    aux_wire_slots = aux_mode[0] if aux_active else None
-    from ..io.native import geo_stride as _geos
-
-    geo_bytes = _geos(n_bonds) if geo_channel else 0
-    wire_bytes = geo_bytes + {
-        "b7": _b7s(n_bonds) + esc_cap * 4
-        + (len(ch_heads) * 12 + 4 if ch_heads is not None else 0)
-        + (len(aux_wire_slots) * 12 if aux_wire_slots is not None else 0)
-        + plane_bytes,
-        "s6": _s6s(n_out) + (n_groups + 1) * 6 + esc_cap * 4,
-        "d8": n_out * 3 + corr_cap * 6,
-        "i12": _i12s(n_out),
-        "i16": n_out * 6,
-        "f32": n_out * 12,
-    }[wire]
-    if wire == "b7":
-        extra = ""
-        if ch_heads is not None:
-            extra = f" + {len(ch_heads)}-head leaflet channel"
-        elif aux_active:
-            extra = f" + {len(aux_wire_slots)}-atom aux channel"
-        elif geo_channel:
-            extra = " + decoder geometry mask bitplane"
-        elif plane_active:
-            extra = (" + host leaflet-class plane"
-                     + (f" (sparse coords on 1/{leaflets.frequency.n} "
-                        f"assignment frames)" if plane_sparse
-                        and leaflets.frequency.kind == "every" else ""))
-        log.info("wire format: b7 — %d bond vectors (of %d selected atoms)"
-                 "%s, %.1f KB/frame", n_bonds, space.n_sel, extra,
-                 wire_bytes / 1024)
-    else:
-        log.info("wire format: %s — %d of %d atoms, %.1f KB/frame",
-                 wire, space.n_sel, system.n_atoms, wire_bytes / 1024)
+    _plan = plan_wire_channels(
+        analysis=analysis, system=system, traj=traj,
+        frame_indices=frame_indices, space=space, step=step,
+        leaflets=leaflets, normals=normals, map_spec=map_spec,
+        geom_mode=geom_mode, geom_spec=geom_spec, bond_slots=bond_slots,
+        n_threads=n_threads, batch_size=batch_size_probe, n_out=n_out,
+        n_molecules=n_molecules, group_of=group_of, n_groups=n_groups)
+    wire, wire_bytes = _plan.wire, _plan.wire_bytes
+    corr_cap, esc_cap, n_bonds = _plan.corr_cap, _plan.esc_cap, _plan.n_bonds
+    chan_coords = _plan.chan_coords
+    channel_classify = _plan.channel_classify
+    ch_membrane, ch_heads, ch_axis = (_plan.ch_membrane, _plan.ch_heads,
+                                      _plan.ch_axis)
+    plane_active, plane_sparse = _plan.plane_active, _plan.plane_sparse
+    assign_cap = _plan.assign_cap
+    aux_mode, aux_active = _plan.aux_mode, _plan.aux_active
+    aux_wire_slots = _plan.aux_wire_slots
+    geo_channel = _plan.geo_channel
     # observability for harnesses (bench.py reads this after each run to
     # pair the trial's rate with the wire it actually rode)
     global _LAST_WIRE
@@ -364,6 +196,24 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     def drain_map_state(state_out):
         for cls, arr in state_out.items():
             map_accum[cls] += np.asarray(arr).astype(np.int64)
+
+
+    def _drain_extras(result, n_valid):
+        """Collect the fused program's extra outputs (export runs): the
+        in-program leaflet classes / dynamic normals, exactly the values
+        the kernel consumed, in frame order (the in_flight queue drains
+        in submission order)."""
+        rows = result.pop("_classes", None)
+        if rows is not None and leaflets is not None \
+                and leaflets.collect_frames is not None:
+            arr = np.asarray(rows)
+            for i in range(n_valid):
+                leaflets.collect_frames.append(
+                    arr[i].astype(np.int32).copy())
+        nr = result.pop("_normals", None)
+        if nr is not None and normals is not None \
+                and normals.collected is not None:
+            normals.collected.append(np.asarray(nr)[:n_valid])
 
     geom_sel_dev = None
     geom_point = None
@@ -437,7 +287,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     geo_bufs = None
     geo_ref_mode = geo_ref_point = geo_slots_arr = None
     if geo_channel:
-        geo_bufs = [np.zeros((batch_size, _geos(n_bonds)), np.uint8)
+        from ..io.native import geo_stride
+
+        geo_bufs = [np.zeros((batch_size, geo_stride(n_bonds)), np.uint8)
                     for _ in range(prefetch)]
         geo_ref_mode = {"point": 0, "center": 1, "selection": 2}[geom_mode]
         if geom_mode == "point":
@@ -769,10 +621,18 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # every-frame global/local/individual leaflet classification and
     # dynamic normals are pure functions of the batch: trace them into the
     # fused program so the (B, M) classes / (B, M, 3) normals never leave
-    # the device (the two-dispatch path round-trips them through the host)
-    fused_classify = (leaflets.fused_classify_impl()
+    # the device (the two-dispatch path round-trips them through the host).
+    # Collection (export) runs stay fused too: the program returns the
+    # in-program classes / normals as extra outputs, drained host-side
+    # (engine/fused.py) — export rows keep the compact wires.
+    fused_classify = (leaflets.fused_classify_impl(ignore_collect=True)
                       if leaflets is not None else None)
-    fused_normals = normals.fused_impl() if normals is not None else None
+    fused_normals = (normals.fused_impl(ignore_collect=True)
+                     if normals is not None else None)
+    collect_classes = (fused_classify is not None
+                       and leaflets.collect_frames is not None)
+    collect_normals = (fused_normals is not None
+                       and normals.collected is not None)
     if ((leaflets is None or fused_classify is not None)
             and (normals is None or fused_normals is not None)):
         # mesh-aware: pallas_ok itself checks per-device batch tiling —
@@ -797,7 +657,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                                      if aux_active else None),
                                        aux_normals=(aux_mode[2]
                                                     if aux_active else None),
-                                       n_bonds=n_bonds)
+                                       n_bonds=n_bonds,
+                                       collect_classes=collect_classes,
+                                       collect_normals=collect_normals)
         if (fused_get is not None and leaflets is not None
                 and not leaflets._logged_stats):
             # the fused path never materializes classes on the host;
@@ -889,7 +751,9 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                            aux_normals=(aux_mode[2]
                                                         if aux_active
                                                         else None),
-                                           n_bonds=n_bonds)
+                                           n_bonds=n_bonds,
+                                           collect_classes=collect_classes,
+                                           collect_normals=collect_normals)
         if fused_plane_get is not None:
             fused_plane_get = _build_fused_steps(step, n_out=n_out,
                                                  use_pallas=False)
@@ -902,7 +766,8 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
     # the worker thread on a single device: the worker's jit call absorbs
     # each small per-batch put's ~one-RTT tunnel latency that would
     # otherwise stall the driver between bulk transfers
-    host_args_ok = (fused_get is not None and not sync_fetch
+    host_args_ok = ((fused_get is not None or fused_plane_get is not None)
+                    and not sync_fetch
                     and active_mesh() is None)
     # per-batch device arrays that rarely change (NVT boxes, constant XTC
     # precision): reuse the previous device copy when the host values match
@@ -1168,7 +1033,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                         classes_arr,
                         np.zeros((batch_size - classes_arr.shape[0],
                                   n_molecules), np.int32)])
-                classes_dev, = ship(np.ascontiguousarray(classes_arr))
+                classes_arr = np.ascontiguousarray(classes_arr)
+                if host_args_ok:
+                    # fresh per-batch array: the dispatch worker's jit
+                    # call device_puts it, riding behind the bulk
+                    # transfer instead of stalling the driver one RTT
+                    classes_dev = classes_arr
+                else:
+                    classes_dev, = ship(classes_arr)
                 w_plane = wire_devs + (classes_dev,)
 
                 def thunk(w=w_plane, s=scale_dev, bx=box_dev,
@@ -1248,6 +1120,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                 with timers.phase("compute"):
                     result = dict(result)
                     _pop_normal_guard(result)
+                    _drain_extras(result, n_valid)
                     accum.add_batch(
                         {k: np.asarray(v) for k, v in result.items()},
                         n_valid)
@@ -1304,6 +1177,7 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
             result, map_out = fut.result()
             result = dict(result)
             _pop_normal_guard(result)
+            _drain_extras(result, n_valid)
             accum.add_batch({k: np.asarray(v) for k, v in result.items()},
                             n_valid)
             if map_out is not None:

@@ -36,7 +36,8 @@ def _pop_normal_guard(result) -> None:
 def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                        normals_impl=None, channel_classify=None,
                        channel_coords_classify=None, aux_classify=None,
-                       aux_normals=None, n_bonds=None):
+                       aux_normals=None, n_bonds=None,
+                       collect_classes=False, collect_normals=False):
     """Fused per-batch programs: wire reconstruction traced inline into
     the order kernel, so XLA compiles ONE program per batch.
 
@@ -108,8 +109,19 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
             inv_scale=inv_scale, map_state=map_state,
             geom_ref=geom_ref, geom_plane=geom_plane,
             use_pallas=use_pallas)
+        if guard is not None or (collect_classes and classes is not None) \
+                or collect_normals:
+            result = dict(result)
         if guard is not None:
             result["_normal_guard"] = guard
+        # collection (export) runs: the in-program classes / normals are
+        # returned as extra outputs and drained host-side, so export runs
+        # keep the compact fused wires (the drained values are exactly
+        # what the kernel consumed)
+        if collect_classes and classes is not None:
+            result["_classes"] = classes
+        if collect_normals and normals_impl is not None:
+            result["_normals"] = normal
         return result, map_out
 
     def build(kind):
@@ -163,9 +175,14 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                     dq, box, normal, mask, leaflet_classes=classes,
                     inv_scale=scale, map_state=None, geom_ref=None,
                     diff_input=True, use_pallas=use_pallas)
-                if guard is not None:
+                if guard is not None or collect_classes or collect_normals:
                     result = dict(result)
+                if guard is not None:
                     result["_normal_guard"] = guard
+                if collect_classes and classes is not None:
+                    result["_classes"] = classes
+                if collect_normals and aux_normals is not None:
+                    result["_normals"] = normal
                 return result, map_out
         elif kind == "b7geo":
             # b7 wire + decoder geometry mask bitplane: the decoder
@@ -206,9 +223,14 @@ def _build_fused_steps(step, *, n_out, use_pallas, classify_impl=None,
                 # f32(int) * inv_precision — bit-identical gather
                 heads = aux.astype(jnp.float32) * scale[:, None, None]
                 classes = channel_classify(heads, cog, box)
-                return impl(dq, box, normal, mask, leaflet_classes=classes,
-                            inv_scale=scale, map_state=None, geom_ref=None,
-                            diff_input=True, use_pallas=use_pallas)
+                result, map_out = impl(
+                    dq, box, normal, mask, leaflet_classes=classes,
+                    inv_scale=scale, map_state=None, geom_ref=None,
+                    diff_input=True, use_pallas=use_pallas)
+                if collect_classes:
+                    result = dict(result)
+                    result["_classes"] = classes
+                return result, map_out
         else:
             # coordinate wires, with or without the decoder-COG channel:
             # kinds 's6g'/'d8g'/'i12g'/'i16g'/'f32g' carry a trailing

@@ -105,18 +105,22 @@ class LeafletRuntime:
                 f"be exactly '{expected}' frame(s) specified in the leaflet "
                 f"assignment structure)")
 
-    def fused_classify_impl(self):
+    def fused_classify_impl(self, ignore_collect: bool = False):
         """Traceable per-batch classification for fused programs, or None
         when the batch path must stay host-visible: carried state
         (frequency > every-frame), manual lookup tables, sequential
         cluster matching (orienter), or collection buffers. Eligible
         methods (global / local / individual at every-frame frequency)
         are pure functions of the batch, so classes never leave the
-        device."""
+        device. With ignore_collect=True, collection buffers do NOT
+        disqualify — used by fused programs that return the in-program
+        classes as an extra (B, M) output for the collector (export runs
+        keep the compact wires; the drained classes are the same device
+        values the kernel consumed)."""
         impl = getattr(self.classify, "impl", None)
         if (impl is None or self.manual_table is not None
                 or self.orienter is not None
-                or self.collect_frames is not None
+                or (self.collect_frames is not None and not ignore_collect)
                 or self.frequency.kind != "every" or self.frequency.n != 1):
             return None
         if self.cloud_to_mol is None and not self.flip:
@@ -147,8 +151,10 @@ class LeafletRuntime:
         else None. The channel classes match the coordinate path exactly
         except for the COG itself (host f64-accumulated vs the device's
         f32 sums — both within float noise of the reference's f64 Rust
-        computation, and heads sit nm away from the center plane)."""
-        if self.fused_classify_impl() is None:
+        computation, and heads sit nm away from the center plane).
+        Collection does not disqualify: the b7g fused program returns the
+        in-program classes for the collector (engine/fused.py)."""
+        if self.fused_classify_impl(ignore_collect=True) is None:
             return None
         ch = getattr(self.classify, "channel_impl", None)
         info = getattr(self.classify, "channel_info", None)

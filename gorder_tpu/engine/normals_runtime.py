@@ -56,16 +56,22 @@ class NormalsRuntime:
             values[~keep] = np.nan
         self.collected.append(values)
 
-    def fused_impl(self):
+    def fused_impl(self, ignore_collect: bool = False):
         """Traceable per-batch normal computation for fused programs, or
         None when the batch path must stay host-visible (manual tables,
         collection buffers). The dynamic PCA is a pure function of the
         batch; the ≥3-points validation moves to a device-computed
         min-count guard checked when results drain (same error, possibly
-        a few batches later)."""
+        a few batches later). With ignore_collect=True, collection does
+        NOT disqualify — the fused program returns the in-program
+        normals as an extra (B, M, 3) output for the collector — unless
+        geometry-restricted collection (molecule_inside) needs full
+        coordinates host-side."""
         impl = getattr(self.compute, "impl", None)
-        if impl is None or self.mode != "dynamic" or \
-                self.collected is not None:
+        if impl is None or self.mode != "dynamic":
+            return None
+        if self.collected is not None and not (
+                ignore_collect and self.molecule_inside is None):
             return None
         return impl
 

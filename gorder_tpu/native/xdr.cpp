@@ -2598,32 +2598,6 @@ int64_t trr_scan(const char *path, int64_t cap, int64_t *offsets,
 #pragma GCC push_options
 #pragma GCC optimize("fp-contract=off")
 
-// f64 refined Bai-Breen center along one axis over the f32-dequantized
-// selection coordinates (sequential: deterministic and thread-invariant).
-static float geo_cog_axis_f64(const int32_t *c, const int32_t *slots,
-                              int32_t n, int32_t axis, float invp, float L) {
-  const double TWO_PI = 6.283185307179586476925286766559;
-  double sc = 0.0, ss = 0.0;
-  for (int32_t i = 0; i < n; i++) {
-    float x = (float)c[(size_t)slots[i] * 3 + axis] * invp;
-    double t = (double)x / (double)L * TWO_PI;
-    sc += std::cos(t);
-    ss += std::sin(t);
-  }
-  double mean_theta = std::atan2(-ss, -sc) + 3.141592653589793238462643;
-  double est = mean_theta / TWO_PI * (double)L;
-  double dsum = 0.0;
-  for (int32_t i = 0; i < n; i++) {
-    float x = (float)c[(size_t)slots[i] * 3 + axis] * invp;
-    double d = (double)x - est;
-    d -= (double)L * std::nearbyint(d / (double)L);
-    dsum += d;
-  }
-  double refined = est + dsum / (double)(n > 0 ? n : 1);
-  refined -= (double)L * std::floor(refined / (double)L);
-  return (float)refined;
-}
-
 // f64 naive center (NoPBC selection references).
 static float geo_cog_axis_naive(const int32_t *c, const int32_t *slots,
                                 int32_t n, int32_t axis, float invp) {
@@ -2737,17 +2711,23 @@ int32_t xtc_geo_mask(const char *path, const int64_t *frame_offsets,
         ref[0] = ref_point[0];
         ref[1] = ref_point[1];
         ref[2] = ref_point[2];
-      } else if (ref_mode == 1) {
-        ref[0] = box[0] * 0.5f;
-        ref[1] = box[1] * 0.5f;
-        ref[2] = box[2] * 0.5f;
       } else {
+        // per-frame reference: box center, or the selection's refined
+        // circular COG via the vectorized poly-trig estimator
+        // (bai_breen_axis, the b7g leaflet channel's production path —
+        // the refinement pass cancels the estimate analytically, so the
+        // poly approximation only matters through rare wrap-boundary
+        // atoms; measured: libm f64 trig over a membrane-sized
+        // selection bound the whole decode at ~4 ms/frame)
         for (int a = 0; a < 3; a++)
-          ref[a] = handle_pbc
-                       ? geo_cog_axis_f64(scratch.data(), geo_slots, n_geo,
-                                          a, s, box[a])
-                       : geo_cog_axis_naive(scratch.data(), geo_slots,
-                                            n_geo, a, s);
+          ref[a] = ref_mode == 1
+                       ? box[a] * 0.5f
+                       : (handle_pbc
+                              ? bai_breen_axis(scratch.data(), geo_slots,
+                                               n_geo, a, s, box[a])
+                              : geo_cog_axis_naive(scratch.data(),
+                                                   geo_slots, n_geo, a,
+                                                   s));
       }
       uint8_t *dst = mask_out + (size_t)f * stride;
       std::memset(dst, 0, stride);
