@@ -125,7 +125,7 @@ def test_b7_escape_capacity_overflow(fixtures):
     assert demand2 == demand  # full demand reported, not clipped
 
 
-def _run_aa(fixtures, tmp_path, monkeypatch, wire, **extra):
+def _run_aa(fixtures, tmp_path, monkeypatch, wire, write=False, **extra):
     from gorder_tpu.input import Analysis, AnalysisType
     from gorder_tpu.present import write_yaml
 
@@ -141,6 +141,8 @@ def _run_aa(fixtures, tmp_path, monkeypatch, wire, **extra):
             "@membrane and element name hydrogen"),
         silent=True, overwrite=True, **extra)
     results = analysis.run()
+    if write:
+        results.write()   # export (collect) files
     out = tmp_path / f"aa_{wire or 'auto'}.yaml"
     write_yaml(results, str(out))
     return out.read_bytes()
@@ -518,3 +520,54 @@ def test_b7_geometry_channel_byte_identical(fixtures, tmp_path, monkeypatch):
         assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
             f"geometry run did not ride b7geo: {mod._LAST_WIRE}"
         assert y_auto == y_i16
+
+
+@requires_fixtures
+def test_b7_collect_export_byte_identical(fixtures, tmp_path, monkeypatch):
+    """Collection (export) runs keep the fused b7 wires: the program
+    returns the in-program classes / normals as extra outputs, drained
+    host-side in frame order (engine/fused.py). Both the order output
+    AND the exported assignment/normals files are byte-identical to the
+    coordinate-wire host-visible twin."""
+    import gorder_tpu.analysis as mod
+    from gorder_tpu.input import LeafletClassification, MembraneNormal
+
+    # global leaflets + export (b7g with _classes extra)
+    def run_leaf(wire, disable_channel=False):
+        if disable_channel:
+            monkeypatch.setenv("GORDER_TPU_B7_LEAFLETS", "0")
+        else:
+            monkeypatch.delenv("GORDER_TPU_B7_LEAFLETS", raising=False)
+        leaflets = LeafletClassification.global_(
+            "@membrane", "name P").with_collect(
+                str(tmp_path / f"leafs_{wire or 'auto'}.yaml"))
+        out = _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                      leaflets=leaflets, write=True)
+        exp = (tmp_path / f"leafs_{wire or 'auto'}.yaml").read_bytes()
+        return out, exp
+
+    o_i16, e_i16 = run_leaf("i16", disable_channel=True)
+    o_b7, e_b7 = run_leaf(None)
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"leaflet-export run did not ride b7g: {mod._LAST_WIRE}"
+    assert o_b7 == o_i16 and e_b7 == e_i16
+
+    # dynamic normals + export (b7x with _normals extra)
+    def run_norm(wire, disable_channel=False):
+        if disable_channel:
+            monkeypatch.setenv("GORDER_TPU_B7_LEAFLETS", "0")
+        else:
+            monkeypatch.delenv("GORDER_TPU_B7_LEAFLETS", raising=False)
+        mn = MembraneNormal.dynamic(
+            "name P", 2.0,
+            collect=str(tmp_path / f"norms_{wire or 'auto'}.yaml"))
+        out = _run_aa(fixtures, tmp_path, monkeypatch, wire,
+                      membrane_normal=mn, write=True)
+        exp = (tmp_path / f"norms_{wire or 'auto'}.yaml").read_bytes()
+        return out, exp
+
+    o_i16, e_i16 = run_norm("i16", disable_channel=True)
+    o_b7, e_b7 = run_norm(None)
+    assert getattr(mod, "_LAST_WIRE")[0] == "b7", \
+        f"normals-export run did not ride b7x: {mod._LAST_WIRE}"
+    assert o_b7 == o_i16 and e_b7 == e_i16
