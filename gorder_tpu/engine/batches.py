@@ -376,17 +376,15 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
         c0 = _time.thread_time()
         try:
             out = _decode_batch(b)
-            if geo_channel:
-                # append the decoder geometry bitplane to every payload:
-                # "b7" becomes "b7geo", coordinate kinds gain a "G" suffix
+            if geo_channel and out[0][0] != "b7geo":
+                # coordinate-wire (or fallback) batches: append the
+                # decoder geometry bitplane via the standalone pass (the
+                # b7 read computes it inline, returning "b7geo" directly)
                 payload, inv, boxes_, nv = out
                 kind = payload[0]
                 chunk = frame_indices[b * batch_size:(b + 1) * batch_size]
                 plane = _geo_plane(chunk, b)
-                if kind == "b7":
-                    payload = ("b7geo",) + payload[1:] + (plane,)
-                else:
-                    payload = (kind + "G",) + payload[1:] + (plane,)
+                payload = (kind + "G",) + payload[1:] + (plane,)
                 out = (payload, inv, boxes_, nv)
             return out
         finally:
@@ -464,6 +462,14 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                     aux[len(chunk):] = 0
                 if cog is not None:
                     cog[len(chunk):] = 0
+            geo_buf = None
+            if geo_channel:
+                # inline geometry mask channel: the b7 decode computes the
+                # bitplane from its own integers — one decode per frame,
+                # not a second standalone pass
+                geo_buf = geo_bufs[b % prefetch]
+                if len(chunk) < batch_size:
+                    geo_buf[len(chunk):] = 0
             res, _ = traj.read_frames_b7(chunk, space, bond_slots[0],
                                          bond_slots[1], pk, eg, ev,
                                          n_threads=n_threads,
@@ -472,9 +478,17 @@ def _run_batches(analysis: Analysis, system: System, step, normal_vec,
                                                     else aux_wire_slots),
                                          aux_out=aux,
                                          cog_slots=ch_membrane,
-                                         cog_axis=ch_axis, cog_out=cog)
+                                         cog_axis=ch_axis, cog_out=cog,
+                                         geo=((geom_spec, geo_ref_mode,
+                                               geo_ref_point, geo_slots_arr,
+                                               analysis.handle_pbc)
+                                              if geo_channel else None),
+                                         geo_out=geo_buf)
             if res is not None:
                 base, inv_prec, boxes, times, steps = res
+                if geo_channel:
+                    return (("b7geo", pk, eg, ev, base, geo_buf),
+                            inv_prec, boxes, len(chunk))
                 if ch_heads is not None:
                     return (("b7g", pk, eg, ev, base, aux, cog),
                             inv_prec, boxes, len(chunk))

@@ -168,6 +168,11 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.xtc_cog_axis.restype = ctypes.c_int32
             lib.xtc_cog_axis.argtypes = [
@@ -469,7 +474,8 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
                   n_out: int = None, n_threads: int = 1,
                   aux_slots: np.ndarray = None, aux_out: np.ndarray = None,
                   cog_slots: np.ndarray = None, cog_axis: int = 2,
-                  cog_out: np.ndarray = None):
+                  cog_out: np.ndarray = None,
+                  geo: tuple = None, geo_out: np.ndarray = None):
     """Bond-difference 7-bit residual decode (see native/xdr.cpp
     xtc_decode_b7): per-batch per-value int32 base over the bond integer
     differences, packed 7-bit residuals, sparse (gap u16, val i16)
@@ -507,6 +513,36 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
                     _f32p(cog_out))
     else:
         cog_args = (nullp, 0, 0, ctypes.POINTER(ctypes.c_float)())
+    nullf = ctypes.POINTER(ctypes.c_float)()
+    nullu8 = ctypes.POINTER(ctypes.c_uint8)()
+    if geo is not None:
+        # inline geometry mask channel (b7geo): same computation as the
+        # standalone xtc_geo_mask pass, reusing this decode's integers.
+        # geo = (spec, ref_mode, ref_point, geo_slots, handle_pbc)
+        spec, ref_mode, ref_point, geo_slots, handle_pbc = geo
+        kind = {"cuboid": 0, "cylinder": 1, "sphere": 2}[spec.kind]
+        bounds = np.asarray([spec.xdim[0], spec.xdim[1],
+                             spec.ydim[0], spec.ydim[1],
+                             spec.zdim[0], spec.zdim[1],
+                             spec.radius, spec.span[0], spec.span[1]],
+                            np.float32)
+        ref_arr = np.asarray(ref_point if ref_point is not None
+                             else (0.0, 0.0, 0.0), np.float32)
+        if geo_slots is None:
+            geo_slots = np.zeros(0, np.int32)
+        geo_slots = np.ascontiguousarray(geo_slots, np.int32)
+        assert geo_out is not None and geo_out.dtype == np.uint8 \
+            and geo_out.shape[0] >= n \
+            and geo_out.shape[1] == geo_stride(n_bonds)
+        geo_args = (kind, int(bool(spec.invert)), int(spec.orientation),
+                    int(bool(handle_pbc)), _f32p(bounds), int(ref_mode),
+                    _f32p(ref_arr), _i32p(geo_slots), len(geo_slots),
+                    geo_out.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint8)))
+        # keep the arrays alive through the call
+        _geo_keep = (bounds, ref_arr, geo_slots)
+    else:
+        geo_args = (-1, 0, 0, 0, nullf, 0, nullf, nullp, 0, nullu8)
     rc = lib.xtc_decode_b7(
         path.encode(), _i64p(offsets), n, first_n, slot_p, n_out,
         _i32p(bond_a), _i32p(bond_b), n_bonds, w_base,
@@ -516,7 +552,7 @@ def xtc_decode_b7(path: str, offsets: np.ndarray, first_n: int,
         esc_val_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         esc_cap, _i32p(max_nesc),
         _f32p(inv_prec_out), _f32p(boxes_out), _f32p(times_out),
-        _i32p(steps_out), n_threads, *aux_args, *cog_args)
+        _i32p(steps_out), n_threads, *aux_args, *cog_args, *geo_args)
     if rc == -1:
         raise TrajectoryError(
             f"could not decode xtc file '{path}': {_err(lib)}")

@@ -530,7 +530,8 @@ class Trajectory:
                        aux_slots: np.ndarray = None,
                        aux_out: np.ndarray = None,
                        cog_slots: np.ndarray = None, cog_axis: int = 2,
-                       cog_out: np.ndarray = None):
+                       cog_out: np.ndarray = None,
+                       geo: tuple = None, geo_out: np.ndarray = None):
         """Decode XTC frames in the bond-difference 7-bit wire format
         (~0.875 B per bond-vector value): the per-bond integer differences
         d = c[bond_b] - c[bond_a] (exact int32 arithmetic) coded as 7-bit
@@ -573,6 +574,8 @@ class Trajectory:
                 inv_prec[sl], boxes[sl], times[sl], st32,
                 slot_of=sub.slot_of, n_out=sub.n_out, n_threads=n_threads,
                 aux_slots=aux_slots,
+                geo=geo,
+                geo_out=geo_out[sl] if geo_out is not None else None,
                 aux_out=aux_out[sl] if aux_out is not None else None,
                 cog_slots=cog_slots, cog_axis=cog_axis,
                 cog_out=cog_out[sl] if cog_out is not None else None)

@@ -2089,6 +2089,93 @@ static float bai_breen_axis(const int32_t *c, const int32_t *slots,
   return refined;
 }
 
+// ---------------------------------------------------------------------------
+// Decoder-side geometry mask channel.
+//
+// For geometry-restricted runs the order kernel consumes only bond vectors
+// plus a per-bond boolean "midpoint inside the shape" mask
+// (src/analysis/geometry.rs: bonds whose midpoint falls outside contribute
+// nothing). The decoder walks every frame's integers anyway, so it can
+// compute that mask host-side — making geometry runs eligible for the b7
+// bond-vector wire (no absolute coordinates shipped). Coordinate wires run
+// this same pass so the mask — and therefore the printed output — is
+// bitwise identical across wire formats (the xtc_cog_axis pattern).
+//
+// Arithmetic: positions and midpoints use the kernel's own single-rounding
+// f32 formulation (pa = f32(int)·s, d = f32(Δint)·s, min-image with
+// round-half-even, mid = pa + d·0.5f); the per-frame selection reference
+// COG uses f64 circular-mean + refined min-image deviations — the same
+// construction as the reference's groan_rs f64 group centers
+// (core/pbc.py circular_mean_cog documents the algorithm). fp-contract is
+// disabled for these helpers so the mask is identical across -march=native
+// rebuilds on different sandbox hosts.
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+
+// f64 naive center (NoPBC selection references).
+static float geo_cog_axis_naive(const int32_t *c, const int32_t *slots,
+                                int32_t n, int32_t axis, float invp) {
+  double acc = 0.0;
+  for (int32_t i = 0; i < n; i++)
+    acc += (double)((float)c[(size_t)slots[i] * 3 + axis] * invp);
+  return (float)(acc / (double)(n > 0 ? n : 1));
+}
+
+struct GeoSpecC {
+  int32_t kind;         // 0 cuboid, 1 cylinder, 2 sphere
+  int32_t invert;
+  int32_t orientation;  // cylinder axis
+  int32_t handle_pbc;
+  // bounds[9]: xlo xhi ylo yhi zlo zhi radius span_lo span_hi (INFINITY ok)
+  const float *b;
+};
+
+static inline bool geo_axis_ok(float rel, float lo, float hi, float L,
+                               bool pbc) {
+  if (std::isinf(lo) && std::isinf(hi)) return true;
+  float extent = hi - lo;
+  float shifted = rel - lo;
+  if (pbc) shifted -= L * std::floor(shifted / L);
+  return shifted >= 0.0f && shifted <= extent;
+}
+
+static inline bool geo_inside(const float mid[3], const float ref[3],
+                              const float box[3], const GeoSpecC &g) {
+  float rel[3] = {mid[0] - ref[0], mid[1] - ref[1], mid[2] - ref[2]};
+  bool pbc = g.handle_pbc != 0;
+  bool ok;
+  if (g.kind == 0) {
+    ok = geo_axis_ok(rel[0], g.b[0], g.b[1], box[0], pbc)
+         && geo_axis_ok(rel[1], g.b[2], g.b[3], box[1], pbc)
+         && geo_axis_ok(rel[2], g.b[4], g.b[5], box[2], pbc);
+  } else if (g.kind == 1) {
+    int a = g.orientation;
+    int p0 = (a == 0) ? 1 : 0;
+    int p1 = (a == 2) ? 1 : 2;
+    float d0 = rel[p0], d1 = rel[p1];
+    if (pbc) {
+      d0 -= box[p0] * std::nearbyint(d0 / box[p0]);
+      d1 -= box[p1] * std::nearbyint(d1 / box[p1]);
+    }
+    bool radial = std::isinf(g.b[6])
+                  || (d0 * d0 + d1 * d1 <= g.b[6] * g.b[6]);
+    ok = radial && geo_axis_ok(rel[a], g.b[7], g.b[8], box[a], pbc);
+  } else {
+    float d0 = rel[0], d1 = rel[1], d2 = rel[2];
+    if (pbc) {
+      d0 -= box[0] * std::nearbyint(d0 / box[0]);
+      d1 -= box[1] * std::nearbyint(d1 / box[1]);
+      d2 -= box[2] * std::nearbyint(d2 / box[2]);
+    }
+    ok = std::isinf(g.b[6])
+         || (d0 * d0 + d1 * d1 + d2 * d2 <= g.b[6] * g.b[6]);
+  }
+  if (g.invert) ok = !ok;
+  return ok;
+}
+
+#pragma GCC pop_options
+
 int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
                       int64_t n, int32_t first_n, const int32_t *slot_of,
                       int32_t n_out, const int32_t *bond_a,
@@ -2101,7 +2188,12 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
                       int32_t n_threads,
                       const int32_t *aux_slots, int32_t n_aux,
                       int32_t *aux_out, const int32_t *cog_slots,
-                      int32_t n_cog, int32_t cog_axis, float *cog_out) {
+                      int32_t n_cog, int32_t cog_axis, float *cog_out,
+                      int32_t geo_kind, int32_t geo_invert,
+                      int32_t geo_orientation, int32_t geo_handle_pbc,
+                      const float *geo_bounds, int32_t geo_ref_mode,
+                      const float *geo_ref_point, const int32_t *geo_slots,
+                      int32_t n_geo, uint8_t *geo_out) {
   MappedFile mf;
   if (!mf.open(path)) return -1;
   const size_t nv = (size_t)n_out * 3;        // decoded slot values
@@ -2172,6 +2264,47 @@ int32_t xtc_decode_b7(const char *path, const int64_t *frame_offsets,
       float L = h->box[cog_axis * 3 + cog_axis];
       cog_out[f] = bai_breen_axis(c, cog_slots, n_cog, cog_axis,
                                   1.0f / p, L);
+    }
+    if (geo_out && geo_kind >= 0) {
+      // inline geometry mask channel: identical computation to the
+      // standalone xtc_geo_mask pass, but reusing THIS decode's
+      // integers — the b7geo wire pays one decode per frame, not two
+      float p = h->plain ? 1000.0f : h->precision;
+      float s = 1.0f / p;
+      float box3[3] = {h->box[0], h->box[4], h->box[8]};
+      GeoSpecC g{geo_kind, geo_invert, geo_orientation, geo_handle_pbc,
+                 geo_bounds};
+      float ref[3];
+      if (geo_ref_mode == 0) {
+        ref[0] = geo_ref_point[0];
+        ref[1] = geo_ref_point[1];
+        ref[2] = geo_ref_point[2];
+      } else {
+        for (int a = 0; a < 3; a++)
+          ref[a] = geo_ref_mode == 1
+                       ? box3[a] * 0.5f
+                       : (geo_handle_pbc
+                              ? bai_breen_axis(c, geo_slots, n_geo, a, s,
+                                               box3[a])
+                              : geo_cog_axis_naive(c, geo_slots, n_geo,
+                                                   a, s));
+      }
+      const size_t gstride = ((size_t)n_bonds + 7) / 8;
+      uint8_t *dst = geo_out + (size_t)f * gstride;
+      std::memset(dst, 0, gstride);
+      for (int32_t j = 0; j < n_bonds; j++) {
+        const int32_t *ia = c + (size_t)bond_a[j] * 3;
+        const int32_t *ib = c + (size_t)bond_b[j] * 3;
+        float mid[3];
+        for (int a = 0; a < 3; a++) {
+          float pa = (float)ia[a] * s;
+          float d = (float)(ib[a] - ia[a]) * s;
+          if (geo_handle_pbc) d -= box3[a] * std::nearbyintf(d / box3[a]);
+          mid[a] = pa + d * 0.5f;
+        }
+        if (geo_inside(mid, ref, box3, g))
+          dst[(size_t)j >> 3] |= (uint8_t)(1u << (j & 7));
+      }
     }
   };
 
@@ -2575,92 +2708,6 @@ int64_t trr_scan(const char *path, int64_t cap, int64_t *offsets,
   return count;
 }
 
-// ---------------------------------------------------------------------------
-// Decoder-side geometry mask channel.
-//
-// For geometry-restricted runs the order kernel consumes only bond vectors
-// plus a per-bond boolean "midpoint inside the shape" mask
-// (src/analysis/geometry.rs: bonds whose midpoint falls outside contribute
-// nothing). The decoder walks every frame's integers anyway, so it can
-// compute that mask host-side — making geometry runs eligible for the b7
-// bond-vector wire (no absolute coordinates shipped). Coordinate wires run
-// this same pass so the mask — and therefore the printed output — is
-// bitwise identical across wire formats (the xtc_cog_axis pattern).
-//
-// Arithmetic: positions and midpoints use the kernel's own single-rounding
-// f32 formulation (pa = f32(int)·s, d = f32(Δint)·s, min-image with
-// round-half-even, mid = pa + d·0.5f); the per-frame selection reference
-// COG uses f64 circular-mean + refined min-image deviations — the same
-// construction as the reference's groan_rs f64 group centers
-// (core/pbc.py circular_mean_cog documents the algorithm). fp-contract is
-// disabled for these helpers so the mask is identical across -march=native
-// rebuilds on different sandbox hosts.
-#pragma GCC push_options
-#pragma GCC optimize("fp-contract=off")
-
-// f64 naive center (NoPBC selection references).
-static float geo_cog_axis_naive(const int32_t *c, const int32_t *slots,
-                                int32_t n, int32_t axis, float invp) {
-  double acc = 0.0;
-  for (int32_t i = 0; i < n; i++)
-    acc += (double)((float)c[(size_t)slots[i] * 3 + axis] * invp);
-  return (float)(acc / (double)(n > 0 ? n : 1));
-}
-
-struct GeoSpecC {
-  int32_t kind;         // 0 cuboid, 1 cylinder, 2 sphere
-  int32_t invert;
-  int32_t orientation;  // cylinder axis
-  int32_t handle_pbc;
-  // bounds[9]: xlo xhi ylo yhi zlo zhi radius span_lo span_hi (INFINITY ok)
-  const float *b;
-};
-
-static inline bool geo_axis_ok(float rel, float lo, float hi, float L,
-                               bool pbc) {
-  if (std::isinf(lo) && std::isinf(hi)) return true;
-  float extent = hi - lo;
-  float shifted = rel - lo;
-  if (pbc) shifted -= L * std::floor(shifted / L);
-  return shifted >= 0.0f && shifted <= extent;
-}
-
-static inline bool geo_inside(const float mid[3], const float ref[3],
-                              const float box[3], const GeoSpecC &g) {
-  float rel[3] = {mid[0] - ref[0], mid[1] - ref[1], mid[2] - ref[2]};
-  bool pbc = g.handle_pbc != 0;
-  bool ok;
-  if (g.kind == 0) {
-    ok = geo_axis_ok(rel[0], g.b[0], g.b[1], box[0], pbc)
-         && geo_axis_ok(rel[1], g.b[2], g.b[3], box[1], pbc)
-         && geo_axis_ok(rel[2], g.b[4], g.b[5], box[2], pbc);
-  } else if (g.kind == 1) {
-    int a = g.orientation;
-    int p0 = (a == 0) ? 1 : 0;
-    int p1 = (a == 2) ? 1 : 2;
-    float d0 = rel[p0], d1 = rel[p1];
-    if (pbc) {
-      d0 -= box[p0] * std::nearbyint(d0 / box[p0]);
-      d1 -= box[p1] * std::nearbyint(d1 / box[p1]);
-    }
-    bool radial = std::isinf(g.b[6])
-                  || (d0 * d0 + d1 * d1 <= g.b[6] * g.b[6]);
-    ok = radial && geo_axis_ok(rel[a], g.b[7], g.b[8], box[a], pbc);
-  } else {
-    float d0 = rel[0], d1 = rel[1], d2 = rel[2];
-    if (pbc) {
-      d0 -= box[0] * std::nearbyint(d0 / box[0]);
-      d1 -= box[1] * std::nearbyint(d1 / box[1]);
-      d2 -= box[2] * std::nearbyint(d2 / box[2]);
-    }
-    ok = std::isinf(g.b[6])
-         || (d0 * d0 + d1 * d1 + d2 * d2 <= g.b[6] * g.b[6]);
-  }
-  if (g.invert) ok = !ok;
-  return ok;
-}
-
-#pragma GCC pop_options
 
 // Per-frame per-bond inside-geometry bitplane (bit j of byte j/8 = bond j's
 // midpoint inside the shape). ref_mode: 0 = fixed point (ref_point, 3
